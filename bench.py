@@ -1,0 +1,73 @@
+"""Headline benchmark — prints ONE JSON line for the driver.
+
+Runs the headline catalog queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and reports per-query
+wall seconds. Each query is forced with a noop-format write so the full
+plan executes distributed (no driver-side collect cost in the number).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if REPO_DIR not in sys.path:
+    sys.path.insert(0, REPO_DIR)
+
+from rabbithole_spark.catalog import load_all  # noqa: E402
+from rabbithole_spark.session import get_spark  # noqa: E402
+
+#: Headline subset; falls back to whatever exists if a name is missing.
+HEADLINE = [
+    "pricing_summary",
+    "join_multiway_revenue",
+    "join_asof_events_orders",
+    "window_running_totals",
+    "topk_per_group",
+    "agg_rollup",
+    "dedup_exact_documents",
+    "similarity_topk_bruteforce",
+    "text_quality_stats",
+    "minhash_near_dup",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark(app_name="rabbithole-spark-bench")
+    specs = load_all()
+    names = [n for n in HEADLINE if n in specs] or sorted(specs)
+
+    # Warm the JVM/codegen path once so per-query numbers measure the
+    # plan, not first-run classloading.
+    specs[names[0]].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        start = time.perf_counter()
+        specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - start, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,146 @@
+"""Local oracle-differential harness mirroring the driver's correctness gate.
+
+Runs a catalog query on Spark and its oracle SQL on DuckDB over the same
+parquet tables, then compares row count, schema (names), and an
+order-insensitive canonicalization of the values. Stricter than needed
+locally so the driver's hash-compare never surprises us.
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+import os
+from dataclasses import dataclass, field
+from decimal import Decimal
+from typing import Any
+
+import duckdb
+
+from pyspark.sql import DataFrame, SparkSession
+
+from rabbithole_spark.session import TABLES
+
+
+def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    """In-memory DuckDB with the registry tables pre-registered as views,
+    exactly like the driver (__spark_entry__.py docstring)."""
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    return con
+
+
+def _canon(value: Any) -> Any:
+    """Canonicalize one cell for order-insensitive comparison."""
+    if value is None:
+        return None
+    if isinstance(value, bool):
+        return value
+    if isinstance(value, Decimal):
+        return ("dec", str(value))
+    if isinstance(value, float):
+        if math.isnan(value):
+            return ("f", "nan")
+        # floats that survive our stability policy agree to ~1e-12;
+        # canonicalize at 9 significant-ish digits.
+        return ("f", f"{value:.9g}")
+    if isinstance(value, datetime.datetime):
+        if value.tzinfo is not None:
+            value = value.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return ("ts", value.isoformat())
+    if isinstance(value, datetime.date):
+        return ("d", value.isoformat())
+    if isinstance(value, (list, tuple)):
+        return tuple(_canon(v) for v in value)
+    if isinstance(value, dict):
+        return tuple(sorted((k, _canon(v)) for k, v in value.items()))
+    if isinstance(value, bytes):
+        return ("b", value.hex())
+    return value
+
+
+@dataclass
+class CompareReport:
+    name: str
+    ok: bool
+    spark_rows: int
+    oracle_rows: int
+    mismatches: list[str] = field(default_factory=list)
+
+    def __str__(self) -> str:  # pragma: no cover - debugging aid
+        status = "OK " if self.ok else "FAIL"
+        extra = "" if self.ok else f" :: {'; '.join(self.mismatches[:5])}"
+        return f"[{status}] {self.name} rows={self.spark_rows}/{self.oracle_rows}{extra}"
+
+
+def compare(
+    name: str,
+    spark_df: DataFrame,
+    oracle_query: str,
+    con: duckdb.DuckDBPyConnection,
+) -> CompareReport:
+    spark_rows = spark_df.collect()
+    spark_cols = spark_df.columns
+
+    cur = con.execute(oracle_query)
+    oracle_cols = [d[0] for d in cur.description]
+    oracle_rows = cur.fetchall()
+
+    mismatches: list[str] = []
+    if sorted(spark_cols) != sorted(oracle_cols):
+        mismatches.append(
+            f"columns differ: spark={sorted(spark_cols)} oracle={sorted(oracle_cols)}"
+        )
+    if len(spark_rows) != len(oracle_rows):
+        mismatches.append(f"row count {len(spark_rows)} != {len(oracle_rows)}")
+
+    if not mismatches:
+        s_order = sorted(range(len(spark_cols)), key=lambda i: spark_cols[i])
+        o_order = sorted(range(len(oracle_cols)), key=lambda i: oracle_cols[i])
+        s_set = sorted(
+            tuple(_canon(row[i]) for i in s_order) for row in spark_rows
+        )
+        o_set = sorted(
+            tuple(_canon(row[i]) for i in o_order) for row in oracle_rows
+        )
+        if s_set != o_set:
+            diffs = [
+                f"row {idx}: spark={s} oracle={o}"
+                for idx, (s, o) in enumerate(zip(s_set, o_set))
+                if s != o
+            ]
+            mismatches.append(f"{len(diffs)} differing canonical rows")
+            mismatches.extend(diffs[:3])
+
+    return CompareReport(
+        name=name,
+        ok=not mismatches,
+        spark_rows=len(spark_rows),
+        oracle_rows=len(oracle_rows),
+        mismatches=mismatches,
+    )
+
+
+def run_all(
+    spark: SparkSession, sf_dir: str, names: list[str] | None = None
+) -> list[CompareReport]:
+    """Compare every catalog query that declares an oracle."""
+    from rabbithole_spark.catalog import load_all
+
+    specs = load_all()
+    con = duckdb_connect(sf_dir)
+    reports = []
+    for qname, spec in sorted(specs.items()):
+        if names and qname not in names:
+            continue
+        if spec.oracle is None:
+            continue
+        try:
+            reports.append(compare(qname, spec.fn(spark, sf_dir), spec.oracle, con))
+        except Exception as exc:  # surface, don't abort the sweep
+            reports.append(
+                CompareReport(qname, False, -1, -1, [f"exception: {exc}"])
+            )
+    return reports

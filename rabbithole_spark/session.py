@@ -1,0 +1,81 @@
+"""SparkSession factory and parquet table registry.
+
+Scale notes (100 TB design, tested on local[32]):
+
+- AQE is on: runtime partition coalescing, skew-join splitting, and
+  dynamic broadcast conversion replace hand-tuned shuffle counts.
+- ``spark.sql.shuffle.partitions`` is a *hint* only; AQE coalesces it.
+  At cluster scale you'd set it ~2-3x total cores and let AQE shrink.
+- Session timezone is pinned to UTC so timestamp semantics are
+  engine-independent (parquet micros == wall values everywhere).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: The driver-generated tables (TESTDATA.md). One parquet file per table.
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def get_spark(
+    app_name: str = "rabbithole-spark",
+    cpus: str | int | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession.
+
+    local[$SPARK_GRAFT_CPUS] by default; on a real cluster the master
+    comes from spark-submit and these configs still apply.
+    """
+    cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS") or "*"
+    shuffle = int(shuffle_partitions or os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
+
+
+def prepare(spark: SparkSession) -> SparkSession:
+    """Pin runtime-settable confs on a session we did not create.
+
+    The driver hands ``queries()`` callables an arbitrary session; UTC
+    timezone keeps Spark's TIMESTAMP_LTZ numerically identical to the
+    oracle's naive timestamps. Idempotent.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Columnar parquet scan of one registry table (pushdown + pruning apply)."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """All registry tables as DataFrames keyed by name."""
+    return {name: table(spark, sf_dir, name) for name in TABLES}
