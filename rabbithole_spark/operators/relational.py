@@ -1,0 +1,116 @@
+"""Relational operators Spark lacks as single calls: as-of join, range
+join, top-k per group.
+
+Scale notes: the as-of join here is the union-merge formulation — one
+shuffle on the key, a per-partition sort, zero row multiplication. The
+naive alternative (range join + row_number) materializes |L| x |matches|
+intermediate rows, which dies at 100 TB; this one stays O(|L| + |R|).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["asof_join", "range_join", "top_k_per_group"]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str] | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Backward (most-recent-prior, inclusive) as-of join.
+
+    For each left row, attach the right row with the greatest
+    ``right_ts <= left_ts`` within the same ``on`` key group; unmatched
+    left rows keep NULLs (left-join semantics). Mirrors DuckDB's
+    ``ASOF LEFT JOIN`` / pandas ``merge_asof(direction='backward')``.
+
+    Implementation: tag and union both inputs, sort each key partition
+    by (ts, side) with right rows first on ties, and carry the latest
+    right payload forward with ``last(..., ignorenulls=True)`` over an
+    unbounded-preceding window — a single shuffle, no row explosion.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    right_cols = right_cols or [
+        c for c in right.columns if c not in keys and c != right_ts
+    ]
+
+    payload = F.struct(
+        F.col(right_ts).alias("__rts"), *[F.col(c) for c in right_cols]
+    )
+    r_tagged = right.select(
+        *[F.col(k) for k in keys],
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        payload.alias("__rpay"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}") for c in left.columns],
+    )
+    l_tagged = left.select(
+        *[F.col(k) for k in keys],
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(r_tagged.schema["__rpay"].dataType).alias("__rpay"),
+        *[F.col(c).alias(f"__l_{c}") for c in left.columns],
+    )
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = r_tagged.unionByName(l_tagged).withColumn(
+        "__match", F.last("__rpay", ignorenulls=True).over(w)
+    )
+    out_left = [F.col(f"__l_{c}").alias(c) for c in left.columns]
+    out_right = [
+        F.col(f"__match.{c}").alias(f"{c}{suffix}" if c in left.columns else c)
+        for c in right_cols
+    ]
+    return merged.filter(F.col("__side") == 1).select(*out_left, *out_right)
+
+
+def range_join(
+    left: DataFrame,
+    bands: DataFrame,
+    value: str,
+    lo: str,
+    hi: str,
+    broadcast_bands: bool = True,
+) -> DataFrame:
+    """Join rows to (lo, hi] interval bands: ``lo <= value AND value <= hi``.
+
+    Bands are a small dimension — broadcast them so the physical plan is
+    a BroadcastNestedLoopJoin over the scan, never a shuffle of the fact
+    side. For large band tables, bucketize the value instead.
+    """
+    b = F.broadcast(bands) if broadcast_bands else bands
+    cond = (F.col(value) >= F.col(lo)) & (F.col(value) <= F.col(hi))
+    return left.join(b, cond, "inner")
+
+
+def top_k_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[Column],
+    k: int,
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Deterministic top-k rows per group via row_number.
+
+    ``order_cols`` must form a total order (tie-break on a unique key)
+    or the selection is nondeterministic. Spark evaluates this as one
+    shuffle on the group key + per-partition sort; with AQE skew
+    handling a hot group splits across tasks.
+    """
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+        .withColumn(rank_col, F.col(rank_col).cast("bigint"))
+    )

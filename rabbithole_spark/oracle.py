@@ -32,12 +32,73 @@ def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
-def _canon(value: Any) -> Any:
-    """Canonicalize one cell for order-insensitive comparison."""
+def _norm_spark_type(dt) -> str:
+    """Normalize a Spark DataType to a cross-engine token."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.ArrayType):
+        return f"list<{_norm_spark_type(dt.elementType)}>"
+    if isinstance(dt, T.StructType):
+        inner = ",".join(f"{f.name}:{_norm_spark_type(f.dataType)}" for f in dt.fields)
+        return f"struct<{inner}>"
+    if isinstance(dt, T.DecimalType):
+        return f"dec({dt.precision},{dt.scale})"
+    return {
+        T.ByteType: "i8",
+        T.ShortType: "i16",
+        T.IntegerType: "i32",
+        T.LongType: "i64",
+        T.FloatType: "f32",
+        T.DoubleType: "f64",
+        T.StringType: "str",
+        T.BooleanType: "bool",
+        T.DateType: "date",
+        T.TimestampType: "ts",
+        T.TimestampNTZType: "ts",
+        T.BinaryType: "bin",
+    }.get(type(dt), dt.simpleString())
+
+
+def _norm_arrow_type(at) -> str:
+    """Normalize a pyarrow DataType (from DuckDB) to the same tokens."""
+    import pyarrow as pa
+
+    if pa.types.is_list(at) or pa.types.is_large_list(at):
+        return f"list<{_norm_arrow_type(at.value_type)}>"
+    if pa.types.is_struct(at):
+        inner = ",".join(
+            f"{at.field(i).name}:{_norm_arrow_type(at.field(i).type)}"
+            for i in range(at.num_fields)
+        )
+        return f"struct<{inner}>"
+    if pa.types.is_decimal(at):
+        return f"dec({at.precision},{at.scale})"
+    if pa.types.is_timestamp(at):
+        return "ts"
+    if pa.types.is_date(at):
+        return "date"
+    if pa.types.is_string(at) or pa.types.is_large_string(at):
+        return "str"
+    if pa.types.is_binary(at) or pa.types.is_large_binary(at):
+        return "bin"
+    return {
+        "int8": "i8",
+        "int16": "i16",
+        "int32": "i32",
+        "int64": "i64",
+        "float": "f32",
+        "double": "f64",
+        "bool": "bool",
+    }.get(str(at), str(at))
+
+
+def _canon(value: Any) -> tuple:
+    """Canonicalize one cell to a uniformly sortable (typecode, payload)
+    tuple — NULLs, mixed types, and nested lists all order totally."""
     if value is None:
-        return None
+        return ("0null", "")
     if isinstance(value, bool):
-        return value
+        return ("bool", "1" if value else "0")
     if isinstance(value, Decimal):
         return ("dec", str(value))
     if isinstance(value, float):
@@ -46,6 +107,8 @@ def _canon(value: Any) -> Any:
         # floats that survive our stability policy agree to ~1e-12;
         # canonicalize at 9 significant-ish digits.
         return ("f", f"{value:.9g}")
+    if isinstance(value, int):
+        return ("i", str(value))
     if isinstance(value, datetime.datetime):
         if value.tzinfo is not None:
             value = value.astimezone(datetime.timezone.utc).replace(tzinfo=None)
@@ -53,12 +116,14 @@ def _canon(value: Any) -> Any:
     if isinstance(value, datetime.date):
         return ("d", value.isoformat())
     if isinstance(value, (list, tuple)):
-        return tuple(_canon(v) for v in value)
+        return ("list", tuple(_canon(v) for v in value))
     if isinstance(value, dict):
-        return tuple(sorted((k, _canon(v)) for k, v in value.items()))
+        return ("map", tuple(sorted((k, _canon(v)) for k, v in value.items())))
     if isinstance(value, bytes):
-        return ("b", value.hex())
-    return value
+        return ("bin", value.hex())
+    if isinstance(value, str):
+        return ("s", value)
+    return ("other", repr(value))
 
 
 @dataclass
@@ -83,16 +148,31 @@ def compare(
 ) -> CompareReport:
     spark_rows = spark_df.collect()
     spark_cols = spark_df.columns
+    spark_types = {
+        f.name: _norm_spark_type(f.dataType) for f in spark_df.schema.fields
+    }
 
-    cur = con.execute(oracle_query)
-    oracle_cols = [d[0] for d in cur.description]
-    oracle_rows = cur.fetchall()
+    arrow = con.execute(oracle_query).arrow()
+    oracle_cols = arrow.schema.names
+    oracle_types = {
+        f.name: _norm_arrow_type(f.type) for f in arrow.schema
+    }
+    _cols_py = [c.to_pylist() for c in arrow.columns]
+    oracle_rows = list(zip(*_cols_py)) if _cols_py else [() for _ in range(arrow.num_rows)]
 
     mismatches: list[str] = []
     if sorted(spark_cols) != sorted(oracle_cols):
         mismatches.append(
             f"columns differ: spark={sorted(spark_cols)} oracle={sorted(oracle_cols)}"
         )
+    else:
+        type_diffs = [
+            f"{c}: spark={spark_types[c]} oracle={oracle_types[c]}"
+            for c in spark_cols
+            if spark_types[c] != oracle_types[c]
+        ]
+        if type_diffs:
+            mismatches.append("types differ: " + "; ".join(type_diffs))
     if len(spark_rows) != len(oracle_rows):
         mismatches.append(f"row count {len(spark_rows)} != {len(oracle_rows)}")
 

@@ -1,0 +1,206 @@
+"""Aggregation surface (SURVEY.md §2B Aggregation): grouped aggs,
+distinct / count-distinct / approx, rollup, cube, grouping sets,
+conditional aggregation, HAVING.
+
+Scale notes: every groupBy here is a partial (map-side) aggregate before
+the shuffle, so shuffled bytes are O(distinct keys). count(DISTINCT x)
+expands to a two-phase aggregate under Catalyst; for 100 TB cardinality
+estimation prefer approx_count_distinct (registered rows-only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rabbithole_spark.catalog import register
+from rabbithole_spark.functions.numeric import dsum, ravg, sql_dsum, sql_ravg
+from rabbithole_spark.session import table
+
+_EVENT_STATS_ORACLE = f"""
+SELECT event_type,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       min(value) AS min_value,
+       max(value) AS max_value,
+       {sql_dsum("value", "total_value", 2)},
+       {sql_ravg("value", "avg_value")}
+FROM events
+GROUP BY event_type
+"""
+
+
+@register(
+    "agg_event_stats",
+    oracle=_EVENT_STATS_ORACLE,
+    doc="Grouped count/count-distinct/min/max/sum/avg per event type.",
+)
+def agg_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            dsum(F.col("value"), "total_value", 2),
+            ravg(F.col("value"), "avg_value"),
+        )
+    )
+
+
+_DISTINCT_ORACLE = "SELECT DISTINCT user_id, event_type FROM events"
+
+
+@register(
+    "agg_distinct_pairs",
+    oracle=_DISTINCT_ORACLE,
+    doc="DISTINCT projection (hash aggregate without agg functions).",
+)
+def agg_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+
+
+_ROLLUP_ORACLE = """
+SELECT r_name, n_name,
+       count(*) AS customers,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_balance
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+@register(
+    "agg_rollup",
+    oracle=_ROLLUP_ORACLE,
+    doc="ROLLUP hierarchy region -> nation -> grand total.",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = table(spark, sf_dir, "customer")
+    nation = F.broadcast(table(spark, sf_dir, "nation"))
+    region = F.broadcast(table(spark, sf_dir, "region"))
+    return (
+        customer.join(nation, customer.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("customers"),
+            dsum(F.col("c_acctbal"), "total_balance", 2),
+        )
+    )
+
+
+_CUBE_ORACLE = """
+SELECT l_returnflag, l_linestatus, count(*) AS line_count
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+@register(
+    "agg_cube",
+    oracle=_CUBE_ORACLE,
+    doc="CUBE over returnflag x linestatus (all grouping combinations).",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("line_count"))
+    )
+
+
+_GSETS_ORACLE = """
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+@register(
+    "agg_grouping_sets",
+    oracle=_GSETS_ORACLE,
+    doc="GROUPING SETS via the SQL API over a temp view.",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_price
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+_COND_ORACLE = f"""
+SELECT c_mktsegment,
+       count(*) AS customers,
+       count(CASE WHEN c_acctbal > 5000 THEN 1 END) AS wealthy,
+       {sql_dsum("CASE WHEN c_acctbal > 5000 THEN c_acctbal ELSE 0 END", "wealthy_balance", 2)},
+       {sql_ravg("CASE WHEN c_acctbal > 5000 THEN c_acctbal END", "avg_wealthy_balance")}
+FROM customer
+GROUP BY c_mktsegment
+"""
+
+
+@register(
+    "agg_conditional",
+    oracle=_COND_ORACLE,
+    doc="Filtered/conditional aggregation with CASE inside agg functions.",
+)
+def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wealthy = F.when(F.col("c_acctbal") > 5000, F.col("c_acctbal"))
+    return (
+        table(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("customers"),
+            F.count(F.when(F.col("c_acctbal") > 5000, F.lit(1))).alias("wealthy"),
+            dsum(wealthy.otherwise(F.lit(0.0)), "wealthy_balance", 2),
+            ravg(wealthy, "avg_wealthy_balance"),
+        )
+    )
+
+
+_HAVING_ORACLE = """
+SELECT o_custkey, count(*) AS order_count
+FROM orders
+GROUP BY o_custkey
+HAVING count(*) >= 15
+"""
+
+
+@register(
+    "agg_having",
+    oracle=_HAVING_ORACLE,
+    doc="Post-aggregation predicate (HAVING).",
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .filter(F.col("order_count") >= 15)
+    )
+
+
+@register(
+    "agg_approx_count_distinct",
+    oracle=None,  # approximate — engines use different sketches; rows-only
+    doc="HLL-sketch distinct estimation (the 100 TB-scale path for "
+    "cardinality; exact count-distinct shuffles every distinct value).",
+)
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.02).alias("approx_users"))
+    )

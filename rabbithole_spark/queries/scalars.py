@@ -1,0 +1,222 @@
+"""Scalar-function surface (SURVEY.md §2B Scalar fns): string, math,
+conditional, array (incl. higher-order), and JSON functions.
+
+All expressions are JVM built-ins inside whole-stage codegen — no
+Python UDFs in this module. Type alignment with the DuckDB oracle is
+explicit (length/size are INT in Spark vs BIGINT in DuckDB, etc.).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rabbithole_spark.catalog import register
+from rabbithole_spark.session import table
+
+_STRING_ORACLE = """
+SELECT p_partkey,
+       upper(p_name) AS name_upper,
+       lower(p_brand) AS brand_lower,
+       CAST(length(p_name) AS INTEGER) AS name_len,
+       substring(p_name, 1, 5) AS name_prefix,
+       concat(p_brand, ':', p_type) AS brand_type,
+       trim('  ' || p_name || ' ') AS name_trimmed,
+       replace(p_name, ' ', '_') AS name_snake,
+       reverse(p_type) AS type_reversed,
+       lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+       regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
+       contains(p_name, 'widget') AS is_widget,
+       starts_with(p_name, 'small') AS is_small
+FROM part
+"""
+
+
+@register(
+    "scalar_string_funcs",
+    oracle=_STRING_ORACLE,
+    doc="String functions: case, length, substring, concat, trim, "
+    "replace, reverse, pad, regexp_extract, contains, starts_with. "
+    "Reference analogue: dotted-path string handling sql.py:157-166.",
+)
+def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.length("p_name").cast("int").alias("name_len"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit(" "))).alias(
+            "name_trimmed"
+        ),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.reverse("p_type").alias("type_reversed"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.regexp_extract("p_name", r"^([a-z]+)", 1).alias("first_word"),
+        F.contains(F.col("p_name"), F.lit("widget")).alias("is_widget"),
+        F.startswith(F.col("p_name"), F.lit("small")).alias("is_small"),
+    )
+
+
+_MATH_ORACLE = """
+SELECT p_partkey,
+       round(p_retailprice, 1) AS price_rounded,
+       abs(p_retailprice - 1000) AS price_dist_1000,
+       CAST(ceil(p_retailprice) AS BIGINT) AS price_ceil,
+       CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+       round(sqrt(p_retailprice), 6) AS price_sqrt,
+       round(ln(p_retailprice), 6) AS price_ln,
+       CAST(p_size % 5 AS INTEGER) AS size_mod5,
+       CAST(power(2, p_size % 5) AS DOUBLE) AS pow2,
+       CAST(greatest(p_size, 20) AS INTEGER) AS size_floor20,
+       CAST(least(p_size, 20) AS INTEGER) AS size_cap20,
+       CAST(sign(p_retailprice - 1000) AS DOUBLE) AS above_1000
+FROM part
+"""
+
+
+@register(
+    "scalar_math_funcs",
+    oracle=_MATH_ORACLE,
+    doc="Math functions: round, abs, ceil/floor, sqrt, ln, mod, power, "
+    "greatest/least, sign.",
+)
+def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    price = F.col("p_retailprice")
+    return p.select(
+        "p_partkey",
+        F.round(price, 1).alias("price_rounded"),
+        F.abs(price - 1000).alias("price_dist_1000"),
+        F.ceil(price).cast("bigint").alias("price_ceil"),
+        F.floor(price).cast("bigint").alias("price_floor"),
+        F.round(F.sqrt(price), 6).alias("price_sqrt"),
+        F.round(F.log(price), 6).alias("price_ln"),
+        (F.col("p_size") % 5).cast("int").alias("size_mod5"),
+        F.pow(F.lit(2), F.col("p_size") % 5).cast("double").alias("pow2"),
+        F.greatest(F.col("p_size"), F.lit(20)).alias("size_floor20"),
+        F.least(F.col("p_size"), F.lit(20)).alias("size_cap20"),
+        F.signum(price - 1000).cast("double").alias("above_1000"),
+    )
+
+
+_COND_ORACLE = """
+SELECT c_custkey,
+       CASE WHEN c_acctbal < 0 THEN 'debt'
+            WHEN c_acctbal < 5000 THEN 'low'
+            ELSE 'high' END AS balance_band,
+       coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS segment_masked,
+       (c_acctbal BETWEEN 0 AND 1000) AS is_small_positive,
+       (c_nationkey IN (1, 2, 3)) AS in_first_nations
+FROM customer
+"""
+
+
+@register(
+    "scalar_conditional",
+    oracle=_COND_ORACLE,
+    doc="CASE WHEN banding, coalesce/nullif, BETWEEN, IN predicates.",
+)
+def scalar_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal")
+    return c.select(
+        "c_custkey",
+        F.when(bal < 0, "debt").when(bal < 5000, "low").otherwise("high").alias(
+            "balance_band"
+        ),
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("OTHER")).alias(
+            "segment_masked"
+        ),
+        bal.between(0, 1000).alias("is_small_positive"),
+        F.col("c_nationkey").isin(1, 2, 3).alias("in_first_nations"),
+    )
+
+
+_ARRAY_ORACLE = """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words,
+       string_split(text, ' ')[1] AS first_word,
+       list_contains(string_split(text, ' '), 'spark') AS mentions_spark,
+       array_to_string(list_slice(string_split(text, ' '), 1, 3), ' ') AS first_three,
+       list_sort(list_distinct(string_split(text, ' ')))[1] AS min_word
+FROM documents
+"""
+
+
+@register(
+    "scalar_array_funcs",
+    oracle=_ARRAY_ORACLE,
+    doc="Array functions over tokenized text: size, indexing, contains, "
+    "slice, join, distinct+sort (SURVEY.md §2B Array).",
+)
+def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(words).cast("int").alias("n_words"),
+        F.element_at(words, 1).alias("first_word"),
+        F.array_contains(words, "spark").alias("mentions_spark"),
+        F.array_join(F.slice(words, 1, 3), " ").alias("first_three"),
+        F.element_at(F.array_sort(F.array_distinct(words)), 1).alias("min_word"),
+    )
+
+
+_HOF_ORACLE = """
+SELECT vec_id,
+       round(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'), 4) AS sq_norm,
+       CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_positive,
+       round(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 6) AS max_component
+FROM embeddings
+"""
+
+
+@register(
+    "scalar_array_hof",
+    oracle=_HOF_ORACLE,
+    doc="Higher-order functions on array<float>: transform + aggregate "
+    "(squared L2 norm), filter, max — the JVM-side vector-math path.",
+)
+def scalar_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    sq = F.aggregate(
+        F.transform(F.col("embedding"), lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return e.select(
+        "vec_id",
+        F.round(sq, 4).alias("sq_norm"),
+        F.size(F.filter(F.col("embedding"), lambda x: x > 0)).cast("int").alias(
+            "n_positive"
+        ),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("max_component"),
+    )
+
+
+_JSON_ORACLE = """
+SELECT event_id,
+       json_extract_string(props, '$.k') AS k_str,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+       CAST(json_extract_string(props, '$.missing') AS VARCHAR) AS missing_key
+FROM events
+"""
+
+
+@register(
+    "scalar_json_funcs",
+    oracle=_JSON_ORACLE,
+    doc="JSON dotted-path extraction with missing->NULL semantics "
+    "(reference parity: sql.py:157-163, SURVEY.md §2C.1).",
+)
+def scalar_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").cast("int").alias("k_int"),
+        F.get_json_object("props", "$.missing").alias("missing_key"),
+    )

@@ -1,0 +1,220 @@
+"""Temporal surface (SURVEY.md §2B Date/time + Streaming windows as
+batch-checkable queries): datetime parts, truncation, arithmetic, and
+tumbling / sliding / session windows.
+
+The window queries use the exact operators Structured Streaming uses
+(``F.window`` / ``F.session_window``) — in batch mode they are
+deterministic and oracle-checkable; the streaming variants (with
+watermarks) live in rabbithole_spark.streaming and are tested with
+AvailableNow triggers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rabbithole_spark.catalog import register
+from rabbithole_spark.functions.numeric import dsum, sql_dsum
+from rabbithole_spark.session import table
+
+_PARTS_ORACLE = """
+SELECT event_id,
+       CAST(year(ts) AS INTEGER) AS y,
+       CAST(month(ts) AS INTEGER) AS m,
+       CAST(day(ts) AS INTEGER) AS d,
+       CAST(hour(ts) AS INTEGER) AS h,
+       CAST(minute(ts) AS INTEGER) AS mi,
+       CAST(second(ts) AS INTEGER) AS s,
+       CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+       CAST(dayofyear(ts) AS INTEGER) AS doy,
+       CAST(ts AS DATE) AS event_date
+FROM events
+"""
+
+
+@register(
+    "temporal_parts",
+    oracle=_PARTS_ORACLE,
+    doc="Datetime component extraction (year..second, dow, doy, date cast). "
+    "DuckDB dow is 0-based Sunday; Spark dayofweek is 1-based Sunday.",
+)
+def temporal_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.year("ts").alias("y"),
+        F.month("ts").alias("m"),
+        F.dayofmonth("ts").alias("d"),
+        F.hour("ts").alias("h"),
+        F.minute("ts").alias("mi"),
+        F.second("ts").alias("s"),
+        F.dayofweek("ts").alias("dow"),
+        F.dayofyear("ts").alias("doy"),
+        F.col("ts").cast("date").alias("event_date"),
+    )
+
+
+_TRUNC_ORACLE = f"""
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
+       count(*) AS n_events,
+       {sql_dsum("value", "day_value", 2)}
+FROM events
+GROUP BY 1
+"""
+
+
+@register(
+    "temporal_trunc_daily",
+    oracle=_TRUNC_ORACLE,
+    doc="date_trunc-based daily aggregation (DuckDB date_trunc returns "
+    "DATE -> cast to TIMESTAMP for schema parity).",
+)
+def temporal_trunc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").alias("day_start"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value"), "day_value", 2),
+        )
+    )
+
+
+_ARITH_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       CAST(datediff('day', o_orderdate, l_shipdate) AS INTEGER) AS ship_delay_days,
+       CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
+       CAST(o_orderdate - INTERVAL 1 DAY AS DATE) AS day_before
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+"""
+
+
+@register(
+    "temporal_arithmetic",
+    oracle=_ARITH_ORACLE,
+    doc="datediff / date_add / date_sub across a join.",
+)
+def temporal_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    return j.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias(
+            "ship_delay_days"
+        ),
+        F.date_add(F.col("o_orderdate"), 30).alias("due_date"),
+        F.date_sub(F.col("o_orderdate"), 1).alias("day_before"),
+    )
+
+
+_TUMBLING_ORACLE = f"""
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+       event_type,
+       count(*) AS n_events,
+       {sql_dsum("value", "window_value", 2)}
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+@register(
+    "window_tumbling_hourly",
+    oracle=_TUMBLING_ORACLE,
+    doc="Tumbling event-time window (streaming-identical F.window in "
+    "batch mode; reference analogue: the batcher A5 is the degenerate "
+    "processing-time form, batcher.py:54-109).",
+)
+def window_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value"), "window_value", 2),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "window_value",
+        )
+    )
+
+
+_SLIDING_ORACLE = """
+WITH offsets(k) AS (VALUES (0), (1))
+SELECT time_bucket(INTERVAL '30 minutes', ts) - k * INTERVAL '30 minutes' AS window_start,
+       time_bucket(INTERVAL '30 minutes', ts) - k * INTERVAL '30 minutes' + INTERVAL '1 hour' AS window_end,
+       count(*) AS n_events
+FROM events CROSS JOIN offsets
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "window_sliding_hourly",
+    oracle=_SLIDING_ORACLE,
+    doc="Sliding window (1h width, 30m slide): each event belongs to 2 "
+    "windows; oracle rewrites via bucket-offset expansion.",
+)
+def window_sliding_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "n_events",
+        )
+    )
+
+
+_SESSION_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   <= INTERVAL '30 minutes'
+              THEN 0 ELSE 1 END AS new_session
+  FROM events
+), sessions AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL '30 minutes' AS session_end,
+       count(*) AS n_events
+FROM sessions
+GROUP BY user_id, session_id
+"""
+
+
+@register(
+    "window_session_per_user",
+    oracle=_SESSION_ORACLE,
+    doc="Session window (30 min gap) per user — F.session_window in batch "
+    "mode vs the classic gaps-and-islands SQL rewrite.",
+)
+def window_session_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -68,12 +68,25 @@ def prepare(spark: SparkSession) -> SparkSession:
     oracle's naive timestamps. Idempotent.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # events.parquet stores TIMESTAMP(NANOS); Spark has no nanosecond
+    # timestamp type, so read as int64 and convert (see table()).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Columnar parquet scan of one registry table (pushdown + pruning apply)."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Columnar parquet scan of one registry table (pushdown + pruning apply).
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS): with nanosAsLong it scans
+    as int64 nanos; truncate to micros exactly like the DuckDB reader.
+    """
+    prepare(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
