@@ -30,6 +30,7 @@ _QUERY_MODULES = (
     "rabbithole_spark.queries.aggregates",
     "rabbithole_spark.queries.windows",
     "rabbithole_spark.queries.setops",
+    "rabbithole_spark.queries.sortlimit",
     "rabbithole_spark.queries.scalars",
     "rabbithole_spark.queries.temporal",
     "rabbithole_spark.queries.llm",

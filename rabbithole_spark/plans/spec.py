@@ -1,0 +1,250 @@
+"""YAML pipeline spec -> compiled Structured Streaming flows.
+
+The reference's config model (SURVEY.md §1.3; docs/usage.rst:16-57):
+top-level ``size_limit``/``time_limit``, ``blocks`` (named typed
+endpoints), ``flows`` ([input-ref, output-ref] pairs). The same YAML
+shape compiles here to one StreamingQuery per flow:
+
+    readStream (block) -> exchange demux -> decode -> dead-letter split
+      -> ParametersMapper select -> foreachBatch sink, trigger(policy)
+
+Unlike the reference (side effects while instantiating blocks,
+cli.py:97-106), compilation is fully lazy — nothing connects until
+``FlowRunner.start()``. Config errors raise PipelineError; the CLI
+maps that to exit code 1 (cli.py parity).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Any
+
+import yaml
+
+from pyspark.sql import DataFrame, SparkSession
+
+from rabbithole_spark.plans.mapper import ParametersMapper
+from rabbithole_spark.streaming.batcher import BatchPolicy
+from rabbithole_spark.streaming.sinks import (
+    decode_messages,
+    dead_letter_split,
+    sql_sink,
+)
+from rabbithole_spark.streaming.sources import (
+    read_spool_stream,
+    register_amqp_source,
+)
+
+INPUT_TYPES = ("spool", "amqp", "rate")
+OUTPUT_TYPES = ("sql", "parquet", "memory")
+
+
+class PipelineError(ValueError):
+    """Invalid pipeline configuration (reference exits 1, cli.py:97-106)."""
+
+
+@dataclass
+class Block:
+    name: str
+    type: str
+    kwargs: dict = field(default_factory=dict)
+
+
+@dataclass
+class FlowEndpoint:
+    name: str
+    kwargs: dict = field(default_factory=dict)
+
+
+@dataclass
+class PipelineSpec:
+    blocks: dict[str, Block]
+    flows: list[tuple[FlowEndpoint, FlowEndpoint]]
+    policy: BatchPolicy
+
+    @classmethod
+    def from_dict(cls, cfg: dict) -> PipelineSpec:
+        policy = BatchPolicy(
+            size_limit=cfg.get("size_limit", BatchPolicy.size_limit),
+            time_limit=cfg.get("time_limit", BatchPolicy.time_limit),
+        )
+        blocks: dict[str, Block] = {}
+        for raw in cfg.get("blocks", []):
+            block = Block(
+                name=raw["name"], type=raw["type"], kwargs=raw.get("kwargs", {})
+            )
+            if block.type not in INPUT_TYPES + OUTPUT_TYPES:
+                raise PipelineError(f"Unknown block type: {block.type!r}")
+            if block.name in blocks:
+                raise PipelineError(f"Duplicate block name: {block.name!r}")
+            blocks[block.name] = block
+
+        flows = []
+        for raw_flow in cfg.get("flows", []):
+            if len(raw_flow) != 2:
+                raise PipelineError(f"Flow must be [input, output]: {raw_flow!r}")
+            endpoints = []
+            for raw_ep in raw_flow:
+                if isinstance(raw_ep, str):
+                    raw_ep = {"name": raw_ep}
+                name = raw_ep.get("name")
+                if name not in blocks:
+                    raise PipelineError(f"Unknown block reference: {name!r}")
+                endpoints.append(
+                    FlowEndpoint(name=name, kwargs=raw_ep.get("kwargs", {}))
+                )
+            flows.append((endpoints[0], endpoints[1]))
+        return cls(blocks=blocks, flows=flows, policy=policy)
+
+    @classmethod
+    def from_yaml(cls, path_or_text: str) -> PipelineSpec:
+        if os.path.exists(path_or_text):
+            with open(path_or_text, encoding="utf-8") as fh:
+                cfg = yaml.safe_load(fh)
+        else:
+            cfg = yaml.safe_load(path_or_text)
+        if not isinstance(cfg, dict):
+            raise PipelineError("Pipeline config must be a YAML mapping")
+        return cls.from_dict(cfg)
+
+
+@dataclass
+class FlowRunner:
+    """One compiled flow = one StreamingQuery (SURVEY.md §1.1 Flow)."""
+
+    name: str
+    stream: DataFrame  # mapped, good rows
+    dead: DataFrame  # dead-letter rows
+    writer_factory: Any  # (DataFrame) -> DataStreamWriter
+    dead_path: str | None
+    checkpoint_dir: str
+
+    def start(self, available_now: bool = False):
+        writer = self.writer_factory(self.stream)
+        writer = writer.option(
+            "checkpointLocation", os.path.join(self.checkpoint_dir, self.name)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        queries = [writer.queryName(self.name).start()]
+        if self.dead_path is not None:
+            dlq = (
+                self.dead.writeStream.format("parquet")
+                .option("path", self.dead_path)
+                .option(
+                    "checkpointLocation",
+                    os.path.join(self.checkpoint_dir, self.name + "_dead"),
+                )
+            )
+            if available_now:
+                dlq = dlq.trigger(availableNow=True)
+            queries.append(dlq.queryName(self.name + "_dead").start())
+        return queries
+
+
+def compile_pipeline(
+    spark: SparkSession,
+    spec: PipelineSpec,
+    checkpoint_dir: str,
+    dead_letter_dir: str | None = None,
+) -> list[FlowRunner]:
+    """Build (lazily) one FlowRunner per flow."""
+    runners = []
+    for idx, (src_ref, dst_ref) in enumerate(spec.flows):
+        src = spec.blocks[src_ref.name]
+        dst = spec.blocks[dst_ref.name]
+        flow_name = f"flow{idx}_{src.name}_to_{dst.name}"
+
+        # --- source -> envelope stream -----------------------------------
+        if src.type == "spool":
+            env = read_spool_stream(
+                spark,
+                src.kwargs["path"],
+                exchange=src_ref.kwargs.get("exchange"),
+                max_files_per_trigger=spec.policy.size_limit,
+            )
+        elif src.type == "amqp":
+            if not register_amqp_source(spark):
+                raise PipelineError("AMQP source needs the Python DataSource API")
+            reader = (
+                spark.readStream.format("rabbithole-amqp")
+                .option("url", src.kwargs.get("url", ""))
+                .option("exchanges", src_ref.kwargs.get("exchange", ""))
+                .option(
+                    "max_messages_per_batch", str(spec.policy.size_limit)
+                )
+            )
+            env = reader.load()
+            exchange = src_ref.kwargs.get("exchange")
+            if exchange:
+                from pyspark.sql import functions as F
+
+                env = env.filter(F.col("exchange") == exchange)
+        elif src.type == "rate":
+            from pyspark.sql import functions as F
+
+            env = (
+                spark.readStream.format("rate")
+                .option("rowsPerSecond", str(src.kwargs.get("rows_per_second", 5)))
+                .load()
+                .select(
+                    F.lit(src_ref.kwargs.get("exchange", "rate")).alias("exchange"),
+                    F.lit("application/json").alias("content_type"),
+                    F.to_json(F.struct("timestamp", "value")).alias("body"),
+                )
+            )
+        else:
+            raise PipelineError(f"Block {src.name!r} is not an input type")
+
+        # --- decode + split + map -----------------------------------------
+        decoded = decode_messages(env)
+        good, dead = dead_letter_split(decoded)
+        mapper = ParametersMapper(dst_ref.kwargs.get("parameters"))
+        mapped = mapper.apply(good, payload_col="payload")
+
+        # --- sink ----------------------------------------------------------
+        if dst.type == "sql":
+            query = dst_ref.kwargs.get("query")
+            if not query:
+                raise PipelineError(f"sql output {dst.name!r} needs a query")
+            callback = sql_sink(
+                dst.kwargs["url"],
+                query,
+                policy=spec.policy,
+                positional=mapper.positional,
+            )
+
+            def writer_factory(df: DataFrame, _cb=callback):
+                return df.writeStream.foreachBatch(_cb).trigger(
+                    processingTime=f"{spec.policy.time_limit} seconds"
+                )
+
+        elif dst.type == "parquet":
+
+            def writer_factory(df: DataFrame, _path=dst.kwargs["path"]):
+                return df.writeStream.format("parquet").option("path", _path)
+
+        elif dst.type == "memory":
+
+            def writer_factory(df: DataFrame):
+                return df.writeStream.format("memory").outputMode("append")
+
+        else:
+            raise PipelineError(f"Block {dst.name!r} is not an output type")
+
+        runners.append(
+            FlowRunner(
+                name=flow_name,
+                stream=mapped,
+                dead=dead.select("exchange", "content_type", "body", "dead_reason"),
+                writer_factory=writer_factory,
+                dead_path=(
+                    os.path.join(dead_letter_dir, flow_name)
+                    if dead_letter_dir
+                    else None
+                ),
+                checkpoint_dir=checkpoint_dir,
+            )
+        )
+    return runners

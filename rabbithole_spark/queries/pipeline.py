@@ -1,0 +1,115 @@
+"""Pipeline-surface queries: the reference's ETL semantics exercised on
+the driver tables (events.props is the AMQP-payload analogue,
+FIXTURES.md §B) — dotted-path mapping oracle-checked in batch, plus
+genuine Structured Streaming executions registered rows-only.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rabbithole_spark.catalog import register
+from rabbithole_spark.plans.mapper import ParametersMapper
+from rabbithole_spark.session import table
+
+_MAPPING_ORACLE = """
+SELECT event_id,
+       json_extract_string(props, '$.k') AS k,
+       json_extract_string(props, '$.missing') AS missing,
+       json_extract_string(props, '$.k.nested') AS through_scalar
+FROM events
+"""
+
+
+@register(
+    "pipeline_param_mapping",
+    oracle=_MAPPING_ORACLE,
+    doc="ParametersMapper (dict form) over a JSON payload column — the "
+    "reference's per-message projection (sql.py:110-215) as a "
+    "distributed select; missing and through-scalar paths -> NULL "
+    "(SURVEY.md §2C.1).",
+)
+def pipeline_param_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    mapper = ParametersMapper(
+        {"k": "k", "missing": "missing", "through_scalar": "k.nested"}
+    )
+    return mapper.apply(
+        events.withColumnRenamed("props", "payload"), keep=["event_id"]
+    )
+
+
+def _read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as a bounded stream (nanos ts -> micros, like
+    session.table)."""
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    raw = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        # file streaming sources need a directory; glob-filter to events
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+@register(
+    "stream_tumbling_counts",
+    oracle=None,  # genuine streaming execution — rows-only check
+    doc="Structured Streaming tumbling-window aggregation with watermark "
+    "over the events stream (AvailableNow + memory sink); the batch "
+    "twin window_tumbling_hourly is the value-checked equivalent.",
+)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    name = f"stream_tumbling_{uuid.uuid4().hex[:8]}"
+    agg = (
+        _read_events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+@register(
+    "stream_dedup_watermark",
+    oracle=None,  # streaming stateful dedup — rows-only check
+    doc="Stateful streaming deduplication (dropDuplicates on user/type "
+    "with watermark): first event per (user_id, event_type).",
+)
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    dedup = (
+        _read_events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type", "ts")
+    )
+    q = (
+        dedup.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)

@@ -1,0 +1,123 @@
+"""End-to-end pipeline: spool source -> decode -> dead-letter split ->
+mapper -> sqlite sink, compiled from YAML (reference flow parity:
+SURVEY.md §3.1-3.2; error policy §2C.4)."""
+
+from __future__ import annotations
+
+import json
+import sqlite3
+
+import pytest
+
+from rabbithole_spark.plans.spec import PipelineError, PipelineSpec, compile_pipeline
+from rabbithole_spark.streaming.batcher import BatchPolicy
+from rabbithole_spark.streaming.sources import write_spool_messages
+
+
+@pytest.fixture
+def spool(tmp_path):
+    spool_dir = tmp_path / "spool"
+    good = [
+        {"exchange": "logs", "content_type": "application/json",
+         "body": json.dumps({"timestamp": f"2024-01-01T00:00:{i:02d}",
+                              "message": {"text": f"msg-{i}"}})}
+        for i in range(7)
+    ]
+    bad = [{"exchange": "logs", "content_type": "text/plain", "body": "not json {"}]
+    other_exchange = [
+        {"exchange": "metrics", "content_type": "application/json",
+         "body": json.dumps({"timestamp": "2024-01-01T01:00:00",
+                              "message": {"text": "other"}})}
+    ]
+    write_spool_messages(str(spool_dir), good + bad + other_exchange, "batch0.jsonl")
+    return str(spool_dir)
+
+
+def _config(spool_dir, db_path):
+    return {
+        "size_limit": 5,
+        "time_limit": 1,
+        "blocks": [
+            {"name": "input", "type": "spool", "kwargs": {"path": spool_dir}},
+            {"name": "output", "type": "sql", "kwargs": {"url": f"sqlite:///{db_path}"}},
+        ],
+        "flows": [
+            [
+                {"name": "input", "kwargs": {"exchange": "logs"}},
+                {
+                    "name": "output",
+                    "kwargs": {
+                        "query": "INSERT INTO logs (timestamp, message) "
+                        "VALUES (:timestamp, :message)",
+                        "parameters": {
+                            "timestamp": "timestamp",
+                            "message": "message.text",
+                        },
+                    },
+                },
+            ]
+        ],
+    }
+
+
+def test_pipeline_end_to_end(spark, spool, tmp_path):
+    db_path = str(tmp_path / "out.sqlite")
+    con = sqlite3.connect(db_path)
+    con.execute("CREATE TABLE logs (timestamp TEXT, message TEXT)")
+    con.commit()
+    con.close()
+
+    spec = PipelineSpec.from_dict(_config(spool, db_path))
+    runners = compile_pipeline(
+        spark, spec, str(tmp_path / "ckpt"), dead_letter_dir=str(tmp_path / "dlq")
+    )
+    assert len(runners) == 1
+    for q in runners[0].start(available_now=True):
+        q.awaitTermination(120)
+
+    con = sqlite3.connect(db_path)
+    rows = sorted(con.execute("SELECT timestamp, message FROM logs").fetchall())
+    con.close()
+    # 7 good logs messages; the bad one dead-lettered; metrics filtered out.
+    assert len(rows) == 7
+    assert rows[0] == ("2024-01-01T00:00:00", "msg-0")
+    assert all(m.startswith("msg-") for _, m in rows)
+
+    dead = spark.read.parquet(str(tmp_path / "dlq" / runners[0].name)).collect()
+    assert len(dead) == 1
+    assert dead[0]["dead_reason"] == "undecodable body"
+    assert dead[0]["body"] == "not json {"
+
+
+def test_sql_error_swallowed(spark, spool, tmp_path, caplog):
+    # No table created -> every batch fails; stream must still complete.
+    db_path = str(tmp_path / "missing.sqlite")
+    spec = PipelineSpec.from_dict(_config(spool, db_path))
+    runners = compile_pipeline(spark, spec, str(tmp_path / "ckpt2"))
+    with caplog.at_level("ERROR", logger="rabbithole_spark.streaming.sinks"):
+        for q in runners[0].start(available_now=True):
+            q.awaitTermination(120)
+    assert any("Query execution error" in r.message for r in caplog.records)
+
+
+def test_config_errors():
+    with pytest.raises(PipelineError):
+        PipelineSpec.from_dict({"blocks": [{"name": "x", "type": "bogus"}]})
+    with pytest.raises(PipelineError):
+        PipelineSpec.from_dict(
+            {"blocks": [{"name": "x", "type": "spool"}], "flows": [["x", "nope"]]}
+        )
+    with pytest.raises(PipelineError):
+        PipelineSpec.from_yaml("just a string")
+
+
+def test_batch_policy_chunks():
+    policy = BatchPolicy(size_limit=5, time_limit=15)
+    # Reference batcher contract: size-flush emits exactly size_limit
+    # rows per write (tests/test_batcher.py:39-52), partials allowed.
+    assert policy.chunks(list(range(12))) == [
+        [0, 1, 2, 3, 4],
+        [5, 6, 7, 8, 9],
+        [10, 11],
+    ]
+    assert policy.chunks([]) == []
