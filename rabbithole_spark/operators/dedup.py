@@ -1,0 +1,207 @@
+"""Deduplication operators for training-data pipelines: exact
+(content-hash), MinHash+LSH near-dup, SimHash, and exact n-gram
+Jaccard (the small-scale verifier for the approximate paths).
+
+Scale notes (100 TB):
+
+- exact_dedup is one hash-shuffle on a 32-byte digest — the cheapest
+  possible global dedup; prefer it as a pre-pass before any fuzzy pass.
+- MinHash signatures are computed scan-side with JVM hash functions
+  (xxhash64 under whole-stage codegen; no Python in the loop). LSH
+  banding turns the O(n^2) pair problem into groupBy(band_hash) — the
+  shuffle carries one row per (doc, band), so bytes scale linearly with
+  the corpus, and only same-bucket pairs are candidate-joined.
+- Exact Jaccard verification happens *after* LSH pruning, on the
+  candidate set only.
+- simhash folds 64-bit word hashes into a signature with an
+  Arrow-batched pandas UDF (numpy bit ops) — the hashing stays JVM-side.
+"""
+
+from __future__ import annotations
+
+import pandas as pd  # module-level so pandas_udf type hints resolve
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "exact_dedup",
+    "word_shingles",
+    "minhash_signature",
+    "lsh_candidate_pairs",
+    "ngram_jaccard_pairs",
+    "simhash",
+]
+
+
+def exact_dedup(
+    df: DataFrame, content_col: str, id_col: str
+) -> DataFrame:
+    """Group identical content by sha256 digest; keep the smallest id as
+    the canonical representative (deterministic, unlike dropDuplicates)."""
+    return (
+        df.groupBy(F.sha2(F.col(content_col), 256).alias("content_hash"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles of a text column, built JVM-side:
+    split -> sliding windows via transform(sequence(...)) -> distinct."""
+    words = F.split(F.trim(text), r"\s+")
+    n = F.size(words)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, k)))
+    )
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
+    """MinHash signature: per seed, min over xxhash64(seed || shingle).
+
+    Independent hash families come from prefixing a per-function seed —
+    everything stays inside codegen; no UDF.
+    """
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    shingles,
+                    lambda s, seed=seed: F.xxhash64(F.concat(F.lit(f"{seed}:"), s)),
+                )
+            )
+            for seed in range(num_hashes)
+        ]
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    signature_col: str = "signature",
+    bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """LSH banding: docs sharing any band hash become candidate pairs.
+
+    Explodes to one row per (doc, band), buckets by (band, band_hash)
+    — a linear shuffle — then self-joins within buckets and dedups the
+    pair list. Returns (id_a, id_b) with id_a < id_b.
+    """
+    band_arr = F.array(
+        *[
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.slice(F.col(signature_col), b * rows_per_band + 1, rows_per_band),
+                        lambda x: x.cast("string"),
+                    ),
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(band_arr).alias("band", "band_hash"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: list[str],
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs within blocking groups.
+
+    The blocked self-join bounds the quadratic blowup; at scale the
+    blocks come from LSH buckets (lsh_candidate_pairs) instead of
+    metadata columns.
+    """
+    shingled = df.select(
+        F.col(id_col).alias("doc_id"),
+        *[F.col(c) for c in block_cols],
+        word_shingles(F.col(text_col), k).alias("shingles"),
+    )
+    a = shingled.alias("a")
+    b = shingled.alias("b")
+    cond = F.col("a.doc_id") < F.col("b.doc_id")
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
+    union = F.size(F.array_union(F.col("a.shingles"), F.col("b.shingles")))
+    jac = inter.cast("double") / union.cast("double")
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(
+    df: DataFrame, text_col: str, id_col: str, k: int = 3
+) -> DataFrame:
+    """64-bit SimHash per document over k-word shingles.
+
+    Shingles (not unigrams) carry word *order*, so documents drawn from
+    a shared vocabulary still get near-independent signatures unless
+    they share actual phrases. Shingle hashing is JVM-side (xxhash64);
+    the bit-fold (sign of the per-bit vote sum) runs as an
+    Arrow-batched pandas UDF over the hash arrays — numpy unpacks bits
+    for whole batches at once, the pattern for custom numeric kernels
+    Spark lacks.
+    """
+    from pyspark.sql.types import LongType
+
+    @F.pandas_udf(LongType())
+    def fold_bits(hashes: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = np.zeros(len(hashes), dtype=np.int64)
+        for i, arr in enumerate(hashes):
+            if arr is None or len(arr) == 0:
+                continue
+            h = np.asarray(arr, dtype=np.int64).astype(np.uint64)
+            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(
+                np.int64
+            )
+            votes = (2 * bits - 1).sum(axis=0)
+            sig = np.uint64(0)
+            for b in np.nonzero(votes > 0)[0]:
+                sig |= np.uint64(1) << np.uint64(b)
+            out[i] = np.int64(sig)
+        return pd.Series(out)
+
+    hashes = F.transform(
+        word_shingles(F.col(text_col), k), lambda s: F.xxhash64(s)
+    )
+    return df.select(
+        F.col(id_col),
+        fold_bits(hashes).alias("simhash"),
+    )

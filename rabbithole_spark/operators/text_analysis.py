@@ -1,0 +1,97 @@
+"""Text analytics for training-data curation: token counting, quality
+scoring, language-ID heuristic, document fingerprinting.
+
+Everything is JVM built-ins (split/regexp/array ops under codegen) —
+these run at scan speed and are the filters you put *before* expensive
+stages in a 100 TB curation pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tokens",
+    "token_count",
+    "bpe_ish_token_count",
+    "punct_ratio",
+    "stopword_ratio",
+    "quality_score",
+    "lang_scores",
+    "fingerprint",
+    "STOPWORDS",
+]
+
+#: Tiny per-language stopword lists for the n-gram/stopword heuristic.
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it"],
+    "es": ["el", "la", "de", "y", "que", "en", "un", "es"],
+    "de": ["der", "die", "das", "und", "zu", "in", "ist", "ein"],
+    "fr": ["le", "la", "de", "et", "que", "en", "un", "est"],
+    "zh": ["的", "是", "在", "了", "和", "有", "我", "不"],
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (the cheap default)."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-flavored proxy: count word pieces after splitting on
+    whitespace and punctuation boundaries — a deterministic stand-in
+    for a real tokenizer's token count (RE2-safe pattern, no lookahead,
+    so the same regex runs in the DuckDB oracle)."""
+    pieces = F.split(F.trim(text), r"[\s\.,;:!\?\(\)\[\]\{\}\"']+")
+    return F.size(F.filter(pieces, lambda p: p != ""))
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of characters that are punctuation."""
+    punct = F.length(F.regexp_replace(text, r"[^\.,;:!\?'\"]", ""))
+    return punct.cast("double") / F.length(text).cast("double")
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    """Fraction of tokens that are (lang) stopwords."""
+    toks = tokens(F.lower(text))
+    hits = F.size(
+        F.filter(toks, lambda t: t.isin(*STOPWORDS[lang]))
+    )
+    return hits.cast("double") / F.size(toks).cast("double")
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: length band + low punctuation
+    + some stopwords — the classic cheap pre-filter."""
+    n = F.length(text)
+    length_ok = (n >= 50) & (n <= 10000)
+    punct_ok = punct_ratio(text) < 0.1
+    stop_ok = stopword_ratio(text) > 0.01
+    return (
+        length_ok.cast("double") * 0.4
+        + punct_ok.cast("double") * 0.3
+        + stop_ok.cast("double") * 0.3
+    )
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Per-language stopword-hit counts (distinct tokens)."""
+    toks = F.array_distinct(tokens(F.lower(text)))
+    return {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
+        for lang, words in STOPWORDS.items()
+    }
+
+
+def fingerprint(text: Column) -> Column:
+    """Canonical-form content fingerprint: lowercase, collapse
+    whitespace, strip punctuation, md5. Survives trivial reformatting —
+    the first-stage near-dup key."""
+    canonical = F.lower(F.regexp_replace(F.regexp_replace(text, r"[\.,;:!\?'\"]", ""), r"\s+", " "))
+    return F.md5(F.trim(canonical))

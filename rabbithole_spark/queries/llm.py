@@ -1,0 +1,421 @@
+"""LLM-data-pipeline surface (SURVEY.md §2B LLM-data ops; BASELINE.json
+north star): dedup family, similarity search, text analytics,
+multimodal plumbing — exercised on documents/embeddings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rabbithole_spark.catalog import register
+from rabbithole_spark.operators.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash,
+    word_shingles,
+)
+from rabbithole_spark.operators.multimodal import attach_fake_media, extract_features
+from rabbithole_spark.operators.similarity import ann_topk, cosine_topk
+from rabbithole_spark.operators.text_analysis import (
+    STOPWORDS,
+    bpe_ish_token_count,
+    fingerprint,
+    lang_scores,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    token_count,
+)
+from rabbithole_spark.session import table
+
+# --- dedup -------------------------------------------------------------------
+
+_EXACT_DEDUP_ORACLE = """
+SELECT sha256(text) AS content_hash,
+       min(doc_id) AS keep_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY sha256(text)
+"""
+
+
+@register(
+    "dedup_exact_documents",
+    oracle=_EXACT_DEDUP_ORACLE,
+    doc="Exact content dedup: sha256 digest groupBy, deterministic keeper "
+    "(one 32-byte-key shuffle — the 100 TB pre-pass).",
+)
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+_FINGERPRINT_ORACLE = """
+SELECT doc_id,
+       md5(trim(lower(regexp_replace(regexp_replace(text, '[\\.,;:!\\?'']', '', 'g'), '\\s+', ' ', 'g')))) AS fp
+FROM documents
+"""
+
+
+@register(
+    "dedup_fingerprint",
+    oracle=_FINGERPRINT_ORACLE,
+    doc="Canonical-form md5 fingerprint (lowercase, collapsed whitespace, "
+    "punctuation stripped) — reformat-tolerant dedup key.",
+)
+def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+_JACCARD_ORACLE = """
+WITH sh AS (
+  SELECT doc_id, lang, CAST(floor(n_chars / 100) AS INTEGER) AS len_band,
+         list_distinct(
+           list_transform(
+             range(1, greatest(len(string_split_regex(trim(text), '\\s+')) - 2, 1) + 1),
+             i -> array_to_string(list_slice(string_split_regex(trim(text), '\\s+'), i, i + 2), ' ')
+           )
+         ) AS shingles
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE), 6) AS jaccard
+FROM sh a JOIN sh b
+  ON a.doc_id < b.doc_id AND a.lang = b.lang AND a.len_band = b.len_band
+WHERE round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+            / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE), 6) >= 0.2
+"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=_JACCARD_ORACLE,
+    doc="Exact 3-gram Jaccard near-dup pairs within (lang, length-band) "
+    "blocks; at scale the blocks come from LSH buckets instead.",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").withColumn(
+        "len_band", F.floor(F.col("n_chars") / 100).cast("int")
+    )
+    return ngram_jaccard_pairs(
+        d, "doc_id", "text", block_cols=["lang", "len_band"], k=3, threshold=0.2
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=None,  # hash-family specific (xxhash64) — rows-only
+    doc="MinHash+LSH near-dup candidates (64 hashes, 16 bands x 4 rows), "
+    "confirmed by exact Jaccard on the candidate set only — the linear-"
+    "shuffle approximate dedup for 100 TB corpora.",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    signed = d.select(
+        "doc_id",
+        word_shingles(F.col("text"), 3).alias("shingles"),
+    ).withColumn("signature", minhash_signature(F.col("shingles"), 64))
+    pairs = lsh_candidate_pairs(signed, "doc_id", bands=16, rows_per_band=4)
+    # verify candidates with exact Jaccard (join shingles back in)
+    sh = signed.select("doc_id", "shingles")
+    verified = (
+        pairs.join(sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= 0.2)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return verified
+
+
+@register(
+    "dedup_simhash",
+    oracle=None,  # pandas-UDF bit fold — rows-only
+    doc="64-bit SimHash signatures (JVM xxhash64 word hashes + Arrow-"
+    "batched numpy bit fold); near-dups share signatures at small "
+    "Hamming distance.",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash(table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+# --- similarity search --------------------------------------------------------
+
+
+def _query_vector(spark: SparkSession, sf_dir: str) -> list[float]:
+    row = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .collect()[0]
+    )
+    return [float(x) for x in row["embedding"]]
+
+
+_TOPK_ORACLE = """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT vec_id, label,
+         round(
+           list_aggregate(list_transform(range(1, len(embedding) + 1),
+             i -> CAST(embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)), 'sum')
+           / (sqrt(list_aggregate(list_transform(range(1, len(embedding) + 1),
+                i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), 'sum'))
+              * sqrt(list_aggregate(list_transform(range(1, len(qe) + 1),
+                  i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)), 'sum'))),
+           6) AS cosine_sim
+  FROM embeddings, q
+)
+SELECT vec_id, label, cosine_sim
+FROM scored
+ORDER BY cosine_sim DESC, vec_id, label
+LIMIT 10
+"""
+
+
+@register(
+    "similarity_topk_bruteforce",
+    oracle=_TOPK_ORACLE,
+    doc="Exact top-10 cosine neighbors of vec_id=0 — JVM zip_with/"
+    "aggregate dot product, TakeOrderedAndProject top-k; the ANN "
+    "correctness baseline.",
+)
+def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qv = _query_vector(spark, sf_dir)
+    return cosine_topk(
+        table(spark, sf_dir, "embeddings"),
+        "embedding",
+        qv,
+        k=10,
+        id_cols=["vec_id", "label"],
+    )
+
+
+@register(
+    "similarity_ann_lsh",
+    oracle=None,  # approximate (bucket pruning) — rows-only
+    doc="Random-hyperplane LSH ANN: 6-bit signature buckets prune the "
+    "scan; exact cosine within the query's bucket. The partition-"
+    "pruned search path for 100 TB embedding stores.",
+)
+def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    qv = _query_vector(spark, sf_dir)
+    rng = np.random.RandomState(42)
+    planes = rng.normal(size=(6, len(qv))).tolist()
+    return ann_topk(
+        table(spark, sf_dir, "embeddings"),
+        "embedding",
+        qv,
+        planes,
+        k=10,
+        id_cols=["vec_id", "label"],
+    )
+
+
+_NEAR_DUP_ORACLE = """
+WITH v AS (SELECT vec_id, label, embedding FROM embeddings),
+pairs AS (
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(
+         list_aggregate(list_transform(range(1, len(a.embedding) + 1),
+           i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum')
+         / (sqrt(list_aggregate(list_transform(range(1, len(a.embedding) + 1),
+              i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), 'sum'))
+            * sqrt(list_aggregate(list_transform(range(1, len(b.embedding) + 1),
+                i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum'))),
+         6) AS cosine_sim
+FROM v a JOIN v b ON a.vec_id < b.vec_id AND a.label = b.label
+)
+SELECT id_a, id_b, cosine_sim FROM pairs WHERE cosine_sim >= 0.8
+"""
+
+
+@register(
+    "similarity_embedding_near_dup",
+    oracle=_NEAR_DUP_ORACLE,
+    doc="Embedding-cosine near-dup pairs within label blocks (>= 0.8); "
+    "at scale blocking comes from LSH buckets, not labels.",
+)
+def similarity_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rabbithole_spark.operators.similarity import cosine
+
+    e = table(spark, sf_dir, "embeddings")
+    a = e.alias("a")
+    b = e.alias("b")
+    sim = F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6)
+    return (
+        a.join(
+            b,
+            (F.col("a.vec_id") < F.col("b.vec_id"))
+            & (F.col("a.label") == F.col("b.label")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            sim.alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= 0.8)
+    )
+
+
+# --- text analysis -------------------------------------------------------------
+
+_TOKENS_ORACLE = """
+SELECT doc_id,
+       CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS n_tokens,
+       CAST(len(list_filter(string_split_regex(trim(text),
+            '[\\s\\.,;:!\\?\\(\\)\\[\\]\\{\\}"'']+'), p -> p != '')) AS INTEGER) AS n_pieces,
+       CAST(n_chars AS BIGINT) AS n_chars
+FROM documents
+"""
+
+
+@register(
+    "text_token_counts",
+    oracle=_TOKENS_ORACLE,
+    doc="Whitespace + BPE-ish (punctuation-boundary) token counting.",
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).cast("int").alias("n_tokens"),
+        bpe_ish_token_count(F.col("text")).cast("int").alias("n_pieces"),
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+    )
+
+
+_QUALITY_ORACLE = """
+SELECT doc_id,
+       CAST(length(text) AS INTEGER) AS text_len,
+       round(CAST(length(regexp_replace(text, '[^\\.,;:!\\?''"]', '', 'g')) AS DOUBLE)
+             / CAST(length(text) AS DOUBLE), 6) AS punct_ratio,
+       round(CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                t -> list_contains(['the','a','of','and','to','in','is','it'], t))) AS DOUBLE)
+             / CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS DOUBLE), 6) AS stopword_ratio,
+       round(CAST(CASE WHEN length(text) BETWEEN 50 AND 10000 THEN 0.4 ELSE 0 END
+             + CASE WHEN CAST(length(regexp_replace(text, '[^\\.,;:!\\?''"]', '', 'g')) AS DOUBLE)
+                         / CAST(length(text) AS DOUBLE) < 0.1 THEN 0.3 ELSE 0 END
+             + CASE WHEN CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                      t -> list_contains(['the','a','of','and','to','in','is','it'], t))) AS DOUBLE)
+                         / CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS DOUBLE) > 0.01
+                    THEN 0.3 ELSE 0 END AS DOUBLE), 6) AS quality
+FROM documents
+"""
+
+
+@register(
+    "text_quality_stats",
+    oracle=_QUALITY_ORACLE,
+    doc="Quality scoring: length band, punctuation ratio, stopword ratio "
+    "-> composite score (the cheap 100 TB pre-filter).",
+)
+def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        F.length(t).cast("int").alias("text_len"),
+        F.round(punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(stopword_ratio(t), 6).alias("stopword_ratio"),
+        F.round(quality_score(t), 6).alias("quality"),
+    )
+
+
+def _lang_case_sql() -> str:
+    scores = {
+        lang: (
+            "len(list_intersect(list_distinct(string_split_regex(trim(lower(text)), '\\s+')), "
+            f"[{', '.join(repr(w) for w in words)}]))"
+        )
+        for lang, words in STOPWORDS.items()
+    }
+    mx = "greatest(" + ", ".join(scores.values()) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN {scores[lang]} = {mx} THEN '{lang}'" for lang in STOPWORDS
+    ) + " END"
+    cols = ",\n       ".join(
+        f"CAST({expr} AS INTEGER) AS score_{lang}" for lang, expr in scores.items()
+    )
+    return f"""
+SELECT doc_id, lang,
+       {cols},
+       {case} AS predicted_lang
+FROM documents
+"""
+
+
+@register(
+    "text_lang_id",
+    oracle=_lang_case_sql(),
+    doc="Stopword-hit language ID heuristic with deterministic argmax "
+    "tie-break (first language in registry order).",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    scores = lang_scores(F.col("text"))
+    mx = F.greatest(*scores.values())
+    predicted = F.when(F.lit(False), None)
+    for lang in STOPWORDS:
+        predicted = predicted.when(scores[lang] == mx, lang)
+    return d.select(
+        "doc_id",
+        "lang",
+        *[scores[lang].cast("int").alias(f"score_{lang}") for lang in STOPWORDS],
+        predicted.alias("predicted_lang"),
+    )
+
+
+# --- multimodal -----------------------------------------------------------------
+
+_BINARY_ORACLE = """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       sha256(text) AS content_sha,
+       CAST(octet_length(encode(text)) % 512 + 1 AS BIGINT) AS width,
+       CAST(octet_length(encode(text)) % 256 + 1 AS BIGINT) AS height
+FROM documents
+"""
+
+
+@register(
+    "multimodal_binary_stats",
+    oracle=_BINARY_ORACLE,
+    doc="Binary media column plumbing: payload bytes + digest + typed "
+    "metadata (JVM-side; payload never leaves the executor).",
+)
+def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = attach_fake_media(table(spark, sf_dir, "documents"), "text", "doc_id")
+    return media.select(
+        "doc_id",
+        F.octet_length("content").cast("bigint").alias("n_bytes"),
+        F.sha2(F.col("content"), 256).alias("content_sha"),
+        F.col("media_meta.width").alias("width"),
+        F.col("media_meta.height").alias("height"),
+    )
+
+
+@register(
+    "multimodal_feature_extract",
+    oracle=None,  # pandas-UDF kernel — rows-only
+    doc="mapInPandas feature extraction over binary payloads (Arrow "
+    "batches; deterministic byte-histogram stand-in for an encoder "
+    "forward pass; real decoders plug into operators.multimodal."
+    "decode_stub).",
+)
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = attach_fake_media(table(spark, sf_dir, "documents"), "text", "doc_id")
+    return extract_features(media, "doc_id")

@@ -1,0 +1,88 @@
+"""Behavioral tests for the approximate/UDF-backed LLM operators (the
+oracle-checked ones are covered by test_oracle_parity)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from rabbithole_spark.catalog import load_all
+from rabbithole_spark.operators.dedup import (
+    lsh_candidate_pairs,
+    minhash_signature,
+    simhash,
+    word_shingles,
+)
+from rabbithole_spark.operators.similarity import ann_topk, cosine_topk
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark):
+    base = spark.read.parquet(f"{SF}/documents.parquet").limit(20)
+    # Inject near-duplicates: copy with one word appended.
+    dups = base.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra")).alias("text"),
+    )
+    return base.select("doc_id", "text").unionByName(dups)
+
+
+def test_minhash_lsh_finds_planted_near_dups(docs_with_dups):
+    signed = docs_with_dups.select(
+        "doc_id", word_shingles(F.col("text"), 3).alias("shingles")
+    ).withColumn("signature", minhash_signature(F.col("shingles"), 64))
+    pairs = lsh_candidate_pairs(signed, "doc_id", bands=16, rows_per_band=4)
+    found = {(r.id_a, r.id_b) for r in pairs.collect()}
+    planted = {(i, i + 100000) for i in range(20)}
+    # High-similarity planted pairs must be recalled (Jaccard ~0.95 →
+    # P[miss] = (1 - s^4)^16 ≈ 2e-6 per pair).
+    assert planted <= found
+
+
+def test_simhash_near_dups_close(spark, docs_with_dups):
+    sigs = {r.doc_id: r.simhash for r in simhash(docs_with_dups, "text", "doc_id").collect()}
+    hamming = lambda a, b: bin((a ^ b) & (2**64 - 1)).count("1")
+    planted = [hamming(sigs[i], sigs[i + 100000]) for i in range(20)]
+    unrelated = [hamming(sigs[i], sigs[j]) for i in range(10) for j in range(10, 20)]
+    assert max(planted) < 12
+    assert sum(unrelated) / len(unrelated) > 20
+
+
+def test_ann_lsh_overlaps_bruteforce(spark):
+    import numpy as np
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qv = [float(x) for x in e.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    exact = cosine_topk(e, "embedding", qv, k=10, id_cols=["vec_id"]).collect()
+    planes = np.random.RandomState(42).normal(size=(6, len(qv))).tolist()
+    approx = ann_topk(e, "embedding", qv, planes, k=10, id_cols=["vec_id"]).collect()
+    # the query vector itself (sim=1.0) lives in the query's own bucket
+    assert approx and approx[0]["vec_id"] == 0
+    exact_ids = {r.vec_id for r in exact}
+    approx_ids = {r.vec_id for r in approx}
+    # bucket recall is partial by design; the query vector itself is the
+    # guaranteed overlap, more is luck of the bucket
+    assert len(exact_ids & approx_ids) >= 1
+
+
+def test_rows_only_queries_run(spark):
+    specs = load_all()
+    for name in ["dedup_simhash", "multimodal_feature_extract", "similarity_ann_lsh"]:
+        df = specs[name].fn(spark, SF)
+        assert df.count() > 0, name
+
+
+def test_feature_extract_shapes(spark):
+    from rabbithole_spark.operators.multimodal import attach_fake_media, extract_features
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(5)
+    media = attach_fake_media(docs, "text", "doc_id")
+    feats = extract_features(media, "doc_id").collect()
+    assert len(feats) == 5
+    for row in feats:
+        assert row.n_bytes > 0
+        assert len(row.features) == 8
+        assert abs(sum(row.features) - 1.0) < 1e-5  # normalized histogram
