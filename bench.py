@@ -25,14 +25,14 @@ from rabbithole_spark.session import get_spark  # noqa: E402
 HEADLINE = [
     "pricing_summary",
     "join_multiway_revenue",
-    "join_asof_events_orders",
+    "join_asof_events",
     "window_running_totals",
     "topk_per_group",
     "agg_rollup",
     "dedup_exact_documents",
     "similarity_topk_bruteforce",
     "text_quality_stats",
-    "minhash_near_dup",
+    "dedup_minhash_lsh",
 ]
 
 

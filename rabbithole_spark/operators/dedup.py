@@ -26,12 +26,26 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "exact_dedup",
+    "spread",
     "word_shingles",
-    "minhash_signature",
+    "minhash_signatures",
     "lsh_candidate_pairs",
     "ngram_jaccard_pairs",
     "simhash",
 ]
+
+
+def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition before CPU-heavy per-row compute.
+
+    Small single-file scans arrive as one input split, serializing all
+    downstream text processing onto one core; the same pathology hits a
+    real cluster whenever upstream partitioning is coarser than the
+    executor count. One tiny shuffle of the raw rows buys full-width
+    parallelism for the expensive projection that follows.
+    """
+    n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n)
 
 
 def exact_dedup(
@@ -59,22 +73,59 @@ def word_shingles(text: Column, k: int = 3) -> Column:
     )
 
 
-def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
-    """MinHash signature: per seed, min over xxhash64(seed || shingle).
+#: Universal-hash modulus (2^31 - 1, Mersenne prime): a*h+b stays under
+#: 2^62 so the arithmetic is ANSI-overflow-safe.
+_MINHASH_P = (1 << 31) - 1
 
-    Independent hash families come from prefixing a per-function seed —
-    everything stays inside codegen; no UDF.
+
+def _minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    import random
+
+    rng = random.Random(0x5EED)
+    return [
+        (rng.randrange(1, _MINHASH_P), rng.randrange(0, _MINHASH_P))
+        for _ in range(num_hashes)
+    ]
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    shingle_col: str = "shingles",
+    num_hashes: int = 64,
+) -> DataFrame:
+    """MinHash signatures as (id, array<long> signature).
+
+    Each shingle is string-hashed ONCE (xxhash64); the ``num_hashes``
+    family members are cheap universal hashes ``(a*h + b) mod p`` folded
+    by ``min`` aggregates. Formulated as explode -> groupBy so partial
+    (map-side) aggregation shrinks the shuffle to one row per doc, and
+    nothing is recomputed — Spark's subexpression elimination cannot see
+    through higher-order-function lambdas, so the
+    array-of-64-transforms formulation re-evaluates the shingle array
+    per hash function (measured 64x slower at sf0.1).
     """
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    shingles,
-                    lambda s, seed=seed: F.xxhash64(F.concat(F.lit(f"{seed}:"), s)),
-                )
-            )
-            for seed in range(num_hashes)
-        ]
+    base = F.pmod(F.xxhash64(F.col("__sh")), F.lit(_MINHASH_P))
+    # explode_outer, not explode: the optimizer infers a `size(col) > 0`
+    # filter from plain explode and pushes it below the exchange, which
+    # re-evaluates the whole shingle expression on the (narrow) scan side.
+    # Shingle arrays are never empty, so outer semantics are identical.
+    exploded = df.select(
+        F.col(id_col), F.explode_outer(F.col(shingle_col)).alias("__sh")
+    ).select(id_col, base.alias("__h"))
+    aggs = [
+        F.min(F.pmod(F.lit(a) * F.col("__h") + F.lit(b), F.lit(_MINHASH_P))).alias(
+            f"__m{i}"
+        )
+        for i, (a, b) in enumerate(_minhash_coeffs(num_hashes))
+    ]
+    return (
+        exploded.groupBy(id_col)
+        .agg(*aggs)
+        .select(
+            id_col,
+            F.array(*[f"__m{i}" for i in range(num_hashes)]).alias("signature"),
+        )
     )
 
 

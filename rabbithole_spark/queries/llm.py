@@ -12,9 +12,10 @@ from rabbithole_spark.catalog import register
 from rabbithole_spark.operators.dedup import (
     exact_dedup,
     lsh_candidate_pairs,
-    minhash_signature,
+    minhash_signatures,
     ngram_jaccard_pairs,
     simhash,
+    spread,
     word_shingles,
 )
 from rabbithole_spark.operators.multimodal import attach_fake_media, extract_features
@@ -98,7 +99,7 @@ WHERE round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
     "blocks; at scale the blocks come from LSH buckets instead.",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents").withColumn(
+    d = spread(table(spark, sf_dir, "documents")).withColumn(
         "len_band", F.floor(F.col("n_chars") / 100).cast("int")
     )
     return ngram_jaccard_pairs(
@@ -114,14 +115,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shuffle approximate dedup for 100 TB corpora.",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
-    signed = d.select(
+    d = spread(table(spark, sf_dir, "documents"))
+    sh = d.select(
         "doc_id",
         word_shingles(F.col("text"), 3).alias("shingles"),
-    ).withColumn("signature", minhash_signature(F.col("shingles"), 64))
+    )
+    signed = minhash_signatures(sh, "doc_id", "shingles", 64)
     pairs = lsh_candidate_pairs(signed, "doc_id", bands=16, rows_per_band=4)
     # verify candidates with exact Jaccard (join shingles back in)
-    sh = signed.select("doc_id", "shingles")
     verified = (
         pairs.join(sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
@@ -147,7 +148,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Hamming distance.",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash(table(spark, sf_dir, "documents"), "text", "doc_id")
+    return simhash(spread(table(spark, sf_dir, "documents")), "text", "doc_id")
 
 
 # --- similarity search --------------------------------------------------------

@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 from rabbithole_spark.catalog import load_all
 from rabbithole_spark.operators.dedup import (
     lsh_candidate_pairs,
-    minhash_signature,
+    minhash_signatures,
     simhash,
     word_shingles,
 )
@@ -31,9 +31,10 @@ def docs_with_dups(spark):
 
 
 def test_minhash_lsh_finds_planted_near_dups(docs_with_dups):
-    signed = docs_with_dups.select(
+    sh = docs_with_dups.select(
         "doc_id", word_shingles(F.col("text"), 3).alias("shingles")
-    ).withColumn("signature", minhash_signature(F.col("shingles"), 64))
+    )
+    signed = minhash_signatures(sh, "doc_id", "shingles", 64)
     pairs = lsh_candidate_pairs(signed, "doc_id", bands=16, rows_per_band=4)
     found = {(r.id_a, r.id_b) for r in pairs.collect()}
     planted = {(i, i + 100000) for i in range(20)}
