@@ -32,7 +32,9 @@ _QUERY_MODULES = (
     "rabbithole_spark.queries.setops",
     "rabbithole_spark.queries.sortlimit",
     "rabbithole_spark.queries.scalars",
+    "rabbithole_spark.queries.stats",
     "rabbithole_spark.queries.temporal",
+    "rabbithole_spark.queries.udfs",
     "rabbithole_spark.queries.llm",
     "rabbithole_spark.queries.pipeline",
 )

@@ -1,0 +1,242 @@
+"""Statistical aggregation surface (SURVEY.md §2B Aggregation — extended):
+moments, correlation/regression, percentiles, arg-min/max, ordered
+string/array collection, and positional explode (lateral unnest).
+
+Cross-engine notes:
+
+- Spark ``skewness``/``kurtosis`` are *population* moments (g1, excess
+  g2); DuckDB's builtins apply sample bias correction, so the oracle
+  computes the explicit population formula from avg() moments instead.
+- ``max_by``/``min_by`` tie-break through a zero-padded sortable string
+  key (DuckDB's max_by cannot order by a struct), making the arg-max
+  deterministic even with duplicate values.
+- All float results are rounded per the policy in
+  ``rabbithole_spark/functions/numeric.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rabbithole_spark.catalog import register
+from rabbithole_spark.session import table
+
+# --- moments -----------------------------------------------------------------
+
+_MOMENTS_ORACLE = """
+WITH mu AS (
+  SELECT l_returnflag AS g, avg(l_quantity) AS m FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag,
+       round(stddev_samp(l_quantity), 6) AS qty_stddev,
+       round(var_samp(l_quantity), 6) AS qty_var,
+       round(stddev_pop(l_quantity), 6) AS qty_stddev_pop,
+       round(var_pop(l_quantity), 6) AS qty_var_pop,
+       round(avg(pow(l_quantity - m, 3)) / pow(avg(pow(l_quantity - m, 2)), 1.5), 6) AS qty_skew,
+       round(avg(pow(l_quantity - m, 4)) / pow(avg(pow(l_quantity - m, 2)), 2) - 3, 6) AS qty_kurt
+FROM lineitem JOIN mu ON l_returnflag = g
+GROUP BY l_returnflag, m
+"""
+
+
+@register(
+    "agg_stats_moments",
+    oracle=_MOMENTS_ORACLE,
+    doc="Grouped stddev/variance (sample+population), skewness, kurtosis "
+    "— one partial-aggregable shuffle; Spark's population moment "
+    "definitions pinned against an explicit-formula oracle.",
+)
+def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp(q), 6).alias("qty_stddev"),
+        F.round(F.var_samp(q), 6).alias("qty_var"),
+        F.round(F.stddev_pop(q), 6).alias("qty_stddev_pop"),
+        F.round(F.var_pop(q), 6).alias("qty_var_pop"),
+        F.round(F.skewness(q), 6).alias("qty_skew"),
+        F.round(F.kurtosis(q), 6).alias("qty_kurt"),
+    )
+
+
+# --- correlation / regression ------------------------------------------------
+
+_CORR_ORACLE = """
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+       round(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_covar,
+       round(covar_pop(l_quantity, l_extendedprice), 4) AS qty_price_covar_pop,
+       round(regr_slope(l_extendedprice, l_quantity), 6) AS price_per_qty,
+       round(regr_intercept(l_extendedprice, l_quantity), 4) AS price_intercept
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register(
+    "agg_corr_regression",
+    oracle=_CORR_ORACLE,
+    doc="Pearson correlation, covariance, and least-squares regression "
+    "aggregates — all single-pass partial-aggregable built-ins.",
+)
+def agg_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr(q, p), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp(q, p), 4).alias("qty_price_covar"),
+        F.round(F.covar_pop(q, p), 4).alias("qty_price_covar_pop"),
+        F.round(F.regr_slope(p, q), 6).alias("price_per_qty"),
+        F.round(F.regr_intercept(p, q), 4).alias("price_intercept"),
+    )
+
+
+# --- percentiles -------------------------------------------------------------
+
+_PCT_ORACLE = """
+SELECT l_returnflag,
+       round(median(l_quantity), 6) AS qty_median,
+       round(quantile_cont(l_quantity, 0.25), 6) AS qty_q25,
+       round(quantile_cont(l_quantity, 0.75), 6) AS qty_q75,
+       round(quantile_cont(l_extendedprice, 0.9), 6) AS price_p90
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register(
+    "agg_percentiles",
+    oracle=_PCT_ORACLE,
+    doc="Exact interpolated percentiles (median/q25/q75/p90). Exact "
+    "percentile needs per-group sorted values; at 100 TB swap in "
+    "approx_percentile (t-digest sketch, partial-aggregable) and "
+    "compare with tolerance instead of hashes.",
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.median("l_quantity"), 6).alias("qty_median"),
+        F.round(F.percentile("l_quantity", F.lit(0.25)), 6).alias("qty_q25"),
+        F.round(F.percentile("l_quantity", F.lit(0.75)), 6).alias("qty_q75"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 6).alias("price_p90"),
+    )
+
+
+# --- arg-min / arg-max -------------------------------------------------------
+
+#: Zero-padded "price|key" string whose lexicographic order equals the
+#: (price, key) numeric order — a deterministic tie-break both engines sort
+#: identically (values are non-negative and fixed-width).
+_SORTKEY_FMT = "%020.2f|%019d"
+
+_MINMAX_ORACLE = f"""
+SELECT o_orderpriority,
+       max_by(o_orderkey, printf('{_SORTKEY_FMT}', o_totalprice, o_orderkey)) AS biggest_order,
+       min_by(o_orderkey, printf('{_SORTKEY_FMT}', o_totalprice, o_orderkey)) AS smallest_order,
+       round(max(o_totalprice), 2) AS max_price,
+       round(min(o_totalprice), 2) AS min_price
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "agg_minmax_by",
+    oracle=_MINMAX_ORACLE,
+    doc="Deterministic arg-max/arg-min per group: max_by/min_by over a "
+    "zero-padded composite sort key (unique tie-break), single shuffle.",
+)
+def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    key = F.format_string(_SORTKEY_FMT, F.col("o_totalprice"), F.col("o_orderkey"))
+    return o.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", key).alias("biggest_order"),
+        F.min_by("o_orderkey", key).alias("smallest_order"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+    )
+
+
+# --- boolean / conditional counting ------------------------------------------
+
+_BOOL_ORACLE = """
+SELECT event_type,
+       CAST(count_if(value > 50) AS BIGINT) AS n_big,
+       bool_and(value IS NOT NULL) AS all_valued,
+       bool_or(value > 99) AS any_huge,
+       count(*) AS n
+FROM events
+GROUP BY event_type
+"""
+
+
+@register(
+    "agg_bool_countif",
+    oracle=_BOOL_ORACLE,
+    doc="count_if / bool_and / bool_or conditional aggregates.",
+)
+def agg_bool_countif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count_if(F.col("value") > 50).alias("n_big"),
+        F.bool_and(F.col("value").isNotNull()).alias("all_valued"),
+        F.bool_or(F.col("value") > 99).alias("any_huge"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# --- ordered collection ------------------------------------------------------
+
+_COLLECT_ORACLE = """
+SELECT c_nationkey,
+       string_agg(c_name, '|' ORDER BY c_name) AS names,
+       count(*) AS n_customers
+FROM customer
+WHERE c_custkey <= 500
+GROUP BY c_nationkey
+"""
+
+
+@register(
+    "agg_string_collect",
+    oracle=_COLLECT_ORACLE,
+    doc="Ordered string aggregation (listagg): collect_list -> array_sort "
+    "-> array_join pins a deterministic order. collect_list is NOT "
+    "partial-aggregable on value count — bound group sizes (or switch "
+    "to an ordered window concat) before running it on 100 TB groups.",
+)
+def agg_string_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 500)
+    return c.groupBy("c_nationkey").agg(
+        F.array_join(F.array_sort(F.collect_list("c_name")), "|").alias("names"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+
+
+# --- positional explode (lateral unnest) -------------------------------------
+
+_POSEXPLODE_ORACLE = """
+SELECT p_partkey, u.pos, u.word
+FROM (
+  SELECT p_partkey,
+         unnest(list_transform(string_split(p_type, ' '),
+                               (w, i) -> {'pos': CAST(i - 1 AS INTEGER), 'word': w})) AS u
+  FROM part
+  WHERE p_partkey <= 200
+)
+"""
+
+
+@register(
+    "lateral_posexplode_words",
+    oracle=_POSEXPLODE_ORACLE,
+    doc="Positional explode (LATERAL VIEW posexplode / UNNEST WITH "
+    "ORDINALITY): one generator row per array element with its index.",
+)
+def lateral_posexplode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 200)
+    return p.select(
+        "p_partkey",
+        F.posexplode(F.split(F.col("p_type"), " ")).alias("pos", "word"),
+    )

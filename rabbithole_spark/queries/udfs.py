@@ -1,0 +1,166 @@
+"""UDF surface (SURVEY.md §2B UDF surface): row-at-a-time Python UDF,
+Arrow-vectorized pandas UDF, grouped applyInPandas, and lateral UDTF.
+
+Each query's kernel is deliberately SQL-expressible so the DuckDB oracle
+hash-checks the *mechanism* (serialization, Arrow batching, group
+spilling, lateral correlation), not just row counts. The reference's
+config-driven parameter mappers (src/rabbithole/sql.py:110-215) are the
+closest analogue — user code applied per message inside the engine.
+
+Scale notes: row-at-a-time UDFs pay one Python call per row — keep them
+out of 100 TB hot paths (udf_python_rowwise exists to cover the API, not
+as a pattern). pandas UDFs amortize over Arrow batches
+(spark.sql.execution.arrow.maxRecordsPerBatch); applyInPandas shuffles
+once on the group key and needs each group to fit in executor memory.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StringType
+
+from rabbithole_spark.catalog import register
+from rabbithole_spark.session import table
+
+# --- row-at-a-time Python UDF ------------------------------------------------
+
+_ROWWISE_ORACLE = """
+SELECT c_custkey, reverse(c_name) AS rev_name,
+       CAST(length(c_name) AS INTEGER) AS name_len
+FROM customer
+WHERE c_custkey <= 1000
+"""
+
+
+@register(
+    "udf_python_rowwise",
+    oracle=_ROWWISE_ORACLE,
+    doc="Row-at-a-time Python UDF (the documented slow path): one "
+    "interpreter call per row; oracle-checked against reverse().",
+)
+def udf_python_rowwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @F.udf(StringType())
+    def py_reverse(s: str) -> str:
+        return s[::-1] if s is not None else None
+
+    c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 1000)
+    return c.select(
+        "c_custkey",
+        py_reverse(F.col("c_name")).alias("rev_name"),
+        F.length("c_name").alias("name_len"),
+    )
+
+
+# --- vectorized pandas UDF ---------------------------------------------------
+
+_PANDAS_ORACLE = """
+SELECT event_id,
+       round(ln(1 + greatest(value, 0)), 6) AS log_value,
+       round(sqrt(greatest(value, 0)), 6) AS sqrt_value
+FROM events
+"""
+
+
+@register(
+    "udf_pandas_vectorized",
+    oracle=_PANDAS_ORACLE,
+    doc="Arrow-batched pandas UDF: numpy transforms whole columnar "
+    "batches (the 10-100x-over-rowwise fast path for custom Python).",
+)
+def udf_pandas_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    @F.pandas_udf(DoubleType())
+    def log1p_clip(v: pd.Series) -> pd.Series:
+        return pd.Series(np.round(np.log1p(np.maximum(v.to_numpy(), 0.0)), 6))
+
+    @F.pandas_udf(DoubleType())
+    def sqrt_clip(v: pd.Series) -> pd.Series:
+        return pd.Series(np.round(np.sqrt(np.maximum(v.to_numpy(), 0.0)), 6))
+
+    e = table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        log1p_clip(F.col("value")).alias("log_value"),
+        sqrt_clip(F.col("value")).alias("sqrt_value"),
+    )
+
+
+# --- grouped applyInPandas ---------------------------------------------------
+
+_ZSCORE_ORACLE = """
+SELECT user_id, event_id,
+       round((value - avg(value) OVER (PARTITION BY user_id))
+             / nullif(stddev_samp(value) OVER (PARTITION BY user_id), 0),
+             6) AS zscore
+FROM events
+"""
+
+
+@register(
+    "udf_grouped_zscore",
+    oracle=_ZSCORE_ORACLE,
+    doc="groupBy().applyInPandas per-user z-score: one shuffle on the "
+    "group key, each group normalized as a pandas frame; NULL where "
+    "the group is degenerate (n=1 or zero variance).",
+)
+def udf_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        std = pdf["value"].std(ddof=1)
+        if not np.isfinite(std) or std == 0.0:
+            z = pd.Series([None] * len(pdf), dtype="float64")
+        else:
+            z = ((pdf["value"] - pdf["value"].mean()) / std).round(6)
+        return pd.DataFrame(
+            {"user_id": pdf["user_id"], "event_id": pdf["event_id"], "zscore": z}
+        )
+
+    e = table(spark, sf_dir, "events")
+    return e.groupBy("user_id").applyInPandas(
+        zscore, schema="user_id bigint, event_id bigint, zscore double"
+    )
+
+
+# --- lateral UDTF ------------------------------------------------------------
+
+_UDTF_ORACLE = """
+SELECT p_partkey, u.pos, u.word
+FROM (
+  SELECT p_partkey,
+         unnest(list_transform(string_split(p_type, ' '),
+                               (w, i) -> {'pos': CAST(i - 1 AS INTEGER), 'word': w})) AS u
+  FROM part
+  WHERE p_partkey <= 100
+)
+"""
+
+
+@register(
+    "udf_udtf_lateral_split",
+    oracle=_UDTF_ORACLE,
+    doc="Python UDTF in a correlated LATERAL join: one generator "
+    "invocation per input row, arbitrary rows out (Spark 4 UDTF API).",
+)
+def udf_udtf_lateral_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos: int, word: string")
+    class SplitWords:
+        def eval(self, text: str):
+            for i, w in enumerate((text or "").split(" ")):
+                yield i, w
+
+    spark.udtf.register("rh_split_words", SplitWords)
+    table(spark, sf_dir, "part").createOrReplaceTempView("rh_part_v")
+    return spark.sql(
+        """
+        SELECT p_partkey, s.pos, s.word
+        FROM rh_part_v, LATERAL rh_split_words(p_type) s
+        WHERE p_partkey <= 100
+        """
+    )
