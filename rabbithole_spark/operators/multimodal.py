@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     FloatType,
     LongType,
     StringType,
@@ -28,7 +29,14 @@ from pyspark.sql.types import (
     StructType,
 )
 
-__all__ = ["MEDIA_SCHEMA", "attach_fake_media", "extract_features", "decode_stub"]
+__all__ = [
+    "MEDIA_SCHEMA",
+    "attach_fake_media",
+    "extract_features",
+    "decode_stub",
+    "resize_media",
+    "sample_frames",
+]
 
 #: metadata struct carried next to every binary payload
 MEDIA_SCHEMA = StructType(
@@ -106,3 +114,103 @@ def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.mapInPandas(kernel, FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("content", BinaryType()),
+        StructField("media_meta", MEDIA_SCHEMA),
+    ]
+)
+
+
+def resize_media(
+    df: DataFrame, width: int, height: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Resize every payload to (width, height) via mapInPandas.
+
+    The kernel treats the payload as a raveled uint8 image at the
+    metadata dims and block-averages it to the target size (numpy) — a
+    real decoder/resizer (PIL/opencv) drops into the same loop via
+    :func:`decode_stub`. Output keeps the (content, media_meta) shape so
+    resize stages compose with feature extraction downstream.
+    """
+
+    def kernel(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out_blobs = []
+            metas = []
+            for blob, meta in zip(pdf["content"], pdf["media_meta"]):
+                w, h = int(meta["width"]), int(meta["height"])
+                data = np.frombuffer(blob, dtype=np.uint8)
+                img = np.resize(data, (h, w)).astype(np.float64)
+                # block-average to the target grid (nearest-neighbor bins)
+                ys = (np.arange(height) * h // height).clip(0, h - 1)
+                xs = (np.arange(width) * w // width).clip(0, w - 1)
+                resized = img[np.ix_(ys, xs)].astype(np.uint8)
+                out_blobs.append(resized.tobytes())
+                metas.append(
+                    {
+                        "modality": meta["modality"],
+                        "mime": meta["mime"],
+                        "width": width,
+                        "height": height,
+                    }
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].values, "content": out_blobs, "media_meta": metas}
+            )
+
+    return df.mapInPandas(kernel, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("frame_bytes", LongType()),
+        StructField("frame_sha", StringType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    frame_size: int = 256,
+    every_k: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sample every k-th fixed-size frame from each payload (1->N rows).
+
+    Video frame-sampling plumbing: mapInPandas yields one output row per
+    sampled frame, so a single binary column fans out into a frame table
+    without ever materializing all frames. A real demuxer (ffmpeg)
+    replaces the fixed-stride slicer; everything else — Arrow batching,
+    fan-out row multiplication, per-frame digests — is production shape.
+    """
+
+    def kernel(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {"doc_id": [], "frame_idx": [], "n_frames": [],
+                    "frame_bytes": [], "frame_sha": []}
+            for doc_id, blob in zip(pdf[id_col], pdf["content"]):
+                n_frames = max((len(blob) + frame_size - 1) // frame_size, 1)
+                for idx in range(0, n_frames, every_k):
+                    frame = bytes(blob[idx * frame_size : (idx + 1) * frame_size])
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(idx)
+                    rows["n_frames"].append(n_frames)
+                    rows["frame_bytes"].append(len(frame))
+                    rows["frame_sha"].append(hashlib.sha256(frame).hexdigest())
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(kernel, FRAME_SCHEMA)

@@ -18,7 +18,12 @@ from rabbithole_spark.operators.dedup import (
     spread,
     word_shingles,
 )
-from rabbithole_spark.operators.multimodal import attach_fake_media, extract_features
+from rabbithole_spark.operators.multimodal import (
+    attach_fake_media,
+    extract_features,
+    resize_media,
+    sample_frames,
+)
 from rabbithole_spark.operators.similarity import ann_topk, cosine_topk
 from rabbithole_spark.operators.text_analysis import (
     STOPWORDS,
@@ -420,3 +425,31 @@ def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = attach_fake_media(table(spark, sf_dir, "documents"), "text", "doc_id")
     return extract_features(media, "doc_id")
+
+
+@register(
+    "multimodal_resize_pipeline",
+    oracle=None,  # pandas-UDF resize kernel — rows-only
+    doc="Composable resize stage (mapInPandas block-average to 32x16) "
+    "feeding feature extraction — the two-stage encoder-prep pipeline "
+    "shape; a real PIL/opencv resizer drops into the same kernel.",
+)
+def multimodal_resize_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = attach_fake_media(
+        spread(table(spark, sf_dir, "documents")), "text", "doc_id"
+    )
+    return extract_features(resize_media(media, width=32, height=16), "doc_id")
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=None,  # fan-out mapInPandas kernel — rows-only
+    doc="Video-style frame sampling: every 4th 256-byte frame per "
+    "payload fans out to its own row with a per-frame digest "
+    "(mapInPandas 1->N row multiplication).",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = attach_fake_media(
+        spread(table(spark, sf_dir, "documents")), "text", "doc_id"
+    )
+    return sample_frames(media, frame_size=256, every_k=4, id_col="doc_id")

@@ -91,6 +91,64 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_session_window",
+    oracle=None,  # streaming session windows — rows-only check
+    doc="Streaming session-window aggregation (30 min gap) with "
+    "watermark; the batch twin window_session_per_user is the "
+    "value-checked equivalent.",
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    name = f"stream_session_{uuid.uuid4().hex[:8]}"
+    agg = (
+        _read_events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+@register(
+    "stream_stateful_running_totals",
+    oracle=None,  # custom stateful operator — rows-only check
+    doc="applyInPandasWithState cumulative per-user totals: arbitrary "
+    "Python state folded per micro-batch in the checkpointed state "
+    "store (the Spark-native upgrade of the reference's in-memory "
+    "Batcher buffer, batcher.py:49).",
+)
+def stream_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rabbithole_spark.streaming.stateful import running_totals_with_state
+
+    name = f"stream_state_{uuid.uuid4().hex[:8]}"
+    totals = running_totals_with_state(
+        _read_events_stream(spark, sf_dir).groupBy("user_id")
+    )
+    q = (
+        totals.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+@register(
     "stream_dedup_watermark",
     oracle=None,  # streaming stateful dedup — rows-only check
     doc="Stateful streaming deduplication (dropDuplicates on user/type "
