@@ -19,7 +19,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["dot", "l2_norm", "cosine", "cosine_topk", "hyperplane_signature", "ann_topk"]
+__all__ = [
+    "dot",
+    "l2_norm",
+    "cosine",
+    "cosine_topk",
+    "hyperplane_signature",
+    "ann_topk",
+    "ivf_topk",
+]
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -99,3 +107,48 @@ def ann_topk(
     return cosine_topk(
         bucketed.drop("lsh_bucket"), embedding_col, query_vec, k, id_cols
     )
+
+
+def ivf_topk(
+    df: DataFrame,
+    embedding_col: str,
+    query_vec: list[float],
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    k: int = 10,
+    id_cols: list[str] | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k cosine search.
+
+    Coarse quantizer: seeded distributed KMeans (Spark MLlib) clusters
+    the corpus into ``n_centroids`` cells; each vector is assigned to
+    its nearest centroid. A query scores only the ``nprobe`` cells whose
+    centroids are closest to it — exact cosine within the probed cells.
+
+    100 TB shape: fit the quantizer once on a sample, persist the
+    assignment partitioned by cell id, and the probe filter becomes
+    partition pruning at the scan — the search reads nprobe/n_centroids
+    of the corpus instead of all of it. Here fit+assign run inline so
+    the operator is self-contained and deterministic (fixed seed).
+    """
+    import numpy as np
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = df.withColumn("__vec", array_to_vector(F.col(embedding_col)))
+    model = KMeans(
+        k=n_centroids, seed=seed, featuresCol="__vec", predictionCol="__cell"
+    ).fit(feats)
+    centers = np.asarray([np.asarray(c) for c in model.clusterCenters()])
+    qv = np.asarray(query_vec, dtype=np.float64)
+    # nearest nprobe centroids by euclidean distance (KMeans' own metric)
+    dists = np.linalg.norm(centers - qv, axis=1)
+    probes = [int(i) for i in np.argsort(dists)[:nprobe]]
+    pruned = (
+        model.transform(feats)
+        .filter(F.col("__cell").isin(probes))
+        .drop("__vec", "__cell")
+    )
+    return cosine_topk(pruned, embedding_col, query_vec, k, id_cols)

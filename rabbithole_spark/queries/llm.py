@@ -24,7 +24,7 @@ from rabbithole_spark.operators.multimodal import (
     resize_media,
     sample_frames,
 )
-from rabbithole_spark.operators.similarity import ann_topk, cosine_topk
+from rabbithole_spark.operators.similarity import ann_topk, cosine_topk, ivf_topk
 from rabbithole_spark.operators.text_analysis import (
     STOPWORDS,
     bpe_ish_token_count,
@@ -226,6 +226,27 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         qv,
         planes,
+        k=10,
+        id_cols=["vec_id", "label"],
+    )
+
+
+@register(
+    "similarity_ann_ivf",
+    oracle=None,  # approximate (cell pruning) — rows-only
+    doc="IVF ANN: seeded KMeans coarse quantizer (16 cells), query "
+    "probes the 4 nearest cells with exact cosine inside — at scale "
+    "the cell id becomes a partition key and probing is partition "
+    "pruning.",
+)
+def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qv = _query_vector(spark, sf_dir)
+    return ivf_topk(
+        table(spark, sf_dir, "embeddings"),
+        "embedding",
+        qv,
+        n_centroids=16,
+        nprobe=4,
         k=10,
         id_cols=["vec_id", "label"],
     )
