@@ -13,13 +13,11 @@ Scale notes (100 TB):
   the corpus, and only same-bucket pairs are candidate-joined.
 - Exact Jaccard verification happens *after* LSH pruning, on the
   candidate set only.
-- simhash folds 64-bit word hashes into a signature with an
-  Arrow-batched pandas UDF (numpy bit ops) — the hashing stays JVM-side.
+- simhash folds shingle hashes into a 64-bit signature entirely inside
+  codegen (explode + 64 partial-aggregable vote sums + bitwise OR).
 """
 
 from __future__ import annotations
-
-import pandas as pd  # module-level so pandas_udf type hints resolve
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -222,37 +220,37 @@ def simhash(
 
     Shingles (not unigrams) carry word *order*, so documents drawn from
     a shared vocabulary still get near-independent signatures unless
-    they share actual phrases. Shingle hashing is JVM-side (xxhash64);
-    the bit-fold (sign of the per-bit vote sum) runs as an
-    Arrow-batched pandas UDF over the hash arrays — numpy unpacks bits
-    for whole batches at once, the pattern for custom numeric kernels
-    Spark lacks.
+    they share actual phrases.
+
+    Fully JVM-side, same shape as :func:`minhash_signatures`: explode
+    the shingle hashes, aggregate 64 per-bit vote sums (+1 if the bit
+    is set, -1 otherwise) with map-side partial aggregation, then OR
+    the positive-vote bits into the signature. A pandas-UDF bit fold
+    was measured 2-7x slower — the fixed Arrow/worker cost dwarfed the
+    trivial numpy kernel.
     """
-    from pyspark.sql.types import LongType
-
-    @F.pandas_udf(LongType())
-    def fold_bits(hashes: pd.Series) -> pd.Series:
-        import numpy as np
-
-        out = np.zeros(len(hashes), dtype=np.int64)
-        for i, arr in enumerate(hashes):
-            if arr is None or len(arr) == 0:
-                continue
-            h = np.asarray(arr, dtype=np.int64).astype(np.uint64)
-            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(
-                np.int64
-            )
-            votes = (2 * bits - 1).sum(axis=0)
-            sig = np.uint64(0)
-            for b in np.nonzero(votes > 0)[0]:
-                sig |= np.uint64(1) << np.uint64(b)
-            out[i] = np.int64(sig)
-        return pd.Series(out)
-
-    hashes = F.transform(
-        word_shingles(F.col(text_col), k), lambda s: F.xxhash64(s)
-    )
-    return df.select(
+    hashed = df.select(
         F.col(id_col),
-        fold_bits(hashes).alias("simhash"),
+        F.explode_outer(
+            F.transform(word_shingles(F.col(text_col), k), lambda s: F.xxhash64(s))
+        ).alias("__h"),
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"__v{b}")
+        for b in range(64)
+    ]
+    sig = F.lit(0).cast("long")
+    for b in range(64):
+        sig = sig.bitwiseOR(
+            F.when(
+                F.col(f"__v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return (
+        hashed.groupBy(id_col)
+        .agg(*votes)
+        .select(F.col(id_col), sig.alias("simhash"))
     )

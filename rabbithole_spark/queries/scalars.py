@@ -220,3 +220,35 @@ def scalar_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("props", "$.k").cast("int").alias("k_int"),
         F.get_json_object("props", "$.missing").alias("missing_key"),
     )
+
+
+_MAP_ORACLE = """
+SELECT event_id,
+       json_keys(props) AS prop_keys,
+       list_transform(json_keys(props),
+                      kk -> CAST(json_extract_string(props, '$.' || kk) AS INTEGER)) AS prop_values,
+       CAST(len(json_keys(props)) AS INTEGER) AS n_props,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_value
+FROM events
+"""
+
+
+@register(
+    "scalar_map_funcs",
+    oracle=_MAP_ORACLE,
+    doc="Typed JSON ingest to MapType (from_json) + map functions: "
+    "map_keys/map_values/size/element_at — the schemaless-payload "
+    "fallback of the data model (SURVEY.md §1.2).",
+)
+def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import IntegerType, MapType, StringType
+
+    ev = table(spark, sf_dir, "events")
+    m = F.from_json("props", MapType(StringType(), IntegerType()))
+    return ev.select(
+        "event_id",
+        F.map_keys(m).alias("prop_keys"),
+        F.map_values(m).alias("prop_values"),
+        F.size(F.map_keys(m)).alias("n_props"),
+        F.element_at(m, "k").alias("k_value"),
+    )

@@ -172,3 +172,33 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_cols=[F.col("o_totalprice").desc(), F.col("o_orderkey")],
         k=3,
     )
+
+
+_DISTRIBUTION_ORACLE = """
+SELECT o_orderpriority, o_orderkey,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cdist,
+       nth_value(o_orderkey, 2) OVER w AS second_key
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+"""
+
+
+@register(
+    "window_distribution",
+    oracle=_DISTRIBUTION_ORACLE,
+    doc="Distribution window functions: percent_rank, cume_dist, "
+    "nth_value over a totally-ordered per-priority window.",
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice"), F.col("o_orderkey")
+    )
+    return o.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_key"),
+    )
