@@ -135,6 +135,48 @@ def jdbc_table_sink(
     return callback
 
 
+def idempotent_sqlite_table_sink(
+    url: str, table: str, columns: list[str]
+) -> Callable[[DataFrame, int], None]:
+    """Exactly-once table append: batch-id-keyed transactional upsert.
+
+    Structured Streaming guarantees deterministic micro-batch ids; a
+    sink that (1) deletes any rows previously written for this batch id
+    and (2) inserts the batch rows tagged with it, inside ONE
+    transaction, makes replays (crash between write and checkpoint
+    commit) idempotent — upgrading sql_sink's at-most-once to
+    exactly-once (SURVEY.md §3.4 hard part #4). The target table needs
+    a ``__batch_id`` column. The same delete-then-insert pattern works
+    on any transactional JDBC store; per-partition parallel writes need
+    a staging table + single transactional swap instead.
+    """
+    if not url.startswith("sqlite:///"):
+        raise ValueError(f"sink supports sqlite:/// URLs, got {url!r}")
+    db_path = url[len("sqlite:///") :]
+    col_list = ", ".join(columns)
+    placeholders = ", ".join("?" for _ in columns)
+    insert = (
+        f"INSERT INTO {table} ({col_list}, __batch_id) "
+        f"VALUES ({placeholders}, ?)"
+    )
+
+    def callback(batch_df: DataFrame, batch_id: int) -> None:
+        import sqlite3
+
+        rows = [tuple(r) + (batch_id,) for r in batch_df.select(*columns).collect()]
+        con = sqlite3.connect(db_path)
+        try:
+            with con:  # one transaction: replay-safe
+                con.execute(
+                    f"DELETE FROM {table} WHERE __batch_id = ?", (batch_id,)
+                )
+                con.executemany(insert, rows)
+        finally:
+            con.close()
+
+    return callback
+
+
 def parquet_sink_path(df: DataFrame, path: str, checkpoint: str):
     """Durable exactly-once parquet appends (file-sink WAL)."""
     return (

@@ -1,0 +1,83 @@
+"""Contracts for skew salting and the exactly-once batch-id sink."""
+
+from __future__ import annotations
+
+import sqlite3
+
+from pyspark.sql import functions as F
+
+from rabbithole_spark.operators.skew import salted_join
+from rabbithole_spark.streaming.sinks import idempotent_sqlite_table_sink
+
+
+def test_salted_join_matches_plain_join(spark):
+    # 90% of fact rows share one hot key
+    large = spark.range(0, 5000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(1)).otherwise(F.col("id") % 50)
+        .alias("k"),
+        F.col("id").alias("row_id"),
+    )
+    small = spark.createDataFrame(
+        [(k, f"dim-{k}") for k in range(50)], ["k", "label"]
+    )
+    plain = large.join(small, "k").select("row_id", "label")
+    salted = salted_join(large, small, on="k", salt_from="row_id",
+                         salt_factor=8).select("row_id", "label")
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_salt_spreads_hot_key(spark):
+    large = spark.range(0, 1000).select(
+        F.lit(1).alias("k"), F.col("id").alias("row_id")
+    )
+    salts = (
+        large.withColumn(
+            "__salt", F.pmod(F.xxhash64(F.col("row_id")), F.lit(8)).cast("int")
+        )
+        .groupBy("__salt")
+        .count()
+        .collect()
+    )
+    # the single hot key lands in every salt bucket, none holding >1/4
+    assert len(salts) == 8
+    assert max(r["count"] for r in salts) < 250
+
+
+def test_salted_left_join_keeps_unmatched(spark):
+    large = spark.createDataFrame(
+        [(1, 10), (1, 11), (99, 12)], ["k", "row_id"]
+    )
+    small = spark.createDataFrame([(1, "one")], ["k", "label"])
+    out = salted_join(large, small, on="k", salt_from="row_id",
+                      salt_factor=4, how="left").collect()
+    by_row = {r.row_id: r.label for r in out}
+    assert by_row == {10: "one", 11: "one", 12: None}
+
+
+def _make_db(path):
+    con = sqlite3.connect(path)
+    con.execute(
+        "CREATE TABLE sink (event_id INTEGER, value REAL, __batch_id INTEGER)"
+    )
+    con.commit()
+    con.close()
+
+
+def test_idempotent_sink_replay_safe(spark, tmp_path):
+    db = str(tmp_path / "idem.sqlite")
+    _make_db(db)
+    sink = idempotent_sqlite_table_sink(
+        f"sqlite:///{db}", "sink", ["event_id", "value"]
+    )
+    batch = spark.createDataFrame(
+        [(1, 1.5), (2, 2.5), (3, 3.5)], ["event_id", "value"]
+    )
+    sink(batch, 7)
+    sink(batch, 7)  # replay of the SAME batch id (post-crash redelivery)
+    later = spark.createDataFrame([(4, 4.5)], ["event_id", "value"])
+    sink(later, 8)
+
+    con = sqlite3.connect(db)
+    rows = sorted(con.execute("SELECT event_id, __batch_id FROM sink").fetchall())
+    con.close()
+    assert rows == [(1, 7), (2, 7), (3, 7), (4, 8)]
