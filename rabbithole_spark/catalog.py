@@ -34,6 +34,7 @@ _QUERY_MODULES = (
     "rabbithole_spark.queries.scalars",
     "rabbithole_spark.queries.stats",
     "rabbithole_spark.queries.temporal",
+    "rabbithole_spark.queries.tpch",
     "rabbithole_spark.queries.udfs",
     "rabbithole_spark.queries.llm",
     "rabbithole_spark.queries.pipeline",

@@ -20,6 +20,8 @@ __all__ = [
     "quality_score",
     "lang_scores",
     "fingerprint",
+    "chunk_words",
+    "scrub_pii",
     "STOPWORDS",
 ]
 
@@ -95,3 +97,44 @@ def fingerprint(text: Column) -> Column:
     the first-stage near-dup key."""
     canonical = F.lower(F.regexp_replace(F.regexp_replace(text, r"[\.,;:!\?'\"]", ""), r"\s+", " "))
     return F.md5(F.trim(canonical))
+
+
+def chunk_words(text: Column, chunk_size: int, overlap: int = 0) -> Column:
+    """Split a document into word chunks of ``chunk_size`` with
+    ``overlap`` words shared between consecutive chunks — the context-
+    window chunking step of an embedding/training pipeline, built from
+    sequence + slice + concat_ws entirely inside codegen.
+
+    Chunk i covers words [i*step, i*step + chunk_size), step =
+    chunk_size - overlap; the last chunk may be short; a document
+    shorter than one chunk yields exactly one chunk.
+    """
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be smaller than chunk_size")
+    step = chunk_size - overlap
+    words = tokens(text)
+    n = F.size(words)
+    n_chunks = F.when(n <= chunk_size, F.lit(1)).otherwise(
+        1 + F.floor((n - chunk_size + step - 1) / F.lit(step)).cast("int")
+    )
+    idx = F.sequence(F.lit(0), n_chunks - 1)
+    return F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(words, i * step + 1, chunk_size))
+    )
+
+
+#: RE2-safe PII patterns (run identically in Spark/Java and DuckDB).
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"[0-9]{4,}", "<NUM>"),
+]
+
+
+def scrub_pii(text: Column) -> Column:
+    """Redact email addresses and long digit runs — the deterministic
+    regex tier of PII scrubbing (an NER model tier would follow as a
+    pandas-UDF stage on the rows this tier flags)."""
+    out = text
+    for pattern, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, token)
+    return out

@@ -28,10 +28,12 @@ from rabbithole_spark.operators.similarity import ann_topk, cosine_topk, ivf_top
 from rabbithole_spark.operators.text_analysis import (
     STOPWORDS,
     bpe_ish_token_count,
+    chunk_words,
     fingerprint,
     lang_scores,
     punct_ratio,
     quality_score,
+    scrub_pii,
     stopword_ratio,
     token_count,
 )
@@ -404,6 +406,104 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[scores[lang].cast("int").alias(f"score_{lang}") for lang in STOPWORDS],
         predicted.alias("predicted_lang"),
     )
+
+
+_CHUNK_ORACLE = """
+SELECT doc_id, u.chunk_idx, u.chunk_text
+FROM (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(0, CASE WHEN len(string_split_regex(trim(text), '\\s+')) <= 64 THEN 1
+                 ELSE 1 + CAST(floor((len(string_split_regex(trim(text), '\\s+')) - 64 + 47) / 48.0) AS INTEGER) END),
+           i -> {'chunk_idx': CAST(i AS INTEGER),
+                 'chunk_text': array_to_string(list_slice(string_split_regex(trim(text), '\\s+'), i * 48 + 1, i * 48 + 64), ' ')}
+         )) AS u
+  FROM documents
+)
+"""
+
+
+@register(
+    "text_chunk_documents",
+    oracle=_CHUNK_ORACLE,
+    doc="Context-window chunking: 64-word chunks with 16-word overlap, "
+    "one row per chunk (sequence/slice/concat_ws inside codegen + "
+    "posexplode) — the fan-out stage ahead of embedding.",
+)
+def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.posexplode(chunk_words(F.col("text"), chunk_size=64, overlap=16)).alias(
+            "chunk_idx", "chunk_text"
+        ),
+    )
+
+
+_PII_ORACLE = """
+SELECT doc_id,
+       regexp_replace(regexp_replace(text,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         '[0-9]{4,}', '<NUM>', 'g') AS scrubbed,
+       CAST(length(text) - length(regexp_replace(regexp_replace(text,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         '[0-9]{4,}', '<NUM>', 'g')) AS INTEGER) AS chars_removed
+FROM documents
+"""
+
+
+@register(
+    "text_pii_scrub",
+    oracle=_PII_ORACLE,
+    doc="Regex-tier PII redaction (emails, long digit runs) at scan "
+    "speed; rows this tier flags would feed an NER-model pandas-UDF "
+    "tier at 100 TB.",
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    scrubbed = scrub_pii(F.col("text"))
+    return d.select(
+        "doc_id",
+        scrubbed.alias("scrubbed"),
+        (F.length("text") - F.length(scrubbed)).cast("int").alias("chars_removed"),
+    )
+
+
+_CLEAN_ORACLE = """
+WITH filtered AS (
+  SELECT doc_id, lang, n_chars,
+         md5(trim(lower(regexp_replace(regexp_replace(text, '[\\.,;:!\\?'']', '', 'g'), '\\s+', ' ', 'g')))) AS fp
+  FROM documents
+  WHERE n_chars BETWEEN 50 AND 10000
+    AND CAST(length(regexp_replace(text, '[^\\.,;:!\\?''"]', '', 'g')) AS DOUBLE)
+        / CAST(length(text) AS DOUBLE) < 0.1
+)
+SELECT min(doc_id) AS keep_id, fp,
+       count(*) AS n_copies,
+       min(lang) AS lang
+FROM filtered
+GROUP BY fp
+"""
+
+
+@register(
+    "pipeline_clean_corpus",
+    oracle=_CLEAN_ORACLE,
+    doc="Composed curation pipeline: quality pre-filter (length band + "
+    "punctuation ratio) -> canonical-fingerprint dedup keeping the "
+    "smallest id — filters run at scan speed BEFORE the dedup shuffle "
+    "(the ordering that matters at 100 TB).",
+)
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    filtered = d.filter(
+        F.col("n_chars").between(50, 10000) & (punct_ratio(F.col("text")) < 0.1)
+    ).select("doc_id", "lang", fingerprint(F.col("text")).alias("fp"))
+    return filtered.groupBy("fp").agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("lang").alias("lang"),
+    ).select("keep_id", "fp", "n_copies", "lang")
 
 
 # --- multimodal -----------------------------------------------------------------

@@ -1,0 +1,111 @@
+"""TPC-H-shaped flagship analytics (beyond Q1/Q5 in core/joins):
+shipping-priority (Q3) and returned-items (Q10) shapes adapted to the
+driver tables — multiway join + grouped decimal-exact revenue + top-k,
+the canonical "join then aggregate then rank" pattern whose plan at
+scale is: broadcast dims, one shuffle per fact join key, partial aggs,
+TakeOrderedAndProject for the top-k (no global sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rabbithole_spark.catalog import register
+from rabbithole_spark.functions.numeric import dsum, sql_dsum
+from rabbithole_spark.session import table
+
+_Q3_ORACLE = f"""
+SELECT l_orderkey,
+       {sql_dsum("l_extendedprice * (1 - l_discount)", "revenue", 4)},
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-06-01'
+  AND l_shipdate > TIMESTAMP '1997-06-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
+@register(
+    "tpch_q3_shipping_priority",
+    oracle=_Q3_ORACLE,
+    doc="TPC-H Q3 shape: segment-filtered 3-way join, grouped revenue, "
+    "top-10 by revenue (TakeOrderedAndProject, not a global sort).",
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.to_timestamp(F.lit("1997-06-01"))
+    customer = table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    lineitem = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > cutoff
+    )
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey)
+        .join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue", 4))
+        .orderBy(
+            F.col("revenue").desc(), F.col("o_orderdate"), F.col("l_orderkey")
+        )
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+_Q10_ORACLE = f"""
+SELECT c_custkey, c_name,
+       {sql_dsum("l_extendedprice * (1 - l_discount)", "revenue", 4)},
+       round(c_acctbal, 2) AS c_acctbal,
+       n_name
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-07-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+@register(
+    "tpch_q10_returned_items",
+    oracle=_Q10_ORACLE,
+    doc="TPC-H Q10 shape: returned-lineitem revenue per customer over a "
+    "date window, broadcast nation dim, top-20.",
+)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1996-07-01")))
+    )
+    lineitem = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    nation = F.broadcast(table(spark, sf_dir, "nation"))
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey)
+        .join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .join(nation, customer.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue", 4))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+            "n_name",
+        )
+    )
