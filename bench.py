@@ -25,6 +25,7 @@ from rabbithole_spark.session import get_spark  # noqa: E402
 HEADLINE = [
     "pricing_summary",
     "join_multiway_revenue",
+    "tpch_q3_shipping_priority",
     "join_asof_events",
     "window_running_totals",
     "topk_per_group",
@@ -32,6 +33,7 @@ HEADLINE = [
     "dedup_exact_documents",
     "similarity_topk_bruteforce",
     "text_quality_stats",
+    "text_chunk_documents",
     "dedup_minhash_lsh",
 ]
 
@@ -47,26 +49,32 @@ def main() -> None:
 
     # Warm the JVM/codegen path once so per-query numbers measure the
     # plan, not first-run classloading.
-    specs[names[0]].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    try:
+        specs[names[0]].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    except Exception:
+        pass
 
     timings: dict[str, float] = {}
+    failures: dict[str, str] = {}
     for name in names:
         start = time.perf_counter()
-        specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - start, 4)
+        try:
+            specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - start, 4)
+        except Exception as exc:  # one broken query must not kill the bench
+            failures[name] = f"{type(exc).__name__}: {exc}"[:200]
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if failures:
+        payload["failures"] = failures
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":
