@@ -74,7 +74,7 @@ FROM documents
     "punctuation stripped) — reformat-tolerant dedup key.",
 )
 def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
+    d = spread(table(spark, sf_dir, "documents"))
     return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
 
 
@@ -149,10 +149,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_simhash",
-    oracle=None,  # pandas-UDF bit fold — rows-only
-    doc="64-bit SimHash signatures (JVM xxhash64 word hashes + Arrow-"
-    "batched numpy bit fold); near-dups share signatures at small "
-    "Hamming distance.",
+    oracle=None,  # hash-family specific (xxhash64) — rows-only
+    doc="64-bit SimHash signatures over word shingles, fully JVM-side "
+    "(explode + 64 partial-aggregable bit votes); near-dups share "
+    "signatures at small Hamming distance.",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(spread(table(spark, sf_dir, "documents")), "text", "doc_id")
@@ -318,7 +318,7 @@ FROM documents
     doc="Whitespace + BPE-ish (punctuation-boundary) token counting.",
 )
 def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
+    d = spread(table(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         token_count(F.col("text")).cast("int").alias("n_tokens"),
@@ -353,7 +353,7 @@ FROM documents
     "-> composite score (the cheap 100 TB pre-filter).",
 )
 def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
+    d = spread(table(spark, sf_dir, "documents"))
     t = F.col("text")
     return d.select(
         "doc_id",
@@ -394,7 +394,7 @@ FROM documents
     "tie-break (first language in registry order).",
 )
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
+    d = spread(table(spark, sf_dir, "documents"))
     scores = lang_scores(F.col("text"))
     mx = F.greatest(*scores.values())
     predicted = F.when(F.lit(False), None)
@@ -431,7 +431,7 @@ FROM (
     "posexplode) — the fan-out stage ahead of embedding.",
 )
 def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
+    d = spread(table(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         F.posexplode(chunk_words(F.col("text"), chunk_size=64, overlap=16)).alias(
@@ -460,7 +460,7 @@ FROM documents
     "tier at 100 TB.",
 )
 def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
+    d = spread(table(spark, sf_dir, "documents"))
     scrubbed = scrub_pii(F.col("text"))
     return d.select(
         "doc_id",
@@ -495,7 +495,7 @@ GROUP BY fp
     "(the ordering that matters at 100 TB).",
 )
 def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
+    d = spread(table(spark, sf_dir, "documents"))
     filtered = d.filter(
         F.col("n_chars").between(50, 10000) & (punct_ratio(F.col("text")) < 0.1)
     ).select("doc_id", "lang", fingerprint(F.col("text")).alias("fp"))
