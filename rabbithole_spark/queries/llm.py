@@ -506,6 +506,35 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("keep_id", "fp", "n_copies", "lang")
 
 
+@register(
+    "sample_uniform_documents",
+    oracle=None,  # Bernoulli sampling — rows-only (seeded, deterministic
+    # for a fixed partition layout, but not SQL-replicable)
+    doc="Seeded uniform Bernoulli sample (~20%) of the corpus — the "
+    "subsampling stage of a training-data pipeline; scan-local, no "
+    "shuffle.",
+)
+def sample_uniform_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.sample(fraction=0.2, seed=42).select("doc_id", "lang", "n_chars")
+
+
+@register(
+    "sample_stratified_by_lang",
+    oracle=None,  # stratified sampling — rows-only
+    doc="Stratified sampleBy(lang): per-stratum fractions rebalance a "
+    "skewed corpus (e.g. downsample the dominant language) without a "
+    "shuffle.",
+)
+def sample_stratified_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    langs = [r["lang"] for r in d.select("lang").distinct().collect()]
+    fractions = {lang: (0.1 if lang == "en" else 0.5) for lang in langs}
+    return d.sampleBy("lang", fractions, seed=42).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
 # --- multimodal -----------------------------------------------------------------
 
 _BINARY_ORACLE = """

@@ -91,6 +91,33 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_dedup_within_watermark",
+    oracle=None,  # streaming stateful dedup with bounded state — rows-only
+    doc="dropDuplicatesWithinWatermark: duplicates suppressed only "
+    "within the watermark horizon, so per-key state EXPIRES — the "
+    "bounded-state dedup for infinite streams (plain dropDuplicates "
+    "state grows forever).",
+)
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    name = f"stream_dedupw_{uuid.uuid4().hex[:8]}"
+    dedup = (
+        _read_events_stream(spark, sf_dir)
+        .withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type", "ts")
+    )
+    q = (
+        dedup.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+@register(
     "stream_session_window",
     oracle=None,  # streaming session windows — rows-only check
     doc="Streaming session-window aggregation (30 min gap) with "
