@@ -90,9 +90,20 @@ def ann_topk(
     planes: list[list[float]],
     k: int = 10,
     id_cols: list[str] | None = None,
+    multi_probe: int = 0,
 ) -> DataFrame:
     """Approximate top-k: prune to the query's LSH bucket, then exact
-    cosine within it. Recall grows with fewer planes / multi-probe."""
+    cosine within it.
+
+    ``multi_probe`` additionally probes every bucket within that
+    Hamming distance of the query signature (near-boundary vectors land
+    one bit-flip away) — recall rises steeply while the scanned
+    fraction stays ~ C(n_planes, multi_probe) / 2^n_planes. The probe
+    set is an IN-list of constants, so with a bucket-partitioned layout
+    it is partition pruning at the scan.
+    """
+    import itertools
+
     import numpy as np
 
     sig_col = hyperplane_signature(F.col(embedding_col), planes)
@@ -101,8 +112,15 @@ def ann_topk(
     for i, plane in enumerate(planes):
         if float(np.dot(qv, np.asarray(plane, dtype=np.float64))) > 0:
             q_sig += 2**i
+    probes = {q_sig}
+    for dist in range(1, multi_probe + 1):
+        for bits in itertools.combinations(range(len(planes)), dist):
+            flipped = q_sig
+            for b in bits:
+                flipped ^= 2**b
+            probes.add(flipped)
     bucketed = df.withColumn("lsh_bucket", sig_col).filter(
-        F.col("lsh_bucket") == F.lit(q_sig)
+        F.col("lsh_bucket").isin(sorted(probes))
     )
     return cosine_topk(
         bucketed.drop("lsh_bucket"), embedding_col, query_vec, k, id_cols

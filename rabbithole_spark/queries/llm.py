@@ -114,6 +114,57 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_COMPONENTS_ORACLE = """
+WITH RECURSIVE sh AS (
+  SELECT doc_id, lang, CAST(floor(n_chars / 100) AS INTEGER) AS len_band,
+         list_distinct(
+           list_transform(
+             range(1, greatest(len(string_split_regex(trim(text), '\\s+')) - 2, 1) + 1),
+             i -> array_to_string(list_slice(string_split_regex(trim(text), '\\s+'), i, i + 2), ' ')
+           )
+         ) AS shingles
+  FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b
+    ON a.doc_id < b.doc_id AND a.lang = b.lang AND a.len_band = b.len_band
+  WHERE round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+              / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE), 6) >= 0.2
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+)
+SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src
+"""
+
+
+@register(
+    "dedup_components",
+    oracle=_COMPONENTS_ORACLE,
+    doc="Near-dup pairs -> dedup GROUPS: iterative min-label propagation "
+    "(driver loop over join+groupBy rounds, localCheckpoint per round) "
+    "oracle-checked against a DuckDB recursive-CTE transitive closure — "
+    "the iterative-algorithm shape (GraphX-style) on plain DataFrames.",
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rabbithole_spark.operators.dedup import connected_components
+
+    d = spread(table(spark, sf_dir, "documents")).withColumn(
+        "len_band", F.floor(F.col("n_chars") / 100).cast("int")
+    )
+    pairs = ngram_jaccard_pairs(
+        d, "doc_id", "text", block_cols=["lang", "len_band"], k=3, threshold=0.2
+    )
+    return connected_components(pairs)
+
+
 @register(
     "dedup_minhash_lsh",
     oracle=None,  # hash-family specific (xxhash64) — rows-only

@@ -88,6 +88,68 @@ def test_broadcast_dim_join_no_fact_shuffle(spark):
             pytest.fail(f"unexpected shuffle: {line}")
 
 
+def test_multiprobe_lsh_recall_dominates_single_bucket(spark):
+    import numpy as np
+
+    from rabbithole_spark.operators.similarity import ann_topk, cosine_topk
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qv = [float(x) for x in
+          e.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    planes = np.random.RandomState(7).normal(size=(6, len(qv))).tolist()
+    exact = {r.vec_id for r in
+             cosine_topk(e, "embedding", qv, k=10, id_cols=["vec_id"]).collect()}
+    single = {r.vec_id for r in
+              ann_topk(e, "embedding", qv, planes, k=10,
+                       id_cols=["vec_id"]).collect()}
+    probed = {r.vec_id for r in
+              ann_topk(e, "embedding", qv, planes, k=10, id_cols=["vec_id"],
+                       multi_probe=2).collect()}
+    # probing Hamming<=2 buckets can only widen the candidate set
+    assert len(exact & probed) >= len(exact & single)
+    assert 0 in probed
+
+
+def test_ivf_partitioned_layout_prunes_scan(spark, tmp_path):
+    """The IVF scale path: persist vectors partitioned by cell id; the
+    probe filter becomes partition pruning at the scan."""
+    import numpy as np
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    feats = e.withColumn("__vec", array_to_vector(F.col("embedding")))
+    model = KMeans(k=8, seed=42, featuresCol="__vec",
+                   predictionCol="cell").fit(feats)
+    out = str(tmp_path / "ivf_index")
+    model.transform(feats).drop("__vec").write.partitionBy("cell").parquet(out)
+
+    centers = np.asarray([np.asarray(c) for c in model.clusterCenters()])
+    qv = np.asarray(
+        [float(x) for x in
+         e.filter(F.col("vec_id") == 0).collect()[0]["embedding"]])
+    probes = [int(i) for i in
+              np.argsort(np.linalg.norm(centers - qv, axis=1))[:2]]
+    pruned = spark.read.parquet(out).filter(F.col("cell").isin(probes))
+    plan = _plan(pruned)
+    pf_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "cell" in pf_line
+    # pruned scan reads a strict subset
+    assert 0 < pruned.count() < e.count()
+
+
+def test_connected_components_known_graph(spark):
+    from rabbithole_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (9, 8)], ["id_a", "id_b"]
+    )
+    got = {r.doc_id: r.component
+           for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 8: 8, 9: 8}
+
+
 def test_ivf_recall_overlaps_bruteforce(spark):
     from rabbithole_spark.operators.similarity import cosine_topk, ivf_topk
 
