@@ -654,3 +654,43 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         spread(table(spark, sf_dir, "documents")), "text", "doc_id"
     )
     return sample_frames(media, frame_size=256, every_k=4, id_col="doc_id")
+
+
+_LEV_ORACLE = """
+SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+       a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS edit_dist
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+ AND a.p_partkey < b.p_partkey
+ AND levenshtein(a.p_name, b.p_name) <= 3
+"""
+
+
+@register(
+    "dedup_levenshtein_pairs",
+    oracle=_LEV_ORACLE,
+    doc="Edit-distance fuzzy matching within (brand, size) blocks — the "
+    "entity-resolution tier of dedup; blocking bounds the quadratic "
+    "compare exactly like the Jaccard path.",
+)
+def dedup_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    a, b = p.alias("a"), p.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_size") == F.col("b.p_size"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey"))
+            & (dist <= 3),
+        )
+        .select(
+            F.col("a.p_partkey").alias("id_a"),
+            F.col("b.p_partkey").alias("id_b"),
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            dist.cast("int").alias("edit_dist"),
+        )
+    )

@@ -252,3 +252,36 @@ def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.map_keys(m)).alias("n_props"),
         F.element_at(m, "k").alias("k_value"),
     )
+
+
+_NULLSEM_ORACLE = """
+SELECT event_id,
+       nullif(event_type, 'click') AS type_or_null,
+       coalesce(nullif(event_type, 'click'), 'CLICKED') AS filled,
+       (nullif(event_type, 'click') IS NOT DISTINCT FROM nullif(event_type, 'click')) AS self_eq,
+       (nullif(event_type, 'click') IS NOT DISTINCT FROM 'error') AS is_error_nullsafe,
+       CASE WHEN value IS NULL THEN -1.0 ELSE round(value, 2) END AS value_or_sentinel
+FROM events
+"""
+
+
+@register(
+    "scalar_null_semantics",
+    oracle=_NULLSEM_ORACLE,
+    doc="NULL semantics parity: nullif/coalesce and null-safe equality "
+    "(Spark <=> / eqNullSafe vs IS NOT DISTINCT FROM) — the three-"
+    "valued-logic corners engines disagree on most.",
+)
+def scalar_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    type_or_null = F.nullif(F.col("event_type"), F.lit("click"))
+    return ev.select(
+        "event_id",
+        type_or_null.alias("type_or_null"),
+        F.coalesce(type_or_null, F.lit("CLICKED")).alias("filled"),
+        type_or_null.eqNullSafe(type_or_null).alias("self_eq"),
+        type_or_null.eqNullSafe(F.lit("error")).alias("is_error_nullsafe"),
+        F.when(F.col("value").isNull(), F.lit(-1.0))
+        .otherwise(F.round("value", 2))
+        .alias("value_or_sentinel"),
+    )

@@ -240,3 +240,22 @@ def lateral_posexplode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey",
         F.posexplode(F.split(F.col("p_type"), " ")).alias("pos", "word"),
     )
+
+
+@register(
+    "agg_approx_percentile",
+    oracle=None,  # sketch-based — tolerance-tested in pytest, rows-only here
+    doc="approx_percentile (t-digest style sketch): partial-aggregable, "
+    "bounded memory — the 100 TB replacement for exact percentiles; "
+    "accuracy/cost dial via the accuracy parameter.",
+)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias(
+            "price_p50_approx"
+        ),
+        F.approx_percentile("l_extendedprice", F.lit(0.9), F.lit(10000)).alias(
+            "price_p90_approx"
+        ),
+    )

@@ -218,3 +218,30 @@ def window_session_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+_CALENDAR_ORACLE = """
+SELECT o_orderkey,
+       CAST(quarter(o_orderdate) AS INTEGER) AS q,
+       CAST(weekofyear(o_orderdate) AS INTEGER) AS iso_week,
+       last_day(CAST(o_orderdate AS DATE)) AS month_end,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus_3_months
+FROM orders
+WHERE o_orderkey <= 2000
+"""
+
+
+@register(
+    "temporal_calendar_funcs",
+    oracle=_CALENDAR_ORACLE,
+    doc="Calendar functions: quarter, ISO week, last_day, add_months.",
+)
+def temporal_calendar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    return o.select(
+        "o_orderkey",
+        F.quarter("o_orderdate").alias("q"),
+        F.weekofyear("o_orderdate").alias("iso_week"),
+        F.last_day("o_orderdate").alias("month_end"),
+        F.add_months("o_orderdate", 3).alias("plus_3_months"),
+    )

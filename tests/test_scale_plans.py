@@ -166,3 +166,20 @@ def test_ivf_recall_overlaps_bruteforce(spark):
     assert approx_rows[0].vec_id == 0 and approx_rows[0].cosine_sim == 1.0
     # neighbors cluster together: expect meaningful overlap with exact
     assert len(exact & approx) >= 3
+
+
+def test_approx_percentile_within_tolerance(spark):
+    """The sketch path must stay within 1% relative error of exact —
+    the check a hash-compare can't express."""
+    li = table(spark, SF, "lineitem")
+    joined = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("ap"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("ex"),
+        )
+        .collect()
+    )
+    assert joined
+    for r in joined:
+        assert abs(r.ap - r.ex) / r.ex < 0.01, r
