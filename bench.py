@@ -55,12 +55,19 @@ def main() -> None:
         pass
 
     timings: dict[str, float] = {}
+    warm: dict[str, float] = {}
     failures: dict[str, str] = {}
     for name in names:
         start = time.perf_counter()
         try:
-            specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            df = specs[name].fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
             timings[name] = round(time.perf_counter() - start, 4)
+            # second run on the compiled plan: steady-state number a
+            # long-running cluster sees (cold includes codegen compile)
+            start = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            warm[name] = round(time.perf_counter() - start, 4)
         except Exception as exc:  # one broken query must not kill the bench
             failures[name] = f"{type(exc).__name__}: {exc}"[:200]
 
@@ -70,6 +77,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_warm": warm,
+        "value_warm": round(sum(warm.values()), 4),
         "sf": sf,
     }
     if failures:
