@@ -180,10 +180,27 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     signed = minhash_signatures(sh, "doc_id", "shingles", 64)
     pairs = lsh_candidate_pairs(signed, "doc_id", bands=16, rows_per_band=4)
-    # verify candidates with exact Jaccard (join shingles back in)
+    # Materialize the (tiny) candidate-pair set, then recompute shingles
+    # ONLY for docs that appear in a pair: exact-Jaccard verification
+    # costs O(candidates), not O(corpus). Joining the full-corpus
+    # shingle relation back in (the naive shape) shuffles every
+    # document's shingle array twice — at 100 TB that's the bottleneck;
+    # here the candidate set broadcasts and the corpus is scanned with a
+    # broadcast semi-join BEFORE the expensive shingle projection.
+    pairs = pairs.localCheckpoint(eager=True)
+    cand = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .union(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    cand_sh = d.join(F.broadcast(cand), "doc_id").select(
+        "doc_id", word_shingles(F.col("text"), 3).alias("shingles")
+    )
+    a = cand_sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = cand_sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
     verified = (
-        pairs.join(sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
-        .join(sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
+        pairs.join(F.broadcast(a), "id_a")
+        .join(F.broadcast(b), "id_b")
         .withColumn(
             "jaccard",
             F.round(
