@@ -52,6 +52,13 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Default openCostInBytes (4 MiB) floors split size, so a
+        # single ~10 MiB parquet file scans as 3 tasks and an agg uses
+        # 3 of 32 cores. 1 MiB splits mid-size files ~10-wide while
+        # leaving sub-MiB dimension files as one task; at cluster scale
+        # totalBytes/defaultParallelism dominates the split-size
+        # formula and this floor is irrelevant.
+        .config("spark.sql.files.openCostInBytes", "1048576")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
@@ -71,6 +78,8 @@ def prepare(spark: SparkSession) -> SparkSession:
     # events.parquet stores TIMESTAMP(NANOS); Spark has no nanosecond
     # timestamp type, so read as int64 and convert (see table()).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Full-width scans for small single-file tables (see get_spark note).
+    spark.conf.set("spark.sql.files.openCostInBytes", "1048576")
     return spark
 
 
