@@ -711,3 +711,71 @@ def dedup_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.cast("int").alias("edit_dist"),
         )
     )
+
+
+_TOP_NGRAMS_ORACLE = r"""
+WITH w AS (SELECT string_split_regex(trim(text), '\s+') AS words FROM documents),
+b AS (SELECT unnest(list_transform(range(1, len(words)),
+                                   i -> words[i] || ' ' || words[i+1])) AS ngram
+      FROM w WHERE len(words) >= 2)
+SELECT ngram, CAST(count(*) AS BIGINT) AS n
+FROM b GROUP BY ngram ORDER BY n DESC, ngram LIMIT 20
+"""
+
+
+@register(
+    "text_top_ngrams",
+    oracle=_TOP_NGRAMS_ORACLE,
+    doc="Corpus heavy hitters: top-20 word bigrams by frequency. "
+    "Explode-then-count is one partially-aggregated shuffle on the "
+    "ngram key; the deterministic (count desc, ngram) tiebreak makes "
+    "the top-k boundary stable across engines. The vocabulary-stats "
+    "primitive of a training-data pipeline.",
+)
+def text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(table(spark, sf_dir, "documents"))
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(words) - 1),
+        lambda i: F.concat_ws(" ", F.slice(words, i, 2)),
+    )
+    return (
+        d.filter(F.size(words) >= 2)
+        .select(F.explode(bigrams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "ngram")
+        .limit(20)
+    )
+
+
+_CENTROIDS_ORACLE = """
+SELECT label, pos, ROUND(AVG(val), 6) AS avg_val,
+       CAST(count(*) AS BIGINT) AS n_vectors
+FROM (SELECT label, unnest(embedding) AS val,
+             generate_subscripts(embedding, 1) - 1 AS pos FROM embeddings)
+GROUP BY label, pos
+"""
+
+
+@register(
+    "embedding_centroids",
+    oracle=_CENTROIDS_ORACLE,
+    doc="Per-label element-wise centroid of the embedding column "
+    "(posexplode -> groupBy(label, pos) -> avg): the k-means update "
+    "step IVF index training runs at scale. Partial aggregation "
+    "shrinks the shuffle to labels x dims rows regardless of corpus "
+    "size; n_vectors is carried for the weighted re-average a "
+    "multi-round trainer needs.",
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(
+            F.round(F.avg("val"), 6).alias("avg_val"),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+        .withColumn("pos", F.col("pos").cast("long"))
+    )

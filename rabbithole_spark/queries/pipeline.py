@@ -198,3 +198,86 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.table(name)
+
+
+_ATTRIBUTION_ORACLE = """
+SELECT c.user_id,
+       c.ts AS click_ts,
+       p.ts AS purchase_ts,
+       p.value AS purchase_value
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+"""
+
+
+@register(
+    "join_attribution_clicks",
+    oracle=_ATTRIBUTION_ORACLE,
+    doc="Click-to-purchase attribution: event-time interval join (same "
+    "user, purchase within 1h of click). Batch twin of "
+    "stream_stream_interval_join; the equi-key on user_id keeps it a "
+    "hash join with the range as a residual filter, not a theta join.",
+)
+def join_attribution_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").alias("c")
+    purchases = ev.filter(F.col("event_type") == "purchase").alias("p")
+    return clicks.join(
+        purchases,
+        (F.col("c.user_id") == F.col("p.user_id"))
+        & (F.col("p.ts") >= F.col("c.ts"))
+        & (F.col("p.ts") <= F.col("c.ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        F.col("c.user_id").alias("user_id"),
+        F.col("c.ts").alias("click_ts"),
+        F.col("p.ts").alias("purchase_ts"),
+        F.col("p.value").alias("purchase_value"),
+    )
+
+
+@register(
+    "stream_stream_interval_join",
+    oracle=None,  # genuine stream-stream join execution — rows-only
+    doc="Stream-stream inner join with watermarks on both sides and an "
+    "event-time range condition (purchase within 1h of same-user "
+    "click). Spark bounds both join-state buffers from the watermark "
+    "+ interval, so state stays finite on infinite streams; the batch "
+    "twin join_attribution_clicks is the value-checked equivalent.",
+)
+def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    name = f"stream_ssjoin_{uuid.uuid4().hex[:8]}"
+    ev = _read_events_stream(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .withColumnRenamed("ts", "click_ts")
+        .withWatermark("click_ts", "2 hours")
+        .alias("c")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumnRenamed("ts", "purchase_ts")
+        .withColumnRenamed("user_id", "p_user_id")
+        .withColumnRenamed("value", "purchase_value")
+        .withWatermark("purchase_ts", "2 hours")
+        .alias("p")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c.user_id") == F.col("p.p_user_id"))
+        & (F.col("p.purchase_ts") >= F.col("c.click_ts"))
+        & (
+            F.col("p.purchase_ts")
+            <= F.col("c.click_ts") + F.expr("INTERVAL 1 HOUR")
+        ),
+    ).select("user_id", "click_ts", "purchase_ts", "purchase_value")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)

@@ -82,3 +82,18 @@ def test_state_accumulates_across_batches(spark, events_slice):
     # the stream really ran as multiple micro-batches
     assert max(b for _, b in latest.values()) >= 1
     assert len({b for _, b in latest.values()}) >= 1
+
+
+def test_stream_stream_join_matches_batch_twin(spark):
+    """The watermarked stream-stream interval join emits exactly the
+    rows of its batch twin (AvailableNow drains the bounded source)."""
+    from rabbithole_spark.catalog import load_all
+
+    specs = load_all()
+    sf = "/root/testdata/sf0.001"
+    batch = specs["join_attribution_clicks"].fn(spark, sf)
+    stream = specs["stream_stream_interval_join"].fn(spark, sf)
+    key = lambda r: (r.user_id, r.click_ts, r.purchase_ts)
+    assert sorted(map(key, stream.collect())) == sorted(
+        map(key, batch.collect())
+    )
