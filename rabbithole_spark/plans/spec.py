@@ -158,11 +158,19 @@ def compile_pipeline(
 
         # --- source -> envelope stream -----------------------------------
         if src.type == "spool":
+            # Source admission control: the count half of the reference's
+            # count-or-time batcher (SURVEY.md §4.3.2). The block-level
+            # knob overrides the global size_limit so one slow flow can
+            # be throttled without capping every other flow.
             env = read_spool_stream(
                 spark,
                 src.kwargs["path"],
                 exchange=src_ref.kwargs.get("exchange"),
-                max_files_per_trigger=spec.policy.size_limit,
+                max_files_per_trigger=int(
+                    src.kwargs.get(
+                        "max_files_per_trigger", spec.policy.size_limit
+                    )
+                ),
             )
         elif src.type == "amqp":
             if not register_amqp_source(spark):
@@ -172,7 +180,12 @@ def compile_pipeline(
                 .option("url", src.kwargs.get("url", ""))
                 .option("exchanges", src_ref.kwargs.get("exchange", ""))
                 .option(
-                    "max_messages_per_batch", str(spec.policy.size_limit)
+                    "max_messages_per_batch",
+                    str(
+                        src.kwargs.get(
+                            "max_messages_per_batch", spec.policy.size_limit
+                        )
+                    ),
                 )
             )
             env = reader.load()

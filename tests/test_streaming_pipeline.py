@@ -121,3 +121,59 @@ def test_batch_policy_chunks():
         [10, 11],
     ]
     assert policy.chunks([]) == []
+
+
+def test_block_level_admission_cap(spark, tmp_path):
+    """A block-level max_files_per_trigger overrides the global
+    size_limit: 3 spool files at cap 1 drain as >=3 micro-batches
+    (observed via FlowMetricsListener)."""
+    from rabbithole_spark.streaming.metrics import attach_metrics
+    from rabbithole_spark.streaming.sources import write_spool_messages
+
+    spool_dir = str(tmp_path / "spool_cap")
+    for i in range(3):
+        write_spool_messages(
+            spool_dir,
+            [{"exchange": "logs", "content_type": "application/json",
+              "body": json.dumps({"timestamp": f"2024-01-01T00:00:{i:02d}",
+                                  "message": {"text": f"m{i}"}})}],
+            f"batch{i}.jsonl",
+        )
+    cfg = {
+        "size_limit": 500,  # global: would drain in one batch
+        "time_limit": 1,
+        "blocks": [
+            {"name": "input", "type": "spool",
+             "kwargs": {"path": spool_dir, "max_files_per_trigger": 1}},
+            {"name": "output", "type": "memory"},
+        ],
+        "flows": [[
+            {"name": "input", "kwargs": {"exchange": "logs"}},
+            {"name": "output",
+             "kwargs": {"parameters": {"timestamp": "timestamp",
+                                       "message": "message.text"}}},
+        ]],
+    }
+    spec = PipelineSpec.from_dict(cfg)
+    runners = compile_pipeline(
+        spark, spec, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    listener = attach_metrics(spark)
+    try:
+        queries = runners[0].start(available_now=True)
+        for q in queries:
+            q.awaitTermination(120)
+        import time as _time
+
+        deadline = _time.time() + 30
+        m = None
+        while _time.time() < deadline:
+            m = listener.flows.get(runners[0].name)
+            if m and m.total_rows >= 3:
+                break
+            _time.sleep(0.5)
+        assert m is not None and m.total_rows == 3
+        # cap of one file per trigger -> one micro-batch per file
+        assert len([n for n in m.per_batch_rows if n > 0]) >= 3
+    finally:
+        spark.streams.removeListener(listener)
