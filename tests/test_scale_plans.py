@@ -183,3 +183,19 @@ def test_approx_percentile_within_tolerance(spark):
     assert joined
     for r in joined:
         assert abs(r.ap - r.ex) / r.ex < 0.01, r
+
+
+def test_filter_and_projection_reach_parquet_scan(spark):
+    """pricing_summary's shipdate predicate must appear in PushedFilters
+    and its ReadSchema must carry only the 7 referenced lineitem columns
+    (of 16) — the scan does the filtering/pruning, not the engine."""
+    from rabbithole_spark.catalog import load_all
+
+    df = load_all()["pricing_summary"].fn(spark, SF)
+    plan = _plan(df)
+    pushed = next(l for l in plan.splitlines() if "PushedFilters" in l)
+    assert "l_shipdate" in pushed and "LessThanOrEqual" in pushed, pushed
+    schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    read_cols = [c for c in schema.split("struct<", 1)[1].split(",")]
+    assert len(read_cols) == 7, schema
+    assert "l_comment" not in schema and "l_orderkey" not in schema, schema
