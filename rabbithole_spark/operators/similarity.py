@@ -27,6 +27,8 @@ __all__ = [
     "hyperplane_signature",
     "ann_topk",
     "ivf_topk",
+    "quantize_unit_int8",
+    "quantized_topk",
 ]
 
 
@@ -125,6 +127,63 @@ def ann_topk(
     return cosine_topk(
         bucketed.drop("lsh_bucket"), embedding_col, query_vec, k, id_cols
     )
+
+
+def quantize_unit_int8(embedding: Column) -> Column:
+    """Symmetric int8 quantization of a unit-normalized vector:
+    ``q_i = round(127 * v_i / ||v||)``, entirely inside codegen.
+
+    Storage/bandwidth drops 4x vs float32 and the scoring dot product
+    becomes exact integer arithmetic — the memory-bound lever for
+    billion-vector stores. Zero vectors quantize to zeros (no NaNs)."""
+    norm = l2_norm(embedding)
+    return F.transform(
+        embedding,
+        lambda x: F.when(norm == 0, F.lit(0))
+        .otherwise(F.round(x.cast("double") / norm * 127))
+        .cast("tinyint"),
+    )
+
+
+def quantized_topk(
+    df: DataFrame,
+    embedding_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    id_cols: list[str] | None = None,
+) -> DataFrame:
+    """Approximate top-k cosine via int8-quantized dot products.
+
+    Both sides are unit-normalized then quantized, so
+    ``dot(qa, qb) / 127^2`` approximates the true cosine within
+    ~1/127 per component. Ranking happens on the integer dot (exact,
+    order-stable); the rescaled approximate cosine is returned for
+    inspection. At scale the quantized column is what you PERSIST —
+    the float column never needs to be read at query time.
+    """
+    import math
+
+    id_cols = id_cols or [c for c in df.columns if c != embedding_col]
+    nrm = math.sqrt(sum(x * x for x in query_vec)) or 1.0
+    q_query = F.array(
+        *[F.lit(int(round(127 * x / nrm))).cast("tinyint") for x in query_vec]
+    )
+    quantized = df.select(
+        *id_cols, quantize_unit_int8(F.col(embedding_col)).alias("__q")
+    )
+    # integer dot: exact, overflow-safe in int (64 dims * 127^2 << 2^31)
+    q_dot = F.aggregate(
+        F.zip_with(F.col("__q"), q_query, lambda x, y: x.cast("int") * y.cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    out = quantized.select(
+        *id_cols,
+        q_dot.alias("q_dot"),
+        F.round(q_dot.cast("double") / (127.0 * 127.0), 6).alias("approx_cosine"),
+    )
+    order = [F.col("q_dot").desc()] + [F.col(c) for c in id_cols]
+    return out.orderBy(*order).limit(k)
 
 
 def ivf_topk(

@@ -779,3 +779,89 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("pos", F.col("pos").cast("long"))
     )
+
+
+_TFIDF_ORACLE = r"""
+WITH tf AS (
+  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+        FROM documents)
+  GROUP BY doc_id, word
+), dfreq AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY word
+), n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.word, tf.tf, dfreq.df, n.n_docs,
+         ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / CAST(dfreq.df AS DOUBLE)), 6) AS tfidf
+  FROM tf JOIN dfreq USING (word) CROSS JOIN n
+)
+SELECT doc_id, word, tfidf, CAST(rank AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) AS rank
+      FROM scored)
+WHERE rank <= 5
+"""
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle=_TFIDF_ORACLE,
+    doc="TF-IDF: top-5 terms per document. One tokenization pass feeds "
+    "both aggregates (document frequency is count-of-rows over the "
+    "already-grouped tf relation, not a second corpus scan); the "
+    "corpus size joins in as a broadcast scalar, and the vocabulary "
+    "join shuffles on the word key. Rounding before the rank ORDER BY "
+    "keeps the top-k boundary identical across engines.",
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = spread(table(spark, sf_dir, "documents"))
+    words = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word"),
+    )
+    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    ndocs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "word")
+        .crossJoin(F.broadcast(ndocs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * F.log(
+                    F.col("n_docs").cast("double") / F.col("df").cast("double")
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "word")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("doc_id", "word", "tfidf", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+@register(
+    "similarity_ann_quantized",
+    oracle=None,  # int8 approximation of cosine — rows-only
+    doc="int8-quantized top-10 cosine neighbors of vec_id=0: unit-"
+    "normalize, quantize to tinyint (4x smaller than float32), rank "
+    "by exact integer dot product. The memory-bandwidth lever for "
+    "billion-vector stores; recall vs the float baseline is asserted "
+    "in tests/test_llm_operators.py.",
+)
+def similarity_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rabbithole_spark.operators.similarity import quantized_topk
+
+    qv = _query_vector(spark, sf_dir)
+    return quantized_topk(
+        table(spark, sf_dir, "embeddings"),
+        "embedding",
+        qv,
+        k=10,
+        id_cols=["vec_id", "label"],
+    )

@@ -125,3 +125,21 @@ def test_sample_frames_stride(spark):
         assert n_frames == expected_total
         assert sorted(f.frame_idx for f in frames) == list(range(0, n_frames, 2))
         assert all(f.frame_bytes <= 100 for f in frames)
+
+
+def test_quantized_topk_recall_vs_float_baseline(spark):
+    """int8 quantization must keep high recall@10 against the exact
+    float cosine top-10, and its approximate cosines must sit within
+    the per-component quantization error bound of the true values."""
+    from rabbithole_spark.catalog import load_all
+
+    specs = load_all()
+    sf = "/root/testdata/sf0.001"
+    exact = {r.vec_id: r.cosine_sim
+             for r in specs["similarity_topk_bruteforce"].fn(spark, sf).collect()}
+    quant = {r.vec_id: r.approx_cosine
+             for r in specs["similarity_ann_quantized"].fn(spark, sf).collect()}
+    overlap = set(exact) & set(quant)
+    assert len(overlap) >= 8, (sorted(exact), sorted(quant))
+    for vid in overlap:
+        assert abs(exact[vid] - quant[vid]) < 0.05, (vid, exact[vid], quant[vid])
