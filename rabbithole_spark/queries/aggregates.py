@@ -204,3 +204,32 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.approx_count_distinct("user_id", 0.02).alias("approx_users"))
     )
+
+
+@register(
+    "agg_hll_sketch_union",
+    oracle=None,  # sketch-library specific binary — rows-only
+    doc="Mergeable Datasketches HLL: per-group sketches built in one "
+    "pass then UNIONED into a corpus-wide estimate without rescanning "
+    "— the re-aggregatable cardinality primitive (persist sketches "
+    "per partition/day, merge on demand) that approx_count_distinct "
+    "alone cannot express. Tolerance vs exact is asserted in "
+    "tests/test_llm_operators.py.",
+)
+def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sk = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.hll_sketch_agg("user_id").alias("sketch"))
+    )
+    per_group = sk.select(
+        "event_type",
+        F.hll_sketch_estimate("sketch").cast("long").alias("approx_users"),
+    )
+    overall = sk.agg(
+        F.hll_union_agg("sketch").alias("u")
+    ).select(
+        F.lit("ALL").alias("event_type"),
+        F.hll_sketch_estimate("u").cast("long").alias("approx_users"),
+    )
+    return per_group.unionByName(overall)

@@ -143,3 +143,24 @@ def test_quantized_topk_recall_vs_float_baseline(spark):
     assert len(overlap) >= 8, (sorted(exact), sorted(quant))
     for vid in overlap:
         assert abs(exact[vid] - quant[vid]) < 0.05, (vid, exact[vid], quant[vid])
+
+
+def test_hll_sketch_union_within_tolerance(spark):
+    """Per-group HLL estimates and their union must land within 5% of
+    exact distinct counts (lgK=12 standard error is ~1.6%)."""
+    from pyspark.sql import functions as F
+
+    from rabbithole_spark.catalog import load_all
+    from rabbithole_spark.session import table
+
+    sf = "/root/testdata/sf0.01"
+    got = {r.event_type: r.approx_users
+           for r in load_all()["agg_hll_sketch_union"].fn(spark, sf).collect()}
+    ev = table(spark, sf, "events")
+    exact = {r.event_type: r.n for r in
+             ev.groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("n")).collect()}
+    exact["ALL"] = ev.select("user_id").distinct().count()
+    assert set(got) == set(exact)
+    for k, est in got.items():
+        assert abs(est - exact[k]) <= max(1, 0.05 * exact[k]), (k, est, exact[k])

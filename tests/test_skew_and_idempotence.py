@@ -81,3 +81,45 @@ def test_idempotent_sink_replay_safe(spark, tmp_path):
     rows = sorted(con.execute("SELECT event_id, __batch_id FROM sink").fetchall())
     con.close()
     assert rows == [(1, 7), (2, 7), (3, 7), (4, 8)]
+
+
+def test_cdc_upsert_merge_on_read_and_compact(spark, tmp_path):
+    """Append-only CDC deltas resolve last-write-wins per key (deletes
+    drop out); compaction preserves the state while folding the log."""
+    from rabbithole_spark.streaming.sinks import (
+        cdc_compact,
+        cdc_current_state,
+        cdc_upsert_sink,
+    )
+
+    path = str(tmp_path / "cdc_table")
+    sink = cdc_upsert_sink(path)
+    b0 = spark.createDataFrame(
+        [(1, "alice", 10.0, "u"), (2, "bob", 20.0, "u"), (3, "carol", 30.0, "u")],
+        "id long, name string, score double, op string",
+    )
+    b1 = spark.createDataFrame(
+        [(2, "bob", 25.0, "u"), (3, "carol", 0.0, "d"), (4, "dave", 40.0, "u")],
+        "id long, name string, score double, op string",
+    )
+    sink(b0, 0)
+    sink(b1, 1)
+    state = {
+        r.id: r.score
+        for r in cdc_current_state(spark, path, ["id"], op_col="op").collect()
+    }
+    assert state == {1: 10.0, 2: 25.0, 4: 40.0}
+    # replayed batch (same id) must not change the state
+    sink(b1, 1)
+    state2 = {
+        r.id: r.score
+        for r in cdc_current_state(spark, path, ["id"], op_col="op").collect()
+    }
+    assert state2 == state
+    n = cdc_compact(spark, path, ["id"], op_col="op")
+    assert n == 3
+    state3 = {
+        r.id: r.score
+        for r in cdc_current_state(spark, path, ["id"], op_col="op").collect()
+    }
+    assert state3 == state
