@@ -176,6 +176,47 @@ def stream_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "stream_count_or_time_batcher",
+    oracle=None,  # processing-time-dependent flush tagging — rows-only
+    doc="Exact count-OR-time micro-batch flush as a stateful operator "
+    "(applyInPandasWithState + ProcessingTimeTimeout): per-flow-key "
+    "buffer flushes at size_limit rows or time_limit after the "
+    "batch's first message, whichever first — full-fidelity parity "
+    "with the reference Batcher (batcher.py:54-126) that triggers "
+    "alone only approximate (SURVEY.md §4.3.2). Emits flushed rows "
+    "tagged with the flush reason; state bounded at size_limit rows "
+    "per key.",
+)
+def stream_count_or_time_batcher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rabbithole_spark.streaming.stateful import (
+        await_state_drained,
+        count_or_time_batcher_v1,
+    )
+
+    name = f"stream_batcher_{uuid.uuid4().hex[:8]}"
+    stream = _read_events_stream(spark, sf_dir).select(
+        "event_type", "event_id", "user_id"
+    )
+    batched = count_or_time_batcher_v1(
+        stream.groupBy("event_type"),
+        "event_type string, event_id long, user_id long",
+        size_limit=10,
+        # short limit so each key's sub-size leftover time-flushes and
+        # the bounded replay drains; every input row exits exactly once
+        time_limit_s=5.0,
+    )
+    q = (
+        batched.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_state_drained(q)
+    return spark.table(name)
+
+
+@register(
     "stream_dedup_watermark",
     oracle=None,  # streaming stateful dedup — rows-only check
     doc="Stateful streaming deduplication (dropDuplicates on user/type "

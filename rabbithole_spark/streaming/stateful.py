@@ -19,9 +19,62 @@ from typing import Any
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.stateful_processor import (
+    ExpiredTimerInfo,
+    StatefulProcessor,
+    StatefulProcessorHandle,
+    TimerValues,
+)
 
-__all__ = ["running_totals_with_state"]
+__all__ = [
+    "running_totals_with_state",
+    "count_or_time_batcher",
+    "count_or_time_batcher_v1",
+    "await_state_drained",
+]
+
+
+def await_state_drained(query, timeout_s: float = 240.0, poll_s: float = 0.5) -> bool:
+    """Wait for a bounded stateful stream to fully drain, then stop it.
+
+    ``trigger(availableNow=True)`` does not self-terminate while a
+    stateful operator holds processing-time timers (the engine keeps
+    scheduling no-data micro-batches to fire them), so a batcher query
+    over a bounded source would block ``awaitTermination`` forever.
+    The reliable done-signal is the query's own state metrics: once
+    some input has been processed and ``stateOperators.numRowsTotal``
+    drops to 0, every buffered row has been flushed (each pending
+    timer fired) and nothing more can ever be emitted — stop the
+    query. Returns True if drained, False on timeout (query is
+    stopped either way)."""
+    import time as _time
+
+    deadline = _time.monotonic() + timeout_s
+    seen_input = False
+    try:
+        while _time.monotonic() < deadline:
+            if not query.isActive:
+                return True  # terminated naturally
+            progress = query.lastProgress
+            if progress:
+                batch_input = progress.get("numInputRows", 0)
+                seen_input = seen_input or batch_input > 0
+                state_rows = sum(
+                    op.get("numRowsTotal", 0)
+                    for op in progress.get("stateOperators") or []
+                )
+                # a no-data batch with empty state: sources are drained
+                # (else this batch would carry rows) and no timer can
+                # ever fire again — nothing more can be emitted
+                if seen_input and state_rows == 0 and batch_input == 0:
+                    return True
+            _time.sleep(poll_s)
+        return False
+    finally:
+        if query.isActive:
+            query.stop()
 
 #: Output schema of :func:`running_totals_with_state`.
 RUNNING_TOTALS_SCHEMA = (
@@ -70,4 +123,180 @@ def running_totals_with_state(grouped_stream: DataFrame) -> DataFrame:
         stateStructType=_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def count_or_time_batcher(
+    grouped_stream,
+    row_schema: str,
+    size_limit: int = 5,
+    time_limit_s: float = 15.0,
+) -> DataFrame:
+    """Exact count-OR-time micro-batch flush via ``transformWithState``
+    (Spark 4 state-v2) — full-fidelity parity with the reference
+    Batcher (src/rabbithole/batcher.py:54-126) that triggers alone can
+    only approximate (SURVEY.md §4.3.2):
+
+    - a batch's clock starts at its *first* message
+      (batcher.py:77-78) → we register a processing-time timer when a
+      row lands in an empty buffer;
+    - ``len(batch) >= size_limit`` flushes immediately and cancels the
+      timer (batcher.py:79-86) → emit + ``deleteTimer``;
+    - timer expiry flushes the partial batch (batcher.py:88-109) →
+      ``handleExpiredTimer``;
+    - every flush resets both counters (batcher.py:111-126) → buffer
+      ListState is cleared, the next row re-registers a timer.
+
+    Emitted rows carry the input columns plus ``flush_reason``
+    ('size' | 'time'). Per-key state is bounded by ``size_limit`` rows
+    (the buffer never exceeds it between batches), so state size is
+    O(n_keys x size_limit) regardless of stream volume — safe on a
+    1000-executor cluster; state lives in the (RocksDB-backed,
+    checkpointed) state store, not process memory like the reference's
+    unbounded Python list.
+
+    ``grouped_stream`` is a ``GroupedData`` over a *streaming*
+    DataFrame keyed by flow; ``row_schema`` is the DDL of the input
+    columns. Requires the RocksDB state store provider
+    (:func:`rabbithole_spark.streaming.metrics.use_rocksdb_state`).
+    """
+    fields = [f.strip().split()[0] for f in row_schema.split(",")]
+    time_limit_ms = int(time_limit_s * 1000)
+
+    class _Batcher(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.handle = handle
+            self.buf = handle.getListState("buf", row_schema)
+            self.timer = handle.getValueState("timer", "expiry_ms bigint")
+
+        def _cancel_timer(self) -> None:
+            if self.timer.exists():
+                (expiry,) = self.timer.get()
+                self.handle.deleteTimer(expiry)
+                self.timer.clear()
+
+        def handleInputRows(
+            self,
+            key: Any,
+            rows: Iterator[pd.DataFrame],
+            timerValues: TimerValues,
+        ) -> Iterator[pd.DataFrame]:
+            buffered = list(self.buf.get())
+            flushes: list[pd.DataFrame] = []
+            for pdf in rows:
+                for tup in pdf[fields].itertuples(index=False, name=None):
+                    buffered.append(tup)
+                    if len(buffered) == 1 and not self.timer.exists():
+                        expiry = (
+                            timerValues.getCurrentProcessingTimeInMs()
+                            + time_limit_ms
+                        )
+                        self.handle.registerTimer(expiry)
+                        self.timer.update((expiry,))
+                    if len(buffered) >= size_limit:
+                        out = pd.DataFrame(buffered, columns=fields)
+                        out["flush_reason"] = "size"
+                        flushes.append(out)
+                        buffered = []
+                        self._cancel_timer()
+            self.buf.put(buffered)
+            return iter(flushes)
+
+        def handleExpiredTimer(
+            self,
+            key: Any,
+            timerValues: TimerValues,
+            expiredTimerInfo: ExpiredTimerInfo,
+        ) -> Iterator[pd.DataFrame]:
+            buffered = list(self.buf.get())
+            self.buf.clear()
+            self.timer.clear()
+            if not buffered:  # reference warns + returns (batcher.py:103-105)
+                return iter([])
+            out = pd.DataFrame(buffered, columns=fields)
+            out["flush_reason"] = "time"
+            return iter([out])
+
+        def close(self) -> None:
+            pass
+
+    return grouped_stream.transformWithStateInPandas(
+        _Batcher(),
+        outputStructType=row_schema + ", flush_reason string",
+        outputMode="append",
+        timeMode="ProcessingTime",
+    )
+
+
+def count_or_time_batcher_v1(
+    grouped_stream,
+    row_schema: str,
+    size_limit: int = 5,
+    time_limit_s: float = 15.0,
+) -> DataFrame:
+    """Count-OR-time batcher on the state-v1 API
+    (``applyInPandasWithState`` + ``ProcessingTimeTimeout``) — same
+    reference-Batcher semantics as :func:`count_or_time_batcher`
+    (src/rabbithole/batcher.py:54-126) without the protobuf runtime
+    dependency the state-v2 driver worker carries, so it runs on any
+    Spark deployment.
+
+    One subtlety: state-v1 clears a key's timeout every time the
+    function is invoked for that key, so the remaining time to the
+    batch's first-message deadline is recomputed and re-armed after
+    each invocation (``first_ms + limit - now``) — preserving the
+    reference's "clock starts at the first message of the batch"
+    contract (batcher.py:77-78) rather than resetting per arrival.
+    """
+    row_struct = T.StructType.fromDDL(row_schema)
+    fields = [f.name for f in row_struct.fields]
+    state_struct = T.StructType(
+        [
+            T.StructField("first_ms", T.LongType()),
+            T.StructField("buf", T.ArrayType(row_struct)),
+        ]
+    )
+    limit_ms = int(time_limit_s * 1000)
+
+    def flush(buffered: list[tuple], reason: str) -> pd.DataFrame:
+        out = pd.DataFrame(buffered, columns=fields)
+        out["flush_reason"] = reason
+        return out
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            _, buf = state.get if state.exists else (None, [])
+            state.remove()
+            if buf:  # empty flush: reference warns + skips (batcher.py:103-105)
+                yield flush([tuple(r) for r in buf], "time")
+            return
+        first_ms, buffered = None, []
+        if state.exists:
+            first_ms, buf = state.get
+            buffered = [tuple(r) for r in buf]
+        for pdf in pdfs:
+            for tup in pdf[fields].itertuples(index=False, name=None):
+                buffered.append(tup)
+                if len(buffered) == 1:  # first message starts the clock
+                    first_ms = state.getCurrentProcessingTimeMs()
+                if len(buffered) >= size_limit:
+                    yield flush(buffered, "size")
+                    buffered, first_ms = [], None  # flush resets the clock
+        if buffered:
+            state.update((first_ms, buffered))
+            remaining = first_ms + limit_ms - state.getCurrentProcessingTimeMs()
+            state.setTimeoutDuration(max(1, remaining))
+        elif state.exists:
+            state.remove()
+
+    return grouped_stream.applyInPandasWithState(
+        update,
+        outputStructType=row_schema + ", flush_reason string",
+        stateStructType=state_struct,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )

@@ -84,6 +84,146 @@ def test_state_accumulates_across_batches(spark, events_slice):
     assert len({b for _, b in latest.values()}) >= 1
 
 
+def _run_batcher(spark, batcher_fn, src, name, **kwargs):
+    from rabbithole_spark.streaming.stateful import await_state_drained
+
+    stream = (
+        spark.readStream.schema("event_type string, event_id long")
+        .format("parquet")
+        .load(src)
+    )
+    q = (
+        batcher_fn(
+            stream.groupBy("event_type"),
+            "event_type string, event_id long",
+            **kwargs,
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert await_state_drained(q, timeout_s=120)
+    return spark.table(name).collect()
+
+
+def test_count_flush_batcher_exact_size_batches(spark, tmp_path):
+    """State-v1 batcher: every size-flush emits exactly ``size_limit``
+    rows; each key's sub-size leftover time-flushes, so every input
+    row exits exactly once with the right reason."""
+    from rabbithole_spark.streaming.stateful import count_or_time_batcher_v1
+
+    src = str(tmp_path / "batcher_src")
+    ev = table(spark, SF, "events").select("event_type", "event_id")
+    ev.coalesce(1).write.parquet(src)
+    per_key = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+
+    size = 10
+    out = _run_batcher(
+        spark,
+        count_or_time_batcher_v1,
+        src,
+        f"batcher_{uuid.uuid4().hex[:8]}",
+        size_limit=size,
+        time_limit_s=5.0,
+    )
+    by_reason: dict[tuple[str, str], int] = {}
+    for r in out:
+        key = (r.event_type, r.flush_reason)
+        by_reason[key] = by_reason.get(key, 0) + 1
+    for k, n in per_key.items():
+        assert by_reason.get((k, "size"), 0) == (n // size) * size, (k, n)
+        assert by_reason.get((k, "time"), 0) == n % size, (k, n)
+    # no duplicated or invented event ids among the flushed rows
+    ids = [r.event_id for r in out]
+    assert len(ids) == len(set(ids))
+
+
+def test_count_flush_batcher_v2_requires_protobuf(spark, tmp_path):
+    """The state-v2 (transformWithState) batcher needs google.protobuf
+    in the worker runtime; run it where available, skip elsewhere."""
+    pytest.importorskip("google.protobuf")
+    from rabbithole_spark.streaming.metrics import use_rocksdb_state
+    from rabbithole_spark.streaming.stateful import count_or_time_batcher
+
+    src = str(tmp_path / "batcher_v2_src")
+    ev = table(spark, SF, "events").select("event_type", "event_id").limit(40)
+    ev.coalesce(1).write.parquet(src)
+    n_total = spark.read.parquet(src).count()
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    use_rocksdb_state(spark)
+    try:
+        out = _run_batcher(
+            spark,
+            count_or_time_batcher,
+            src,
+            f"batcher_v2_{uuid.uuid4().hex[:8]}",
+            size_limit=10,
+            time_limit_s=5.0,
+        )
+        assert len(out) == n_total
+    finally:
+        if prev:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_time_flush_emits_partial_batch(spark, tmp_path):
+    """With size_limit larger than the key's row count, only the
+    processing-time timer can flush — rows must arrive tagged 'time'."""
+    import time
+
+    from rabbithole_spark.streaming.stateful import count_or_time_batcher_v1
+
+    src = str(tmp_path / "timeflush_src")
+    spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3)], "k string, v long"
+    ).coalesce(1).write.parquet(src)
+
+    name = f"timeflush_{uuid.uuid4().hex[:8]}"
+    q = None
+    try:
+        stream = (
+            spark.readStream.schema("k string, v long")
+            .format("parquet")
+            .load(src)
+        )
+        q = (
+            count_or_time_batcher_v1(
+                stream.groupBy("k"),
+                "k string, v long",
+                size_limit=100,
+                time_limit_s=2.0,
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(processingTime="1 second")
+            .start()
+        )
+        deadline = time.time() + 60
+        rows = []
+        while time.time() < deadline:
+            rows = spark.table(name).collect()
+            if len(rows) == 3:
+                break
+            time.sleep(1)
+        assert len(rows) == 3, rows
+        assert all(r.flush_reason == "time" for r in rows)
+        assert sorted((r.k, r.v) for r in rows) == [("a", 1), ("a", 2), ("b", 3)]
+    finally:
+        if q is not None:
+            q.stop()
+
+
 def test_stream_stream_join_matches_batch_twin(spark):
     """The watermarked stream-stream interval join emits exactly the
     rows of its batch twin (AvailableNow drains the bounded source)."""
