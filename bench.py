@@ -35,6 +35,8 @@ HEADLINE = [
     "text_quality_stats",
     "text_chunk_documents",
     "dedup_minhash_lsh",
+    "text_bm25_ranking",
+    "contamination_ngram_overlap",
 ]
 
 

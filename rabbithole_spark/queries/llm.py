@@ -845,6 +845,110 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_ORACLE = r"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+  FROM documents
+), dl AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM words GROUP BY doc_id
+), stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM dl
+), tf AS (
+  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM words
+  WHERE word IN ('spark', 'join', 'vector') GROUP BY doc_id, word
+), dfreq AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY word
+), scored AS (
+  SELECT tf.doc_id,
+         sum(ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+             * tf.tf * 2.2
+             / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))) AS score
+  FROM tf JOIN dfreq USING (word) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, ROUND(score, 6) AS bm25
+FROM scored
+ORDER BY bm25 DESC, doc_id
+LIMIT 10
+"""
+
+
+@register(
+    "text_bm25_ranking",
+    oracle=_BM25_ORACLE,
+    doc="BM25 (k1=1.2, b=0.75, Lucene +1 idf) top-10 documents for the "
+    "query {spark, join, vector}. One tokenization pass, one doc-keyed "
+    "shuffle: per-term frequencies are conditional counts inside the "
+    "doc-length aggregation (the query term set is small and fixed), "
+    "unpivoted with stack(); corpus stats (N, avgdl) come from a "
+    "row-local size(split()) — no explode, no shuffle. The tiny "
+    "per-doc relation is localCheckpoint'd so the dfreq broadcast and "
+    "the scoring join share one materialization instead of "
+    "re-tokenizing the corpus per branch. Rounding before the final "
+    "ORDER BY pins the top-k boundary across engines.",
+)
+def text_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k1, b = 1.2, 0.75
+    terms = ["spark", "join", "vector"]
+    # no spread(): shuffling full text bytes costs ~3x the tokenize
+    # (measured sf0.1); the parquet split already parallelizes the scan
+    d = table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word"),
+    )
+    per_doc = words.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[
+            F.sum((F.col("word") == t).cast("long")).alias(f"__tf_{i}")
+            for i, t in enumerate(terms)
+        ],
+    ).localCheckpoint(eager=False)
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(
+            F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+        ).alias("avgdl"),
+    )
+    tf = per_doc.select(
+        "doc_id",
+        "dl",
+        F.stack(
+            F.lit(len(terms)),
+            *[
+                x
+                for i, t in enumerate(terms)
+                for x in (F.lit(t), F.col(f"__tf_{i}"))
+            ],
+        ).alias("word", "tf"),
+    ).filter(F.col("tf") > 0)
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "word")  # dl rides along in tf
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                + 1.0
+            ),
+        )
+        .withColumn(
+            "term_score",
+            F.col("idf")
+            * F.col("tf")
+            * (k1 + 1.0)
+            / (
+                F.col("tf")
+                + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("term_score"), 6).alias("bm25"))
+    )
+    return scored.orderBy(F.col("bm25").desc(), "doc_id").limit(10)
+
+
 @register(
     "similarity_ann_quantized",
     oracle=None,  # int8 approximation of cosine — rows-only
@@ -864,4 +968,249 @@ def similarity_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         qv,
         k=10,
         id_cols=["vec_id", "label"],
+    )
+
+
+_PII_ORACLE = """
+WITH pii AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or +1-555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text_pii
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text_pii,
+            '[a-z0-9._]+@[a-z0-9-]+\\.[a-z]+')) AS INTEGER) AS n_emails,
+       CAST(len(regexp_extract_all(text_pii,
+            '\\+1-555-[0-9]+')) AS INTEGER) AS n_phones,
+       CAST(length(regexp_replace(regexp_replace(text_pii,
+            '[a-z0-9._]+@[a-z0-9-]+\\.[a-z]+', '[EMAIL]', 'g'),
+            '\\+1-555-[0-9]+', '[PHONE]', 'g')) AS INTEGER) AS redacted_len,
+       NOT regexp_matches(regexp_replace(regexp_replace(text_pii,
+            '[a-z0-9._]+@[a-z0-9-]+\\.[a-z]+', '[EMAIL]', 'g'),
+            '\\+1-555-[0-9]+', '[PHONE]', 'g'), '@|\\+1-555') AS clean
+FROM pii
+"""
+
+
+@register(
+    "pii_redaction",
+    oracle=_PII_ORACLE,
+    doc="PII scrubbing (curation-pipeline parity): regexp redaction of "
+    "email/phone patterns with match counts and a post-hoc 'clean' "
+    "audit flag. The synthetic corpus carries no PII, so each doc is "
+    "first suffixed with a deterministic fake email+phone derived "
+    "from doc_id — the redaction path (regexp_count + chained "
+    "regexp_replace, all JVM-side codegen, no UDF) is what scales to "
+    "100 TB; patterns are row-local so the op is embarrassingly "
+    "parallel with zero shuffle.",
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    email = r"[a-z0-9._]+@[a-z0-9-]+\.[a-z]+"
+    phone = r"\+1-555-[0-9]+"
+    d = spread(table(spark, sf_dir, "documents"))
+    text_pii = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(text_pii, email, "[EMAIL]"), phone, "[PHONE]"
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(text_pii, F.lit(email)).cast("int").alias("n_emails"),
+        F.regexp_count(text_pii, F.lit(phone)).cast("int").alias("n_phones"),
+        F.length(redacted).cast("int").alias("redacted_len"),
+        (~redacted.rlike(r"@|\+1-555")).alias("clean"),
+    )
+
+
+_CONTAMINATION_ORACLE = """
+WITH words AS (
+  SELECT doc_id, source,
+         string_split_regex(trim(text), '\\s+') AS w
+  FROM documents
+), sh AS (
+  SELECT doc_id, source,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(w) - 2, 1) + 1),
+           i -> array_to_string(list_slice(w, i, i + 2), ' ')
+         ))) AS sh
+  FROM words
+), bench AS (
+  SELECT DISTINCT sh FROM sh WHERE source = 'src0'
+), corpus AS (
+  SELECT doc_id, sh FROM sh WHERE source <> 'src0'
+), tot AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+  FROM corpus GROUP BY doc_id
+), hit AS (
+  SELECT corpus.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+  FROM corpus JOIN bench USING (sh) GROUP BY corpus.doc_id
+)
+SELECT doc_id, n_shingles, n_overlap,
+       ROUND(CAST(n_overlap AS DOUBLE) / n_shingles, 6) AS contamination
+FROM tot JOIN hit USING (doc_id)
+"""
+
+
+@register(
+    "contamination_ngram_overlap",
+    oracle=_CONTAMINATION_ORACLE,
+    doc="Benchmark-contamination detection: 3-gram shingle overlap of "
+    "every corpus document against the held-out set (source=src0), "
+    "reported as an overlap rate. The benchmark shingle set is tiny "
+    "relative to the corpus, so it BROADCASTS — the corpus-side scan "
+    "never shuffles on content, only the per-doc count aggregation "
+    "moves data. This is the decontamination step every training "
+    "pipeline runs against eval suites.",
+)
+def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # spread() pays here (unlike text_bm25_ranking): the 3-gram window
+    # concat is CPU-heavy enough that full-width parallelism beats the
+    # one-time text-bytes shuffle (measured 3.1s -> 1.3s warm at sf0.1)
+    d = spread(table(spark, sf_dir, "documents"))
+    # benchmark side: the held-out source is selected AT THE SCAN
+    # (predicate pushdown) before any shingling, and its distinct
+    # shingle set is small -> broadcast
+    bench = (
+        d.filter(F.col("source") == "src0")
+        .select(F.explode_outer(word_shingles(F.col("text"), 3)).alias("sh"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    # corpus side: ONE shingling pass; overlap is a broadcast left-join
+    # marker folded into the same per-doc aggregation as the total, so
+    # the corpus is never scanned or exploded twice
+    corpus = d.filter(F.col("source") != "src0").select(
+        "doc_id", F.explode_outer(word_shingles(F.col("text"), 3)).alias("sh")
+    )
+    return (
+        corpus.join(F.broadcast(bench), "sh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_overlap"),
+        )
+        .filter(F.col("n_overlap") > 0)
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_overlap",
+            F.round(F.col("n_overlap") / F.col("n_shingles"), 6).alias(
+                "contamination"
+            ),
+        )
+    )
+
+
+_REPETITION_ORACLE = """
+WITH wc AS (
+  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+        FROM documents)
+  GROUP BY doc_id, word
+)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_words,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       ROUND(CAST(count(*) AS DOUBLE) / sum(c), 6) AS distinct_ratio,
+       ROUND(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_share,
+       (CAST(count(*) AS DOUBLE) / sum(c)) < 0.25 AS repetitive
+FROM wc
+GROUP BY doc_id
+"""
+
+
+@register(
+    "text_repetition_filter",
+    oracle=_REPETITION_ORACLE,
+    doc="Repetition-based quality scoring: per-document distinct-word "
+    "ratio and top-word share (the cheap proxies for boilerplate / "
+    "degenerate text that curation pipelines threshold on). One "
+    "tokenize pass, two stacked aggregations with map-side combine; "
+    "per-doc cardinality is bounded by vocabulary, so the shuffle "
+    "carries (doc, word) counts, never raw tokens.",
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(table(spark, sf_dir, "documents"))
+    wc = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("word"),
+        )
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return wc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.round(F.count(F.lit(1)) / F.sum("c"), 6).alias("distinct_ratio"),
+        F.round(F.max("c") / F.sum("c"), 6).alias("top_share"),
+        ((F.count(F.lit(1)) / F.sum("c")) < 0.25).alias("repetitive"),
+    )
+
+
+_MIXTURE_ORACLE = """
+WITH counts AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_lang FROM documents GROUP BY lang
+), total AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents
+), rates AS (
+  SELECT lang, n_lang,
+         least(1.0, 0.2 * n_total / n_lang) AS rate
+  FROM counts CROSS JOIN total
+)
+SELECT d.lang,
+       CAST(max(r.n_lang) AS BIGINT) AS n_lang,
+       ROUND(max(r.rate), 6) AS rate,
+       CAST(count(*) FILTER (WHERE d.doc_id % 10000
+            < CAST(floor(r.rate * 10000) AS BIGINT)) AS BIGINT) AS n_kept
+FROM documents d JOIN rates r USING (lang)
+GROUP BY d.lang
+"""
+
+
+@register(
+    "mixture_resample_by_lang",
+    oracle=_MIXTURE_ORACLE,
+    doc="Deterministic mixture rebalancing: compute per-language "
+    "acceptance rates toward a uniform 20% target share, then select "
+    "rows by a doc_id modulus (hash-free, replayable, no RNG state) "
+    "— how a pipeline downsamples over-represented languages to hit "
+    "a target training mixture. Rates derive from two tiny broadcast "
+    "aggregates; the selection predicate is row-local.",
+)
+def mixture_resample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    total = d.agg(F.count(F.lit(1)).alias("n_total"))
+    rates = counts.crossJoin(F.broadcast(total)).select(
+        "lang",
+        "n_lang",
+        F.least(F.lit(1.0), 0.2 * F.col("n_total") / F.col("n_lang")).alias(
+            "rate"
+        ),
+    )
+    return (
+        d.join(F.broadcast(rates), "lang")
+        .groupBy("lang")
+        .agg(
+            F.max("n_lang").alias("n_lang"),
+            F.round(F.max("rate"), 6).alias("rate"),
+            F.sum(
+                F.when(
+                    F.col("doc_id") % 10000
+                    < F.floor(F.col("rate") * 10000).cast("bigint"),
+                    1,
+                ).otherwise(0)
+            ).alias("n_kept"),
+        )
     )

@@ -222,6 +222,48 @@ def scalar_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_VARIANT_ORACLE = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INTEGER)), 6)
+           AS avg_k,
+       CAST(count(json_extract_string(props, '$.missing')) AS BIGINT)
+           AS n_missing
+FROM events
+GROUP BY event_type
+"""
+
+
+@register(
+    "scalar_variant_json",
+    oracle=_VARIANT_ORACLE,
+    doc="Schema-less JSON via Spark 4 VARIANT (parse_json + "
+    "variant_get): the engine's modern mapping of the reference's "
+    "dynamic payload model (SURVEY.md §1.2) — one binary-encoded "
+    "parse per row instead of a re-parse per extracted path, typed "
+    "extraction at use sites, missing paths -> NULL "
+    "(try_variant_get; sql.py:159-163 parity). Aggregates the "
+    "extracted value to prove the typed path feeds JVM-side "
+    "aggregation directly.",
+)
+def scalar_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return (
+        ev.select(
+            "event_type",
+            F.try_variant_get(v, "$.k", "int").alias("k"),
+            F.try_variant_get(v, "$.missing", "string").alias("missing"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.count("missing").alias("n_missing"),
+        )
+    )
+
+
 _MAP_ORACLE = """
 SELECT event_id,
        json_keys(props) AS prop_keys,
