@@ -233,3 +233,49 @@ def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate("u").cast("long").alias("approx_users"),
     )
     return per_group.unionByName(overall)
+
+
+@register(
+    "agg_kll_quantile_sketch",
+    oracle=None,  # sketch-library specific binary — rows-only
+    doc="Mergeable KLL quantile sketches (k=200): per-group sketches "
+    "built in one pass, then FOLDED into a corpus-wide p50/p95 with "
+    "kll_sketch_merge (no rescan) — the re-aggregatable quantile "
+    "primitive percentile_approx alone cannot express (persist "
+    "sketches per partition/day, merge on demand). The cross-group "
+    "fold is a reduce over collect_list, safe because its input is "
+    "one ~KB sketch per group, not data rows. Tolerance vs exact "
+    "percentiles is asserted in tests/test_llm_operators.py.",
+)
+def agg_kll_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sk = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.kll_sketch_agg_double("value", F.lit(200)).alias("sk"))
+    )
+    per_group = sk.select(
+        "event_type",
+        F.round(
+            F.kll_sketch_get_quantile_double("sk", F.lit(0.5)), 6
+        ).alias("p50"),
+        F.round(
+            F.kll_sketch_get_quantile_double("sk", F.lit(0.95)), 6
+        ).alias("p95"),
+    )
+    merged = sk.agg(F.collect_list("sk").alias("arr")).select(
+        F.reduce(
+            F.slice("arr", 2, 1_000_000),
+            F.element_at("arr", 1),
+            lambda acc, x: F.kll_sketch_merge_double(acc, x),
+        ).alias("m")
+    )
+    overall = merged.select(
+        F.lit("ALL").alias("event_type"),
+        F.round(
+            F.kll_sketch_get_quantile_double("m", F.lit(0.5)), 6
+        ).alias("p50"),
+        F.round(
+            F.kll_sketch_get_quantile_double("m", F.lit(0.95)), 6
+        ).alias("p95"),
+    )
+    return per_group.unionByName(overall)

@@ -269,3 +269,48 @@ def cdc_compact(
     shutil.rmtree(path)
     os.replace(tmp, path)
     return n
+
+
+def partitioned_overwrite_sink(
+    path: str, partition_col: str = "__batch_id"
+) -> Callable[[DataFrame, int], None]:
+    """Exactly-once parquet sink via dynamic partition overwrite: each
+    micro-batch lands in its own partition directory keyed by batch id,
+    and ``overwrite`` in *dynamic* mode replaces only the partitions
+    present in the incoming data — so a replayed batch atomically
+    supersedes its own earlier (possibly partial) attempt and touches
+    nothing else. Idempotence without a transaction log or key lookup:
+    the object-store-native pattern for append-mostly streams, and the
+    cheaper sibling of :func:`idempotent_sqlite_table_sink` (which
+    keys deletes on batch id) and :func:`cdc_upsert_sink` (which
+    resolves at read time).
+
+    Downstream batch readers also get partition pruning on
+    ``partition_col`` for free (incremental consumption of one batch's
+    output is a directory scan, not a table scan).
+    """
+
+    def callback(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        prev = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", None
+        )
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+        try:
+            (
+                batch_df.withColumn(partition_col, F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy(partition_col)
+                .parquet(path)
+            )
+        finally:
+            if prev is not None:
+                spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", prev
+                )
+            else:
+                spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+
+    return callback

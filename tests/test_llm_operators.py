@@ -164,3 +164,30 @@ def test_hll_sketch_union_within_tolerance(spark):
     assert set(got) == set(exact)
     for k, est in got.items():
         assert abs(est - exact[k]) <= max(1, 0.05 * exact[k]), (k, est, exact[k])
+
+
+def test_kll_quantile_sketch_within_rank_tolerance(spark):
+    """KLL (k=200) quantile estimates must land within 5% *rank* error
+    of the exact distribution, per group and for the merged ALL row
+    (KLL guarantees rank accuracy, not value accuracy)."""
+    from pyspark.sql import functions as F
+
+    from rabbithole_spark.catalog import load_all
+    from rabbithole_spark.session import table
+
+    sf = "/root/testdata/sf0.01"
+    got = {
+        r.event_type: (r.p50, r.p95)
+        for r in load_all()["agg_kll_quantile_sketch"].fn(spark, sf).collect()
+    }
+    ev = table(spark, sf, "events")
+    groups = {r.event_type for r in ev.select("event_type").distinct().collect()}
+    assert set(got) == groups | {"ALL"}
+    for key, (p50, p95) in got.items():
+        vals = (
+            ev if key == "ALL" else ev.filter(F.col("event_type") == key)
+        ).select("value")
+        n = vals.count()
+        for q, est in ((0.5, p50), (0.95, p95)):
+            rank = vals.filter(F.col("value") <= est).count() / n
+            assert abs(rank - q) <= 0.05, (key, q, est, rank)

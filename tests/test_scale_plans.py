@@ -199,3 +199,27 @@ def test_filter_and_projection_reach_parquet_scan(spark):
     read_cols = [c for c in schema.split("struct<", 1)[1].split(",")]
     assert len(read_cols) == 7, schema
     assert "l_comment" not in schema and "l_orderkey" not in schema, schema
+
+
+def test_dynamic_partition_pruning_from_join(spark, tmp_path):
+    """A join against a filtered dim prunes the partitioned fact at
+    runtime (DPP): the fact scan carries a dynamicpruning subquery on
+    the partition key, so only matching date directories are read —
+    the mechanism that keeps dim-filtered scans O(selected partitions)
+    at 100 TB even when the filter values are only known at run time."""
+    out = str(tmp_path / "orders_by_prio")
+    orders = table(spark, SF, "orders")
+    orders.write.partitionBy("o_orderpriority").parquet(out)
+    fact = spark.read.parquet(out)
+    dim = spark.createDataFrame(
+        [("1-URGENT", 1), ("2-HIGH", 2), ("3-MEDIUM", 3),
+         ("4-NOT SPECIFIED", 4), ("5-LOW", 5)],
+        ["o_orderpriority", "prio_rank"],
+    ).filter(F.col("prio_rank") <= 2)
+    joined = fact.join(dim, "o_orderpriority")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    expected = orders.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    ).count()
+    assert joined.count() == expected

