@@ -223,3 +223,40 @@ def test_dynamic_partition_pruning_from_join(spark, tmp_path):
         F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     ).count()
     assert joined.count() == expected
+
+
+def test_runtime_bloom_filter_injected_on_shuffle_join(spark):
+    """When neither join side broadcasts (the 100 TB fact-fact case),
+    the optimizer injects a runtime Bloom filter: the selective dim
+    filter is aggregated into a bloom_filter_agg and applied as
+    might_contain on the fact scan side, cutting shuffled fact rows
+    to ~the join's selectivity before the exchange."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = table(spark, SF, "lineitem")
+        orders = table(spark, SF, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan[:1500]
+        assert "might_contain" in plan, plan[:1500]
+        n_filtered = j.count()
+    finally:
+        for k, v in prev.items():
+            if v is not None:
+                spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
+    # same result as the default (broadcast-join) plan
+    li = table(spark, SF, "lineitem")
+    orders = table(spark, SF, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    assert li.join(orders, li.l_orderkey == orders.o_orderkey).count() == n_filtered
