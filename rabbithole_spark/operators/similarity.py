@@ -29,6 +29,7 @@ __all__ = [
     "ivf_topk",
     "quantize_unit_int8",
     "quantized_topk",
+    "kmeans_fit_assign",
 ]
 
 
@@ -229,3 +230,86 @@ def ivf_topk(
         .drop("__vec", "__cell")
     )
     return cosine_topk(pruned, embedding_col, query_vec, k, id_cols)
+
+
+def kmeans_fit_assign(
+    df: DataFrame,
+    vec_col: str,
+    id_cols: list[str],
+    k: int = 10,
+    iters: int = 4,
+) -> DataFrame:
+    """Lloyd's k-means over an embedding column, Spark-first: the
+    per-iteration assignment is one scan (each row computes k squared
+    L2 distances against a *literal* centroid array — the broadcast-
+    variable pattern, no join, no shuffle on the fact side) and the
+    update is one (cluster, pos) aggregation (the embedding_centroids
+    shape), whose k x dim result collects to the driver and folds into
+    the next iteration's plan as literals. Lineage therefore stays
+    O(1) per iteration instead of stacking query plans.
+
+    Deterministic: centroids initialize from the first k vectors by id
+    order. Returns (id_cols..., cluster, dist2) for the final
+    assignment. At 100 TB this is exactly the IVF training loop
+    (sample -> fit -> assign is how ivf_topk's quantizer would be
+    built); iters is small because curation pipelines want coarse
+    cells, not converged clusters.
+    """
+    first = df.orderBy(*id_cols).limit(k).select(vec_col).collect()
+    centroids: list[list[float]] = [list(r[0]) for r in first]
+
+    def assign(cents: list[list[float]]) -> DataFrame:
+        carr = F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("cid"),
+                    F.array(*[F.lit(float(x)) for x in c]).alias("cvec"),
+                )
+                for i, c in enumerate(cents)
+            ]
+        )
+        e = df.select(*id_cols, vec_col, F.explode(carr).alias("c"))
+        dist2 = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.col("c.cvec"),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return (
+            e.select(*id_cols, F.col(vec_col), F.col("c.cid").alias("cid"),
+                     dist2.alias("dist2"))
+            .groupBy(*id_cols)
+            .agg(
+                F.min_by("cid", F.col("dist2")).alias("cluster"),
+                F.min("dist2").alias("dist2"),
+                F.any_value(F.col(vec_col)).alias("__v"),
+            )
+        )
+
+    for _ in range(iters):
+        assigned = assign(centroids)
+        new = (
+            assigned.select("cluster", F.posexplode("__v").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("val").alias("avg_val"))
+            .groupBy("cluster")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "avg_val"))
+                ).alias("pairs")
+            )
+            .select(
+                "cluster",
+                F.transform(F.col("pairs"), lambda p: p.avg_val).alias("cvec"),
+            )
+            .collect()
+        )
+        for row in new:  # empty clusters keep their previous centroid
+            centroids[row["cluster"]] = [float(x) for x in row["cvec"]]
+
+    return assign(centroids).select(
+        *id_cols, "cluster", F.round(F.col("dist2"), 6).alias("dist2")
+    )

@@ -1214,3 +1214,27 @@ def mixture_resample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_kept"),
         )
     )
+
+
+@register(
+    "similarity_kmeans_clusters",
+    oracle=None,  # iterative algorithm — rows-only + purity test
+    doc="Semantic clustering of the embedding corpus: deterministic "
+    "Lloyd's k-means (k=10, 4 iterations), per-iteration cost = one "
+    "assignment scan against literal (broadcast-pattern) centroids + "
+    "one (cluster, pos) update aggregation; cluster sizes and mean "
+    "within-cluster squared distance reported per cluster. The "
+    "training loop of an IVF index and the grouping step of "
+    "semantic dedup. Label purity is asserted in "
+    "tests/test_llm_operators.py.",
+)
+def similarity_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rabbithole_spark.operators.similarity import kmeans_fit_assign
+
+    assigned = kmeans_fit_assign(
+        table(spark, sf_dir, "embeddings"), "embedding", ["vec_id"], k=10, iters=4
+    )
+    return assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.avg("dist2"), 6).alias("avg_dist2"),
+    )

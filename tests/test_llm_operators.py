@@ -191,3 +191,36 @@ def test_kll_quantile_sketch_within_rank_tolerance(spark):
         for q, est in ((0.5, p50), (0.95, p95)):
             rank = vals.filter(F.col("value") <= est).count() / n
             assert abs(rank - q) <= 0.05, (key, q, est, rank)
+
+
+def test_kmeans_invariants(spark):
+    """Deterministic k-means contracts (the synthetic embeddings are
+    nearly isotropic — ideal label purity is only ~0.41 — so the test
+    asserts algorithmic invariants, not label recovery): every vector
+    assigned exactly once to one of <= k clusters, inertia does not
+    increase with more Lloyd iterations, and the fit is reproducible."""
+    from pyspark.sql import functions as F
+
+    from rabbithole_spark.operators.similarity import kmeans_fit_assign
+    from rabbithole_spark.session import table
+
+    sf = "/root/testdata/sf0.01"
+    emb = table(spark, sf, "embeddings")
+    a4 = kmeans_fit_assign(emb, "embedding", ["vec_id"], k=10, iters=4)
+    rows = a4.collect()
+    assert len(rows) == emb.count()
+    assert len({r.vec_id for r in rows}) == len(rows)
+    assert len({r.cluster for r in rows}) <= 10
+    assert all(r.dist2 >= 0 for r in rows)
+    inertia4 = sum(r.dist2 for r in rows)
+    a1 = kmeans_fit_assign(emb, "embedding", ["vec_id"], k=10, iters=1)
+    inertia1 = a1.agg(F.sum("dist2")).collect()[0][0]
+    assert inertia4 <= inertia1 + 1e-6, (inertia4, inertia1)
+    # deterministic: re-running the fit reproduces the assignment
+    again = {
+        r.vec_id: r.cluster
+        for r in kmeans_fit_assign(
+            emb, "embedding", ["vec_id"], k=10, iters=4
+        ).collect()
+    }
+    assert again == {r.vec_id: r.cluster for r in rows}
