@@ -17,6 +17,7 @@ Message envelope (what the broker/spool delivers):
 from __future__ import annotations
 
 import json
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -206,4 +207,109 @@ def register_amqp_source(spark: SparkSession) -> bool:
     if not _HAVE_DATASOURCE_API:
         return False
     spark.dataSource.register(AmqpDataSource)
+    return True
+
+
+# --- Spool Python DataSource stream writer -----------------------------------
+
+try:
+    from pyspark.sql.datasource import (
+        DataSourceStreamWriter,
+        WriterCommitMessage,
+    )
+
+    _HAVE_WRITER_API = True
+except ImportError:  # pragma: no cover - older PySpark
+    DataSourceStreamWriter = object  # type: ignore[assignment,misc]
+    WriterCommitMessage = object  # type: ignore[assignment,misc]
+    _HAVE_WRITER_API = False
+
+
+class SpoolCommitMessage(WriterCommitMessage):
+    """Picklable commit message: where a task staged its file."""
+
+    def __init__(self, staged: str, rows: int):
+        self.staged = staged
+        self.rows = rows
+
+
+class SpoolStreamWriter(DataSourceStreamWriter):
+    """Exactly-once JSON-lines sink via the Spark 4 Python DataSource
+    writer API — the custom-connector counterpart of the AMQP reader,
+    and the durable inverse of the reference's SQL output block.
+
+    Two-phase commit: each task writes its partition to a unique file
+    under ``<path>/_staging`` and returns it as a commit message; the
+    driver's ``commit`` renames staged files to deterministic
+    ``batch-<id>-<i>`` names (clearing any earlier attempt of the same
+    batch first, so replays supersede rather than duplicate); ``abort``
+    discards the staging files. Readers (read_spool_batch/stream,
+    pathGlobFilter excludes ``_staging``) therefore never observe a
+    partially-written batch. On a cluster, ``path`` must be shared
+    storage — same contract as every file sink.
+    """
+
+    def __init__(self, options: dict):
+        self.path = options.get("path", "")
+        if not self.path:
+            raise ValueError("spool writer requires option 'path'")
+        self.stage = os.path.join(self.path, "_staging")
+
+    def write(self, iterator):
+        import uuid
+
+        from pyspark import TaskContext
+
+        os.makedirs(self.stage, exist_ok=True)
+        pid = TaskContext.get().partitionId()
+        target = os.path.join(
+            self.stage, f"part-{pid:05d}-{uuid.uuid4().hex[:8]}.jsonl"
+        )
+        n = 0
+        with open(target, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write(json.dumps(row.asDict(), default=str) + "\n")
+                n += 1
+        return SpoolCommitMessage(staged=target, rows=n)
+
+    def commit(self, messages, batchId: int) -> None:
+        import glob
+
+        for stale in glob.glob(
+            os.path.join(self.path, f"batch-{batchId:010d}-*.jsonl")
+        ):
+            os.remove(stale)  # replayed batch supersedes its old attempt
+        for i, message in enumerate(messages):
+            if message is None:
+                continue
+            final = os.path.join(
+                self.path, f"batch-{batchId:010d}-{i:05d}.jsonl"
+            )
+            os.replace(message.staged, final)
+
+    def abort(self, messages, batchId: int) -> None:
+        for message in messages:
+            if message is not None and os.path.exists(message.staged):
+                os.remove(message.staged)
+
+
+class SpoolDataSource(DataSource):
+    """``writeStream.format("rabbithole-spool")`` JSON-lines sink."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "rabbithole-spool"
+
+    def schema(self) -> str:
+        return "exchange string, content_type string, body string"
+
+    def streamWriter(self, schema, overwrite):  # noqa: ARG002
+        return SpoolStreamWriter(dict(self.options))
+
+
+def register_spool_sink(spark: SparkSession) -> bool:
+    """Register the spool sink DataSource (no-op if API missing)."""
+    if not (_HAVE_DATASOURCE_API and _HAVE_WRITER_API):
+        return False
+    spark.dataSource.register(SpoolDataSource)
     return True

@@ -110,3 +110,69 @@ def test_exchanges_declared_and_bound():
 def test_no_replay_between_offsets():
     reader, _ = _reader([("logs", "application/json", b"{}")])
     assert list(reader.readBetweenOffsets({"delivered": 0}, {"delivered": 1})) == []
+
+
+def test_spool_sink_roundtrip_and_replay_idempotent(spark, tmp_path):
+    """Python DataSource stream writer: envelopes written through the
+    rabbithole-spool sink are readable back exactly; a replayed batch
+    (same batch id) supersedes its earlier attempt instead of
+    duplicating; staging never leaks into readers."""
+    import json as _json
+    import os as _os
+
+    from rabbithole_spark.streaming.sources import (
+        SpoolStreamWriter,
+        read_spool_batch,
+        register_spool_sink,
+        write_spool_messages,
+    )
+
+    assert register_spool_sink(spark)
+    src = str(tmp_path / "in_spool")
+    out = str(tmp_path / "out_spool")
+    ckpt = str(tmp_path / "ckpt")
+    msgs = [
+        {"exchange": "ex1", "content_type": "application/json",
+         "body": _json.dumps({"k": i})}
+        for i in range(20)
+    ]
+    write_spool_messages(src, msgs, "f0.jsonl")
+
+    from rabbithole_spark.streaming.sources import read_spool_stream
+
+    q = (
+        read_spool_stream(spark, src)
+        .writeStream.format("rabbithole-spool")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = read_spool_batch(spark, out).collect()
+    assert len(got) == 20
+    assert sorted(_json.loads(r.body)["k"] for r in got) == list(range(20))
+    assert all(r.exchange == "ex1" for r in got)
+
+    # replay batch 0 by hand: commit must supersede, not duplicate
+    writer = SpoolStreamWriter({"path": out})
+    staged = _os.path.join(out, "_staging")
+    _os.makedirs(staged, exist_ok=True)
+    replay = _os.path.join(staged, "part-replay.jsonl")
+    with open(replay, "w") as fh:
+        for i in range(5):
+            fh.write(_json.dumps(
+                {"exchange": "ex1", "content_type": "application/json",
+                 "body": _json.dumps({"k": i})}) + "\n")
+
+    class _Msg:
+        def __init__(self, staged, rows):
+            self.staged, self.rows = staged, rows
+
+    writer.commit([_Msg(replay, 5)], 0)
+    again = read_spool_batch(spark, out).collect()
+    assert len(again) == 5
+    assert sorted(_json.loads(r.body)["k"] for r in again) == list(range(5))
+    # no staging leftovers visible
+    assert not any("_staging" in f for f in _os.listdir(out) if f.endswith(".jsonl"))
