@@ -260,3 +260,44 @@ def test_runtime_bloom_filter_injected_on_shuffle_join(spark):
         F.col("o_orderpriority") == "1-URGENT"
     )
     assert li.join(orders, li.l_orderkey == orders.o_orderkey).count() == n_filtered
+
+
+SHUFFLE_BUDGETS = {
+    # query -> max non-broadcast Exchanges allowed in the initial plan.
+    # These are the measured optimal shapes (sf0.001, AQE initial plan);
+    # a future edit that adds a shuffle should have to justify itself.
+    "pricing_summary": 2,            # agg + final sort
+    "topk_per_group": 1,             # window partition only
+    "join_asof_events": 1,           # union-merge as-of: ONE shuffle
+    "dedup_exact_documents": 1,      # hash groupBy
+    "agg_rollup": 1,                 # expand + agg share one exchange
+    "tpch_q3_shipping_priority": 1,  # dims broadcast; one fact shuffle
+    "join_multiway_revenue": 2,      # fact-fact join + agg/sort
+    "text_bm25_ranking": 3,          # per-doc agg, scoring agg, sort
+}
+
+
+def test_headline_shuffle_budgets(spark):
+    """Shuffle-count regression guard: each headline query's plan must
+    not exceed its measured-optimal number of shuffle Exchanges
+    (broadcast and reused exchanges excluded — those are the cheap
+    kind we *want*)."""
+    from rabbithole_spark.catalog import load_all
+
+    specs = load_all()
+    over = {}
+    for name, budget in SHUFFLE_BUDGETS.items():
+        plan = (
+            specs[name].fn(spark, SF)._jdf.queryExecution()
+            .executedPlan().toString()
+        )
+        n = sum(
+            1
+            for line in plan.splitlines()
+            if "Exchange " in line
+            and "Broadcast" not in line
+            and "Reused" not in line
+        )
+        if n > budget:
+            over[name] = (n, budget)
+    assert not over, f"shuffle budget exceeded: {over}"
