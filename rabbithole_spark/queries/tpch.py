@@ -109,3 +109,96 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_name",
         )
     )
+
+
+_Q18_ORACLE = f"""
+WITH big AS (
+  SELECT l_orderkey, {sql_dsum("l_quantity", "total_qty", 2)}
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+FROM big
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+WHERE total_qty > 250
+ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+LIMIT 100
+"""
+
+
+@register(
+    "tpch_q18_large_volume",
+    oracle=_Q18_ORACLE,
+    doc="TPC-H Q18 shape (large-volume customers): the classic "
+    "IN-(grouped-HAVING-subquery) is expressed as agg -> filter -> "
+    "join, so the per-order quantity sum is computed ONCE and carried "
+    "through the join instead of re-aggregated after it; the filtered "
+    "order set is small, so AQE broadcasts it against orders and "
+    "customer joins stay shuffle-light. Decimal-exact sum per the "
+    "numeric policy; deterministic tie-break on orderkey.",
+)
+def tpch_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum(F.col("l_quantity"), "total_qty", 2))
+        .filter(F.col("total_qty") > 250)
+    )
+    return (
+        orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(customer, F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(
+            F.col("o_totalprice").desc(), "o_orderdate", "o_orderkey"
+        )
+        .limit(100)
+    )
+
+
+_Q4_ORACLE = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_late_orders
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register(
+    "tpch_q4_exists_shape",
+    oracle=_Q4_ORACLE,
+    doc="TPC-H Q4 shape (correlated EXISTS): orders with at least one "
+    "line shipped >30 days after the order date, counted by priority. "
+    "The correlated subquery compiles to a LEFT SEMI join on "
+    "(orderkey, date predicate) — one shuffle, no row multiplication "
+    "from multi-line matches, which is why EXISTS-as-semi-join is the "
+    "scalable translation (an inner join + distinct would shuffle the "
+    "duplicated matches first).",
+)
+def tpch_q4_exists_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_late_orders"))
+        .orderBy("o_orderpriority")
+    )
