@@ -1238,3 +1238,56 @@ def similarity_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_vectors"),
         F.round(F.avg("dist2"), 6).alias("avg_dist2"),
     )
+
+
+_SOURCE_QUALITY_ORACLE = """
+WITH scored AS (
+  SELECT source,
+         CAST(CASE WHEN length(text) BETWEEN 50 AND 10000 THEN 0.4 ELSE 0 END
+         + CASE WHEN CAST(length(regexp_replace(text, '[^\\.,;:!\\?''"]', '', 'g')) AS DOUBLE)
+                     / CAST(length(text) AS DOUBLE) < 0.1 THEN 0.3 ELSE 0 END
+         + CASE WHEN CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                  t -> list_contains(['the','a','of','and','to','in','is','it'], t))) AS DOUBLE)
+                     / CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS DOUBLE) > 0.01
+                THEN 0.3 ELSE 0 END AS DOUBLE) AS quality
+  FROM documents
+), rolled AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         ROUND(AVG(quality), 6) AS avg_quality
+  FROM scored GROUP BY source
+)
+SELECT source, n_docs, avg_quality,
+       CAST(ntile(4) OVER (ORDER BY avg_quality DESC, source) AS INTEGER)
+           AS quality_quartile,
+       ntile(4) OVER (ORDER BY avg_quality DESC, source) = 4 AS drop_source
+FROM rolled
+"""
+
+
+@register(
+    "source_quality_rollup",
+    oracle=_SOURCE_QUALITY_ORACLE,
+    doc="Source-level quality gate: per-source document count + mean "
+    "quality score, quartiled; the bottom quartile is flagged for "
+    "drop — curation pipelines prune whole sources/domains before "
+    "per-document filtering because source reputation is the cheaper "
+    "signal. Per-doc scoring is row-local; the rollup shuffles one "
+    "row per source; the quartile window runs on the (tiny) source "
+    "relation only.",
+)
+def source_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = spread(table(spark, sf_dir, "documents"))
+    rolled = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(quality_score(F.col("text"))), 6).alias("avg_quality"),
+    )
+    w = Window.orderBy(F.col("avg_quality").desc(), "source")
+    return rolled.select(
+        "source",
+        "n_docs",
+        "avg_quality",
+        F.ntile(4).over(w).cast("int").alias("quality_quartile"),
+        (F.ntile(4).over(w) == 4).alias("drop_source"),
+    )
