@@ -1291,3 +1291,106 @@ def source_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w).cast("int").alias("quality_quartile"),
         (F.ntile(4).over(w) == 4).alias("drop_source"),
     )
+
+
+_CURATION_ORACLE = """
+WITH scored AS (
+  SELECT doc_id, source, lang, text,
+         CAST(CASE WHEN length(text) BETWEEN 50 AND 10000 THEN 0.4 ELSE 0 END
+         + CASE WHEN CAST(length(regexp_replace(text, '[^\\.,;:!\\?''"]', '', 'g')) AS DOUBLE)
+                     / CAST(length(text) AS DOUBLE) < 0.1 THEN 0.3 ELSE 0 END
+         + CASE WHEN CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                  t -> list_contains(['the','a','of','and','to','in','is','it'], t))) AS DOUBLE)
+                     / CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS DOUBLE) > 0.01
+                THEN 0.3 ELSE 0 END AS DOUBLE) AS quality
+  FROM documents
+), rolled AS (
+  SELECT source, ROUND(AVG(quality), 6) AS avg_quality
+  FROM scored GROUP BY source
+), kept_sources AS (
+  SELECT source FROM (
+    SELECT source, ntile(4) OVER (ORDER BY avg_quality DESC, source) AS qt
+    FROM rolled) WHERE qt < 4
+), wc AS (
+  SELECT doc_id, word, count(*) AS c
+  FROM (SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+        FROM documents)
+  GROUP BY doc_id, word
+), nonrep AS (
+  SELECT doc_id FROM wc GROUP BY doc_id
+  HAVING (CAST(count(*) AS DOUBLE) / sum(c)) >= 0.25
+), filtered AS (
+  SELECT s.doc_id, s.lang,
+         md5(trim(lower(regexp_replace(regexp_replace(s.text,
+             '[\\.,;:!\\?'']', '', 'g'), '\\s+', ' ', 'g')))) AS fp
+  FROM scored s
+  JOIN kept_sources USING (source)
+  JOIN nonrep USING (doc_id)
+  WHERE s.quality >= 0.7
+), survivors AS (
+  SELECT min_by(lang, doc_id) AS lang FROM filtered GROUP BY fp
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+FROM survivors GROUP BY lang
+"""
+
+
+@register(
+    "pipeline_curation_full",
+    oracle=_CURATION_ORACLE,
+    doc="Full curation DAG composed from the catalog's primitives: "
+    "source-level quality gate (drop bottom quartile) -> per-document "
+    "quality >= 0.7 -> repetition filter (distinct-word ratio >= 0.25) "
+    "-> canonical-fingerprint dedup (min-doc_id keeper) -> per-lang "
+    "survivor counts. One text scan feeds the scoring and fingerprint "
+    "paths; the source gate and keeper joins broadcast; the word-count "
+    "repetition pass is the only token-level shuffle. The shape every "
+    "training-data pipeline runs end-to-end, oracle-checked as one "
+    "plan.",
+)
+def pipeline_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = spread(table(spark, sf_dir, "documents"))
+    scored = d.select(
+        "doc_id", "source", "lang", "text",
+        quality_score(F.col("text")).alias("quality"),
+    )
+    rolled = scored.groupBy("source").agg(
+        F.round(F.avg("quality"), 6).alias("avg_quality")
+    )
+    w = Window.orderBy(F.col("avg_quality").desc(), "source")
+    kept_sources = (
+        rolled.select("source", F.ntile(4).over(w).alias("qt"))
+        .filter(F.col("qt") < 4)
+        .select("source")
+    )
+    wc = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("word"),
+        )
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    nonrep = (
+        wc.groupBy("doc_id")
+        .agg(
+            (F.count(F.lit(1)) / F.sum("c")).alias("ratio")
+        )
+        .filter(F.col("ratio") >= 0.25)
+        .select("doc_id")
+    )
+    filtered = (
+        scored.join(F.broadcast(kept_sources), "source")
+        .join(nonrep, "doc_id")
+        .filter(F.col("quality") >= 0.7)
+        .select("doc_id", "lang", fingerprint(F.col("text")).alias("fp"))
+    )
+    survivors = filtered.groupBy("fp").agg(
+        F.min_by("lang", "doc_id").alias("lang")
+    )
+    return survivors.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
