@@ -40,6 +40,88 @@ HEADLINE = [
 ]
 
 
+def etl_throughput(spark, sf_dir: str) -> dict:
+    """Streaming ETL rows/sec through the real user surface (YAML spec
+    -> spool source -> decode -> mapper -> sqlite sink) — the
+    reference's actual workload shape (AMQP->SQL bridge), measured
+    end-to-end including checkpointing. executemany chunk = 500 (the
+    reference default of 5 is a latency knob, not a throughput one)."""
+    import shutil
+    import sqlite3
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from rabbithole_spark.plans.spec import PipelineSpec, compile_pipeline
+    from rabbithole_spark.session import table
+
+    tmp = tempfile.mkdtemp(prefix="bench_etl_")
+    spool, db = os.path.join(tmp, "spool"), os.path.join(tmp, "out.sqlite")
+    try:
+        ev = table(spark, sf_dir, "events")
+        body = F.to_json(F.struct("event_id", "user_id", "value", "event_type"))
+        env = ev.select(
+            F.to_json(
+                F.struct(
+                    F.lit("bench").alias("exchange"),
+                    F.lit("application/json").alias("content_type"),
+                    body.alias("body"),
+                )
+            ).alias("value")
+        )
+        env.coalesce(4).write.mode("overwrite").text(spool)
+        n = spark.read.text(spool).count()
+        con = sqlite3.connect(db)
+        con.execute(
+            "CREATE TABLE events_out (event_id INTEGER, user_id INTEGER,"
+            " value REAL, event_type TEXT)"
+        )
+        con.commit()
+        con.close()
+        spec = PipelineSpec.from_dict(
+            {
+                "size_limit": 500,
+                "time_limit": 15,
+                "blocks": [
+                    {"name": "in", "type": "spool", "kwargs": {"path": spool}},
+                    {"name": "out", "type": "sql",
+                     "kwargs": {"url": f"sqlite:///{db}"}},
+                ],
+                "flows": [
+                    [
+                        {"name": "in", "kwargs": {"exchange": "bench"}},
+                        {"name": "out", "kwargs": {
+                            "query": "INSERT INTO events_out VALUES "
+                            "(:event_id, :user_id, :value, :event_type)",
+                            "parameters": {
+                                "event_id": "event_id",
+                                "user_id": "user_id",
+                                "value": "value",
+                                "event_type": "event_type",
+                            },
+                        }},
+                    ]
+                ],
+            }
+        )
+        runners = compile_pipeline(spark, spec, os.path.join(tmp, "ckpt"))
+        start = time.perf_counter()
+        for q in runners[0].start(available_now=True):
+            q.awaitTermination(600)
+        wall = time.perf_counter() - start
+        con = sqlite3.connect(db)
+        written = con.execute("SELECT count(*) FROM events_out").fetchone()[0]
+        con.close()
+        return {
+            "rows": written,
+            "sec": round(wall, 3),
+            "rows_per_sec": round(written / wall, 1),
+            "complete": written == n,
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -73,6 +155,11 @@ def main() -> None:
         except Exception as exc:  # one broken query must not kill the bench
             failures[name] = f"{type(exc).__name__}: {exc}"[:200]
 
+    try:
+        etl = etl_throughput(spark, sf_dir)
+    except Exception as exc:  # throughput probe must not kill the bench
+        etl = {"error": f"{type(exc).__name__}: {exc}"[:200]}
+
     total = round(sum(timings.values()), 4)
     payload = {
         "metric": "headline_queries_total",
@@ -81,6 +168,7 @@ def main() -> None:
         "queries": timings,
         "queries_warm": warm,
         "value_warm": round(sum(warm.values()), 4),
+        "etl": etl,
         "sf": sf,
     }
     if failures:
