@@ -245,3 +245,86 @@ def temporal_calendar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last_day("o_orderdate").alias("month_end"),
         F.add_months("o_orderdate", 3).alias("plus_3_months"),
     )
+
+
+_FUNNEL_ORACLE = """
+WITH v AS (
+  SELECT user_id, min(ts) AS view_ts FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(e.ts) AS click_ts
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts >= v.view_ts
+    AND e.ts <= v.view_ts + INTERVAL 1 DAY
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(e.ts) AS purchase_ts
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= c.click_ts
+    AND e.ts <= c.click_ts + INTERVAL 1 DAY
+  GROUP BY e.user_id
+)
+SELECT stage, n_users FROM (
+  SELECT 1 AS ord, 'view' AS stage,
+         (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_users
+  UNION ALL
+  SELECT 2, 'view>click', (SELECT CAST(count(*) AS BIGINT) FROM c)
+  UNION ALL
+  SELECT 3, 'view>click>purchase',
+         (SELECT CAST(count(*) AS BIGINT) FROM p)
+) ORDER BY ord
+"""
+
+
+@register(
+    "funnel_conversion_stages",
+    oracle=_FUNNEL_ORACLE,
+    doc="Event funnel: users who viewed, then clicked at-or-after their "
+    "first view, then purchased at-or-after that click — per-stage "
+    "user counts. Each stage is a filtered min-aggregate joined to the "
+    "previous stage's (small) user set, so the event scan is pruned by "
+    "event_type pushdown per stage and the stage relations broadcast; "
+    "no window over the full event stream is needed.",
+)
+def funnel_conversion_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("view_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(F.broadcast(v), "user_id")
+        .filter(
+            (F.col("ts") >= F.col("view_ts"))
+            & (F.col("ts") <= F.col("view_ts") + F.expr("INTERVAL 1 DAY"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(c), "user_id")
+        .filter(
+            (F.col("ts") >= F.col("click_ts"))
+            & (F.col("ts") <= F.col("click_ts") + F.expr("INTERVAL 1 DAY"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    counts = [
+        v.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit("view").alias("stage"), "n_users"
+        ),
+        c.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit("view>click").alias("stage"), "n_users"
+        ),
+        p.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit("view>click>purchase").alias("stage"), "n_users"
+        ),
+    ]
+    out = counts[0]
+    for piece in counts[1:]:
+        out = out.unionByName(piece)
+    return out
