@@ -37,7 +37,7 @@ from rabbithole_spark.streaming.sources import (
 )
 
 INPUT_TYPES = ("spool", "amqp", "rate")
-OUTPUT_TYPES = ("sql", "parquet", "memory")
+OUTPUT_TYPES = ("sql", "parquet", "memory", "spool")
 
 
 class PipelineError(ValueError):
@@ -242,6 +242,33 @@ def compile_pipeline(
 
             def writer_factory(df: DataFrame):
                 return df.writeStream.format("memory").outputMode("append")
+
+        elif dst.type == "spool":
+            # relay flow: re-envelope the mapped projection and publish
+            # it to another spool under the output ref's exchange — the
+            # exchange-to-exchange bridge shape, with the exactly-once
+            # two-phase-commit spool DataSource as the transport
+            from rabbithole_spark.streaming.sources import register_spool_sink
+
+            if not register_spool_sink(spark):
+                raise PipelineError(
+                    "spool sink needs the Python DataSource API"
+                )
+            out_exchange = dst_ref.kwargs.get("exchange", "relay")
+
+            def writer_factory(
+                df: DataFrame, _path=dst.kwargs["path"], _ex=out_exchange
+            ):
+                from pyspark.sql import functions as F
+
+                env_df = df.select(
+                    F.lit(_ex).alias("exchange"),
+                    F.lit("application/json").alias("content_type"),
+                    F.to_json(F.struct(*df.columns)).alias("body"),
+                )
+                return env_df.writeStream.format("rabbithole-spool").option(
+                    "path", _path
+                )
 
         else:
             raise PipelineError(f"Block {dst.name!r} is not an output type")

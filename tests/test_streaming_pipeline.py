@@ -177,3 +177,42 @@ def test_block_level_admission_cap(spark, tmp_path):
         assert len([n for n in m.per_batch_rows if n > 0]) >= 3
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_spool_relay_flow(spark, spool, tmp_path):
+    """spool -> map -> spool relay: the output block re-envelopes the
+    mapped projection under the output exchange, through the
+    exactly-once spool DataSource sink; a downstream pipeline can
+    consume the relayed spool directly."""
+    out_spool = str(tmp_path / "relay_spool")
+    config = {
+        "size_limit": 5,
+        "time_limit": 1,
+        "blocks": [
+            {"name": "input", "type": "spool", "kwargs": {"path": spool}},
+            {"name": "relay", "type": "spool",
+             "kwargs": {"path": out_spool}},
+        ],
+        "flows": [
+            [
+                {"name": "input", "kwargs": {"exchange": "logs"}},
+                {"name": "relay", "kwargs": {
+                    "exchange": "logs-clean",
+                    "parameters": {"timestamp": "timestamp",
+                                   "message": "message.text"},
+                }},
+            ]
+        ],
+    }
+    spec = PipelineSpec.from_dict(config)
+    runners = compile_pipeline(spark, spec, str(tmp_path / "ckpt"))
+    for q in runners[0].start(available_now=True):
+        q.awaitTermination(120)
+
+    from rabbithole_spark.streaming.sources import read_spool_batch
+
+    relayed = read_spool_batch(spark, out_spool).collect()
+    assert len(relayed) == 7  # good logs rows only; bad row dropped
+    assert all(r.exchange == "logs-clean" for r in relayed)
+    bodies = sorted(json.loads(r.body)["message"] for r in relayed)
+    assert bodies == [f"msg-{i}" for i in range(7)]
