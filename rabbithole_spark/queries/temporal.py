@@ -282,9 +282,11 @@ SELECT stage, n_users FROM (
     doc="Event funnel: users who viewed, then clicked at-or-after their "
     "first view, then purchased at-or-after that click — per-stage "
     "user counts. Each stage is a filtered min-aggregate joined to the "
-    "previous stage's (small) user set, so the event scan is pruned by "
-    "event_type pushdown per stage and the stage relations broadcast; "
-    "no window over the full event stream is needed.",
+    "previous stage's user set, so the event scan is pruned by "
+    "event_type pushdown per stage; join strategy is left to AQE — "
+    "the view-stage user set is ~all users at scale, so a forced "
+    "broadcast would be wrong there and a dynamically-chosen one is "
+    "right at small SF. No window over the full event stream.",
 )
 def funnel_conversion_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
@@ -295,7 +297,7 @@ def funnel_conversion_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = (
         ev.filter(F.col("event_type") == "click")
-        .join(F.broadcast(v), "user_id")
+        .join(v, "user_id")
         .filter(
             (F.col("ts") >= F.col("view_ts"))
             & (F.col("ts") <= F.col("view_ts") + F.expr("INTERVAL 1 DAY"))
@@ -305,7 +307,7 @@ def funnel_conversion_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = (
         ev.filter(F.col("event_type") == "purchase")
-        .join(F.broadcast(c), "user_id")
+        .join(c, "user_id")
         .filter(
             (F.col("ts") >= F.col("click_ts"))
             & (F.col("ts") <= F.col("click_ts") + F.expr("INTERVAL 1 DAY"))

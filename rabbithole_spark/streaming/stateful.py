@@ -56,6 +56,9 @@ def await_state_drained(query, timeout_s: float = 240.0, poll_s: float = 0.5) ->
     try:
         while _time.monotonic() < deadline:
             if not query.isActive:
+                exc = query.exception()
+                if exc is not None:  # failed is not drained — surface it
+                    raise exc
                 return True  # terminated naturally
             progress = query.lastProgress
             if progress:
