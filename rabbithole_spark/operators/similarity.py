@@ -240,20 +240,22 @@ def kmeans_fit_assign(
     iters: int = 4,
 ) -> DataFrame:
     """Lloyd's k-means over an embedding column, Spark-first: the
-    per-iteration assignment is one scan (each row computes k squared
-    L2 distances against a *literal* centroid array — the broadcast-
-    variable pattern, no join, no shuffle on the fact side) and the
-    update is one (cluster, pos) aggregation (the embedding_centroids
-    shape), whose k x dim result collects to the driver and folds into
-    the next iteration's plan as literals. Lineage therefore stays
-    O(1) per iteration instead of stacking query plans.
+    per-iteration assignment is ROW-LOCAL — each row maps the literal
+    centroid array (the broadcast-variable pattern) to k squared L2
+    distances with transform() and takes array_min/array_position, so
+    assignment adds zero shuffles and zero row multiplication. Only
+    the centroid update shuffles (one (cluster, pos) aggregation, the
+    embedding_centroids shape), and its k x dim result collects to the
+    driver and folds into the next iteration's plan as literals —
+    lineage stays O(1) per iteration instead of stacking query plans.
 
     Deterministic: centroids initialize from the first k vectors by id
-    order. Returns (id_cols..., cluster, dist2) for the final
-    assignment. At 100 TB this is exactly the IVF training loop
-    (sample -> fit -> assign is how ivf_topk's quantizer would be
-    built); iters is small because curation pipelines want coarse
-    cells, not converged clusters.
+    order, and distance ties resolve to the lowest cluster id
+    (array_position returns the first match). Returns
+    (id_cols..., cluster, dist2) for the final assignment. At 100 TB
+    this is exactly the IVF training loop (sample -> fit -> assign is
+    how ivf_topk's quantizer would be built); iters is small because
+    curation pipelines want coarse cells, not converged clusters.
     """
     first = df.orderBy(*id_cols).limit(k).select(vec_col).collect()
     centroids: list[list[float]] = [list(r[0]) for r in first]
@@ -261,32 +263,31 @@ def kmeans_fit_assign(
     def assign(cents: list[list[float]]) -> DataFrame:
         carr = F.array(
             *[
-                F.struct(
-                    F.lit(i).alias("cid"),
-                    F.array(*[F.lit(float(x)) for x in c]).alias("cvec"),
-                )
-                for i, c in enumerate(cents)
+                F.array(*[F.lit(float(x)) for x in c])
+                for c in cents
             ]
         )
-        e = df.select(*id_cols, vec_col, F.explode(carr).alias("c"))
-        dist2 = F.aggregate(
-            F.zip_with(
-                F.col(vec_col),
-                F.col("c.cvec"),
-                lambda a, b: (a - b) * (a - b),
+        dists = F.transform(
+            carr,
+            lambda cvec: F.aggregate(
+                F.zip_with(
+                    F.col(vec_col), cvec, lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
             ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
         )
-        return (
-            e.select(*id_cols, F.col(vec_col), F.col("c.cid").alias("cid"),
-                     dist2.alias("dist2"))
-            .groupBy(*id_cols)
-            .agg(
-                F.min_by("cid", F.col("dist2")).alias("cluster"),
-                F.min("dist2").alias("dist2"),
-                F.any_value(F.col(vec_col)).alias("__v"),
-            )
+        return df.select(
+            *id_cols,
+            F.col(vec_col).alias("__v"),
+            dists.alias("__d"),
+        ).select(
+            *id_cols,
+            "__v",
+            (F.array_position(F.col("__d"), F.array_min("__d")) - 1)
+            .cast("int")
+            .alias("cluster"),
+            F.array_min("__d").alias("dist2"),
         )
 
     for _ in range(iters):
