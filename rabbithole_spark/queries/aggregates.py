@@ -279,3 +279,30 @@ def agg_kll_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p95"),
     )
     return per_group.unionByName(overall)
+
+
+_MEDIAN_ORACLE = """
+SELECT event_type,
+       ROUND(median(value), 6) AS median_value,
+       ROUND(quantile_cont(value, 0.25), 6) AS q1,
+       ROUND(quantile_cont(value, 0.75), 6) AS q3
+FROM events GROUP BY event_type
+"""
+
+
+@register(
+    "agg_median_iqr",
+    oracle=_MEDIAN_ORACLE,
+    doc="Exact grouped median + interquartile bounds "
+    "(percentile(0.5/0.25/0.75), interpolated — matches DuckDB "
+    "quantile_cont). Exact percentiles buffer each group's values, so "
+    "this is documented group-bounded; the KLL sketch twin "
+    "(agg_kll_quantile_sketch) is the unbounded-cardinality path.",
+)
+def agg_median_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("median_value"),
+        F.round(F.percentile("value", F.lit(0.25)), 6).alias("q1"),
+        F.round(F.percentile("value", F.lit(0.75)), 6).alias("q3"),
+    )

@@ -327,3 +327,36 @@ def scalar_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round("value", 2))
         .alias("value_or_sentinel"),
     )
+
+
+_TRY_ARITH_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice / nullif(l_discount, 0.0) AS price_per_discount,
+       CASE WHEN l_quantity = 0 THEN NULL
+            ELSE CAST(floor(l_extendedprice / l_quantity) AS BIGINT)
+       END AS unit_price_floor
+FROM lineitem
+WHERE l_orderkey <= 64
+"""
+
+
+@register(
+    "scalar_try_arithmetic",
+    oracle=_TRY_ARITH_ORACLE,
+    doc="Error-safe arithmetic: try_divide maps divide-by-zero to NULL "
+    "instead of failing the job or silently yielding Inf — on a "
+    "100 TB run one poisoned row must not kill a 6-hour query. "
+    "Matches the SQL NULLIF/CASE guards the oracle uses.",
+)
+def scalar_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 64)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide(
+            F.col("l_extendedprice"), F.nullif(F.col("l_discount"), F.lit(0.0))
+        ).alias("price_per_discount"),
+        F.floor(
+            F.try_divide(F.col("l_extendedprice"), F.nullif(F.col("l_quantity"), F.lit(0.0)))
+        ).cast("bigint").alias("unit_price_floor"),
+    )
