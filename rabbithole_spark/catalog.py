@@ -23,8 +23,17 @@ from rabbithole_spark.session import prepare
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-#: Query modules whose import populates the registry.
+#: Query modules whose import populates the registry. Order matters to
+#: external harnesses that check a bounded prefix of the registry per
+#: round: modules whose queries have never received an external
+#: correctness row go FIRST, already-verified modules last.
 _QUERY_MODULES = (
+    "rabbithole_spark.queries.llm",
+    "rabbithole_spark.queries.tpch",
+    "rabbithole_spark.queries.temporal",
+    "rabbithole_spark.queries.stats",
+    "rabbithole_spark.queries.udfs",
+    "rabbithole_spark.queries.pipeline",
     "rabbithole_spark.queries.core",
     "rabbithole_spark.queries.joins",
     "rabbithole_spark.queries.aggregates",
@@ -32,12 +41,6 @@ _QUERY_MODULES = (
     "rabbithole_spark.queries.setops",
     "rabbithole_spark.queries.sortlimit",
     "rabbithole_spark.queries.scalars",
-    "rabbithole_spark.queries.stats",
-    "rabbithole_spark.queries.temporal",
-    "rabbithole_spark.queries.tpch",
-    "rabbithole_spark.queries.udfs",
-    "rabbithole_spark.queries.llm",
-    "rabbithole_spark.queries.pipeline",
 )
 
 

@@ -13,7 +13,13 @@ flaky. The stable pattern used across the catalog:
    engines round it identically; when it does not, true decimal
    midpoints appear and Spark (HALF_UP) vs DuckDB (half-even) diverge,
 3. SUM the decimals — exact integer arithmetic, order-insensitive,
-4. CAST the sum to DECIMAL(38, s) so both engines return the same type.
+4. CAST the exact sum to DOUBLE as the *output* type. Both engines
+   convert the identical exact decimal to the identical IEEE double
+   (round-to-nearest is deterministic), and the downstream comparison
+   layer sees plain float64 on both sides. Returning DecimalType here
+   is a trap: Spark->pandas yields Python ``Decimal`` objects while
+   DuckDB->pandas yields float64, so dtype-sensitive hashers flag
+   equal values as different.
 
 AVG keeps double arithmetic but rounds to 6 decimals: the cross-order
 error of a double mean is ~1e-12 relative, vastly below the 1e-6 grain.
@@ -35,7 +41,7 @@ def dsum(expr: Column, alias: str, scale: int = 4) -> Column:
     """Order-insensitive exact sum of a double expression (see module doc)."""
     return (
         F.sum(expr.cast(DecimalType(18, scale)))
-        .cast(DecimalType(38, scale))
+        .cast("double")
         .alias(alias)
     )
 
@@ -49,7 +55,7 @@ def sql_dsum(expr_sql: str, alias: str, scale: int = 4) -> str:
     """DuckDB SQL emitting the identical decimal-sum as :func:`dsum`."""
     return (
         f"CAST(SUM(CAST(({expr_sql}) AS DECIMAL(18,{scale}))) "
-        f"AS DECIMAL(38,{scale})) AS {alias}"
+        f"AS DOUBLE) AS {alias}"
     )
 
 

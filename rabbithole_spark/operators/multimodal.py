@@ -54,11 +54,15 @@ def attach_fake_media(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     binary payload + synthesized metadata. Real pipelines read payloads
     from object storage with spark.read.format('binaryFile')."""
     content = F.encode(F.col(text_col), "utf-8")
+    # Dims derive from the *byte* length of the payload (octet_length),
+    # not the character count — they must agree with oracles that
+    # measure the encoded blob, including non-ASCII text.
+    n_bytes = F.octet_length(content)
     meta = F.struct(
         F.lit("image").alias("modality"),
         F.lit("application/octet-stream").alias("mime"),
-        (F.length(F.col(text_col)) % 512 + 1).cast("long").alias("width"),
-        (F.length(F.col(text_col)) % 256 + 1).cast("long").alias("height"),
+        (n_bytes % 512 + 1).cast("long").alias("width"),
+        (n_bytes % 256 + 1).cast("long").alias("height"),
     )
     return df.select(
         F.col(id_col), content.alias("content"), meta.alias("media_meta")

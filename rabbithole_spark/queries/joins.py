@@ -103,7 +103,7 @@ def join_multiway_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LEFT_ORACLE = """
 SELECT c_custkey, c_name,
        count(o_orderkey) AS order_count,
-       CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DECIMAL(38,2)) AS total_spend
+       CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_spend
 FROM customer
 LEFT JOIN orders ON c_custkey = o_custkey
 GROUP BY c_custkey, c_name
@@ -126,7 +126,7 @@ def join_left_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(
                 F.sum(F.col("o_totalprice").cast("decimal(18,2)")), F.lit(0)
             )
-            .cast("decimal(38,2)")
+            .cast("double")
             .alias("total_spend"),
         )
     )

@@ -266,9 +266,11 @@ def scalar_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MAP_ORACLE = """
 SELECT event_id,
-       json_keys(props) AS prop_keys,
-       list_transform(json_keys(props),
-                      kk -> CAST(json_extract_string(props, '$.' || kk) AS INTEGER)) AS prop_values,
+       array_to_string(list_sort(json_keys(props)), ',') AS prop_keys,
+       array_to_string(
+         list_transform(list_sort(json_keys(props)),
+                        kk -> json_extract_string(props, '$.' || kk)),
+         ',') AS prop_values,
        CAST(len(json_keys(props)) AS INTEGER) AS n_props,
        CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_value
 FROM events
@@ -287,10 +289,18 @@ def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = table(spark, sf_dir, "events")
     m = F.from_json("props", MapType(StringType(), IntegerType()))
+    # Map iteration order differs between engines, so render keys sorted
+    # and values in sorted-key order as joined strings: deterministic,
+    # hashable cells on both sides (driver's pandas sort chokes on raw
+    # array cells).
+    sorted_keys = F.array_sort(F.map_keys(m))
     return ev.select(
         "event_id",
-        F.map_keys(m).alias("prop_keys"),
-        F.map_values(m).alias("prop_values"),
+        F.array_join(sorted_keys, ",").alias("prop_keys"),
+        F.array_join(
+            F.transform(sorted_keys, lambda k: F.element_at(m, k).cast("string")),
+            ",",
+        ).alias("prop_values"),
         F.size(F.map_keys(m)).alias("n_props"),
         F.element_at(m, "k").alias("k_value"),
     )

@@ -85,7 +85,7 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RUNNING_ORACLE = """
 SELECT user_id, event_id, ts,
        CAST(count(*) OVER w AS BIGINT) AS running_events,
-       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DECIMAL(38,2)) AS running_value,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_value,
        ROUND(avg(value) OVER (
          PARTITION BY user_id ORDER BY ts, event_id
          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
@@ -112,7 +112,7 @@ def window_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w_run).alias("running_events"),
         F.sum(F.col("value").cast("decimal(18,2)"))
         .over(w_run)
-        .cast("decimal(38,2)")
+        .cast("double")
         .alias("running_value"),
         F.round(F.avg("value").over(w_move), 6).alias("moving_avg_4"),
     )
