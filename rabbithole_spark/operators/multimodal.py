@@ -34,6 +34,7 @@ __all__ = [
     "attach_fake_media",
     "extract_features",
     "decode_stub",
+    "decode_or_fake",
     "resize_media",
     "sample_frames",
 ]
@@ -69,12 +70,49 @@ def attach_fake_media(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def decode_stub(payload: bytes, mime: str):  # pragma: no cover - stub
-    """Where a real image/audio decoder would go (PIL.Image.open /
-    soundfile.read). Not available in this container."""
-    raise NotImplementedError(
-        "media decode requires codec libraries not present in this environment"
-    )
+def _pil():  # pragma: no cover - environment-dependent import probe
+    try:
+        from PIL import Image  # noqa: F401
+
+        return Image
+    except ImportError:
+        return None
+
+
+def decode_stub(payload: bytes, mime: str):
+    """Decode an image payload to an HxWxC uint8 numpy array.
+
+    Uses Pillow when it is importable (real decode of real image
+    formats); otherwise raises NotImplementedError exactly where any
+    other codec library (ffmpeg/torchaudio) would plug in. Callers that
+    need a guaranteed result use :func:`decode_or_fake`.
+    """
+    image_mod = _pil()
+    if image_mod is None:
+        raise NotImplementedError(
+            "media decode requires codec libraries not present in this "
+            "environment"
+        )
+    import io
+
+    import numpy as np
+
+    with image_mod.open(io.BytesIO(payload)) as img:
+        return np.asarray(img.convert("RGB"))
+
+
+def decode_or_fake(payload: bytes, mime: str, width: int, height: int):
+    """Real decode when a codec is available, else the deterministic
+    fake (payload bytes raveled to the metadata dims) — keeps kernels
+    runnable and bit-deterministic in codec-less environments while
+    exercising the real path wherever Pillow exists."""
+    import numpy as np
+
+    try:
+        return decode_stub(payload, mime)
+    except (NotImplementedError, OSError):
+        data = np.frombuffer(payload, dtype=np.uint8)
+        return np.resize(data, (height, width))
 
 
 FEATURE_SCHEMA = StructType(

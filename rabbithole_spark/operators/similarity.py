@@ -27,6 +27,8 @@ __all__ = [
     "hyperplane_signature",
     "ann_topk",
     "ivf_topk",
+    "ivf_build_index",
+    "ivf_topk_persisted",
     "quantize_unit_int8",
     "quantized_topk",
     "kmeans_fit_assign",
@@ -229,6 +231,104 @@ def ivf_topk(
         .filter(F.col("__cell").isin(probes))
         .drop("__vec", "__cell")
     )
+    return cosine_topk(pruned, embedding_col, query_vec, k, id_cols)
+
+
+def ivf_build_index(
+    df: DataFrame,
+    embedding_col: str,
+    path: str,
+    n_centroids: int = 16,
+    seed: int = 42,
+    sample_fraction: float = 0.5,
+) -> dict:
+    """Build the persisted IVF layout: fit the coarse quantizer on a
+    SAMPLE, assign every vector, write the corpus partitioned by cell.
+
+    This is the offline half of IVF at 100 TB: training touches a
+    fraction of the data (KMeans on the full corpus would be the
+    scale-killer), the one full pass is the partitioned write, and the
+    resulting directory layout turns every query's probe filter into
+    partition pruning. Centroids + corpus size persist in a JSON
+    sidecar so queries never refit.
+    """
+    import json
+    import os
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    n = df.count()
+    fit_df = df
+    # fit on a seeded sample unless it would starve the quantizer
+    if sample_fraction < 1.0 and n * sample_fraction >= 4 * n_centroids:
+        fit_df = df.sample(fraction=sample_fraction, seed=seed)
+    model = KMeans(
+        k=n_centroids, seed=seed, featuresCol="__vec", predictionCol="cell"
+    ).fit(fit_df.withColumn("__vec", array_to_vector(F.col(embedding_col))))
+    assigned = model.transform(
+        df.withColumn("__vec", array_to_vector(F.col(embedding_col)))
+    ).drop("__vec")
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+    meta = {
+        "n": n,
+        "n_centroids": n_centroids,
+        "seed": seed,
+        "centers": [[float(x) for x in c] for c in model.clusterCenters()],
+    }
+    with open(os.path.join(path, "_ivf_meta.json"), "w") as fh:
+        json.dump(meta, fh)
+    return meta
+
+
+def ivf_topk_persisted(
+    spark,
+    df: DataFrame,
+    embedding_col: str,
+    query_vec: list[float],
+    index_path: str,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    k: int = 10,
+    id_cols: list[str] | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF search against the prebuilt cell-partitioned layout.
+
+    Builds (or rebuilds, when the corpus size or quantizer config
+    changed) the index via :func:`ivf_build_index`, then searches it:
+    nearest ``nprobe`` centroids come from the JSON sidecar (driver-side
+    k x dim math), and the scan of the layout carries
+    ``cell IN (probes)`` — PartitionFilters in the plan, so only
+    nprobe/n_centroids of the corpus is read.
+    """
+    import json
+    import os
+
+    import numpy as np
+
+    meta = None
+    meta_path = os.path.join(index_path, "_ivf_meta.json")
+    try:
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+    except (OSError, ValueError):
+        meta = None
+    if (
+        meta is None
+        or meta.get("n") != df.count()
+        or meta.get("n_centroids") != n_centroids
+        or meta.get("seed") != seed
+    ):
+        meta = ivf_build_index(
+            df, embedding_col, index_path, n_centroids=n_centroids, seed=seed
+        )
+    centers = np.asarray(meta["centers"], dtype=np.float64)
+    qv = np.asarray(query_vec, dtype=np.float64)
+    probes = [
+        int(i) for i in np.argsort(np.linalg.norm(centers - qv, axis=1))[:nprobe]
+    ]
+    pruned = spark.read.parquet(index_path).filter(F.col("cell").isin(probes))
     return cosine_topk(pruned, embedding_col, query_vec, k, id_cols)
 
 

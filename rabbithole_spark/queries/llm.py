@@ -24,7 +24,7 @@ from rabbithole_spark.operators.multimodal import (
     resize_media,
     sample_frames,
 )
-from rabbithole_spark.operators.similarity import ann_topk, cosine_topk, ivf_topk
+from rabbithole_spark.operators.similarity import ann_topk, cosine_topk
 from rabbithole_spark.operators.text_analysis import (
     STOPWORDS,
     bpe_ish_token_count,
@@ -304,17 +304,32 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "similarity_ann_ivf",
     oracle=None,  # approximate (cell pruning) — rows-only
-    doc="IVF ANN: seeded KMeans coarse quantizer (16 cells), query "
-    "probes the 4 nearest cells with exact cosine inside — at scale "
-    "the cell id becomes a partition key and probing is partition "
-    "pruning.",
+    doc="IVF ANN against a PREBUILT cell-partitioned layout: the coarse "
+    "quantizer fits on a seeded sample and the corpus persists "
+    "partitioned by cell id (built once, reused across queries); the "
+    "search probes the 4 nearest of 16 cells as a partition-pruned "
+    "scan (PartitionFilters on cell), reading nprobe/n_centroids of "
+    "the corpus — the 100 TB shape, vs the inline full-corpus fit "
+    "this replaced.",
 )
 def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from rabbithole_spark.operators.similarity import ivf_topk_persisted
+
     qv = _query_vector(spark, sf_dir)
-    return ivf_topk(
+    index_path = os.path.join(
+        tempfile.gettempdir(),
+        "rabbithole_spark_ivf",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    return ivf_topk_persisted(
+        spark,
         table(spark, sf_dir, "embeddings"),
         "embedding",
         qv,
+        index_path,
         n_centroids=16,
         nprobe=4,
         k=10,
@@ -322,8 +337,38 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_NEAR_DUP_ORACLE = """
-WITH v AS (SELECT vec_id, label, embedding FROM embeddings),
+#: Near-dup blocking planes: seeded, generated once at import so the
+#: Spark expression and the DuckDB oracle embed the IDENTICAL literals.
+_NEAR_DUP_THRESHOLD = 0.35
+_NEAR_DUP_N_PLANES = 6
+
+
+def _near_dup_planes() -> list[list[float]]:
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    return rng.normal(size=(_NEAR_DUP_N_PLANES, 64)).tolist()
+
+
+def _near_dup_oracle() -> str:
+    """DuckDB twin of the LSH-bucket-blocked near-dup query: the same
+    seeded hyperplanes as full-precision literals, the same sequential
+    double fold for the signature dot products, the same bucket-equality
+    blocking + cosine threshold."""
+
+    def plane_dot(plane: list[float]) -> str:
+        lits = ", ".join(repr(x) for x in plane)
+        return (
+            "list_aggregate(list_transform(range(1, 65), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * ([{lits}])[i]), 'sum')"
+        )
+
+    sig = " + ".join(
+        f"(CASE WHEN {plane_dot(p)} > 0 THEN 1 ELSE 0 END) * {2 ** i}"
+        for i, p in enumerate(_near_dup_planes())
+    )
+    return f"""
+WITH v AS (SELECT vec_id, embedding, {sig} AS bucket FROM embeddings),
 pairs AS (
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(
@@ -334,22 +379,29 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
             * sqrt(list_aggregate(list_transform(range(1, len(b.embedding) + 1),
                 i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum'))),
          6) AS cosine_sim
-FROM v a JOIN v b ON a.vec_id < b.vec_id AND a.label = b.label
+FROM v a JOIN v b ON a.vec_id < b.vec_id AND a.bucket = b.bucket
 )
-SELECT id_a, id_b, cosine_sim FROM pairs WHERE cosine_sim >= 0.8
+SELECT id_a, id_b, cosine_sim FROM pairs WHERE cosine_sim >= {_NEAR_DUP_THRESHOLD}
 """
 
 
 @register(
     "similarity_embedding_near_dup",
-    oracle=_NEAR_DUP_ORACLE,
-    doc="Embedding-cosine near-dup pairs within label blocks (>= 0.8); "
-    "at scale blocking comes from LSH buckets, not labels.",
+    oracle=_near_dup_oracle(),
+    doc="Embedding-cosine near-dup pairs blocked by random-hyperplane "
+    "LSH buckets (the 100 TB shape: bucket equality is one linear "
+    "shuffle on a 64-bucket key and the quadratic compare is bounded "
+    "per bucket, vs the label-blocked all-pairs join this replaced). "
+    "Threshold 0.35 is calibrated to the synthetic embeddings "
+    "(near-random vectors, max pairwise cosine ~0.51) so the check "
+    "certifies real pairs at sf0.01 instead of an empty result.",
 )
 def similarity_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rabbithole_spark.operators.similarity import cosine
+    from rabbithole_spark.operators.similarity import cosine, hyperplane_signature
 
-    e = table(spark, sf_dir, "embeddings")
+    e = table(spark, sf_dir, "embeddings").withColumn(
+        "bucket", hyperplane_signature(F.col("embedding"), _near_dup_planes())
+    )
     a = e.alias("a")
     b = e.alias("b")
     sim = F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6)
@@ -357,14 +409,14 @@ def similarity_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame
         a.join(
             b,
             (F.col("a.vec_id") < F.col("b.vec_id"))
-            & (F.col("a.label") == F.col("b.label")),
+            & (F.col("a.bucket") == F.col("b.bucket")),
         )
         .select(
             F.col("a.vec_id").alias("id_a"),
             F.col("b.vec_id").alias("id_b"),
             sim.alias("cosine_sim"),
         )
-        .filter(F.col("cosine_sim") >= 0.8)
+        .filter(F.col("cosine_sim") >= _NEAR_DUP_THRESHOLD)
     )
 
 
@@ -574,36 +626,79 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("keep_id", "fp", "n_copies", "lang")
 
 
+#: Deterministic per-row sampling bucket: Knuth multiplicative hash of
+#: the id, folded to [0, 100). Plain 64-bit integer arithmetic, so the
+#: EXACT same expression runs in Spark and DuckDB — unlike df.sample(),
+#: whose selection depends on partition layout. Reproducible selection
+#: is what a training-data pipeline needs anyway (re-running a 100 TB
+#: sample must yield the same corpus).
+_SAMPLE_BUCKET_SQL = "(doc_id * 2654435761) % 4294967296 % 100"
+
+_UNIFORM_SAMPLE_ORACLE = f"""
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE {_SAMPLE_BUCKET_SQL} < 20
+"""
+
+
 @register(
     "sample_uniform_documents",
-    oracle=None,  # Bernoulli sampling — rows-only (seeded, deterministic
-    # for a fixed partition layout, but not SQL-replicable)
-    doc="Seeded uniform Bernoulli sample (~20%) of the corpus — the "
-    "subsampling stage of a training-data pipeline; scan-local, no "
-    "shuffle.",
+    oracle=_UNIFORM_SAMPLE_ORACLE,
+    doc="Uniform 20% sample via deterministic hash-mod selection "
+    "(multiplicative hash of doc_id) — scan-local, no shuffle, and "
+    "reproducible across runs/engines, which seeded Bernoulli "
+    "sample() is not (it is partition-layout-dependent).",
 )
 def sample_uniform_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
-    return d.sample(fraction=0.2, seed=42).select("doc_id", "lang", "n_chars")
-
-
-@register(
-    "sample_stratified_by_lang",
-    oracle=None,  # stratified sampling — rows-only
-    doc="Stratified sampleBy(lang): per-stratum fractions rebalance a "
-    "skewed corpus (e.g. downsample the dominant language) without a "
-    "shuffle.",
-)
-def sample_stratified_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
-    langs = [r["lang"] for r in d.select("lang").distinct().collect()]
-    fractions = {lang: (0.1 if lang == "en" else 0.5) for lang in langs}
-    return d.sampleBy("lang", fractions, seed=42).select(
+    return d.filter(F.expr(f"{_SAMPLE_BUCKET_SQL} < 20")).select(
         "doc_id", "lang", "n_chars"
     )
 
 
+_STRATIFIED_SAMPLE_ORACLE = f"""
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE {_SAMPLE_BUCKET_SQL} < CASE WHEN lang = 'en' THEN 10 ELSE 50 END
+"""
+
+
+@register(
+    "sample_stratified_by_lang",
+    oracle=_STRATIFIED_SAMPLE_ORACLE,
+    doc="Stratified sampling with per-stratum rates (downsample the "
+    "dominant language to 10%, keep 50% elsewhere) via the same "
+    "deterministic hash-mod bucket — the mixture-rebalancing stage "
+    "of a curation pipeline, still scan-local.",
+)
+def sample_stratified_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.filter(
+        F.expr(
+            f"{_SAMPLE_BUCKET_SQL} < CASE WHEN lang = 'en' THEN 10 ELSE 50 END"
+        )
+    ).select("doc_id", "lang", "n_chars")
+
+
 # --- multimodal -----------------------------------------------------------------
+
+def _stringify_features(df: DataFrame) -> DataFrame:
+    """Render the ``features array<float>`` column as a rounded CSV
+    string: deterministic, hashable cells for the driver's pandas-based
+    canonicalizer (same treatment as scalar_map_funcs's map rendering —
+    raw array cells crash its sort with 'unhashable type: list')."""
+    return df.select(
+        "doc_id",
+        "n_bytes",
+        F.array_join(
+            F.transform(
+                "features",
+                lambda v: F.round(v.cast("double"), 6).cast("string"),
+            ),
+            ",",
+        ).alias("features_csv"),
+    )
+
 
 _BINARY_ORACLE = """
 SELECT doc_id,
@@ -642,7 +737,7 @@ def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = attach_fake_media(table(spark, sf_dir, "documents"), "text", "doc_id")
-    return extract_features(media, "doc_id")
+    return _stringify_features(extract_features(media, "doc_id"))
 
 
 @register(
@@ -656,7 +751,9 @@ def multimodal_resize_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = attach_fake_media(
         spread(table(spark, sf_dir, "documents")), "text", "doc_id"
     )
-    return extract_features(resize_media(media, width=32, height=16), "doc_id")
+    return _stringify_features(
+        extract_features(resize_media(media, width=32, height=16), "doc_id")
+    )
 
 
 @register(

@@ -43,8 +43,15 @@ def pipeline_param_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet as a bounded stream (nanos ts -> micros, like
-    session.table)."""
+    """events.parquet as a bounded stream, ts normalized to micros.
+
+    With a user-supplied ``ts long`` schema the streaming parquet reader
+    hands back the timestamp's raw epoch integer, whose unit depends on
+    how the file stored it (micros here; nanos under nanosAsLong batch
+    reads). Normalize by magnitude — epoch-nanos for any plausible event
+    date is >= 1e17, epoch-micros < 1e17 until the year 5138 — so the
+    stream lands on the exact same micros contract as session.table().
+    """
     schema = (
         "event_id long, ts long, user_id long, event_type string, "
         "value double, props string"
@@ -56,7 +63,10 @@ def _read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    micros = F.expr(
+        "CASE WHEN ts >= 100000000000000000 THEN ts div 1000 ELSE ts END"
+    )
+    return raw.withColumn("ts", F.timestamp_micros(micros))
 
 
 @register(

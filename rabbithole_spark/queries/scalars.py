@@ -269,7 +269,8 @@ SELECT event_id,
        array_to_string(list_sort(json_keys(props)), ',') AS prop_keys,
        array_to_string(
          list_transform(list_sort(json_keys(props)),
-                        kk -> json_extract_string(props, '$.' || kk)),
+                        kk -> CAST(TRY_CAST(json_extract_string(props, '$.' || kk)
+                                            AS INTEGER) AS VARCHAR)),
          ',') AS prop_values,
        CAST(len(json_keys(props)) AS INTEGER) AS n_props,
        CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_value

@@ -180,7 +180,7 @@ _SESSION_ORACLE = """
 WITH flagged AS (
   SELECT user_id, ts, value,
          CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                   < INTERVAL '30 minutes'
+                   <= INTERVAL '30 minutes'
               THEN 0 ELSE 1 END AS new_session
   FROM events
 ), sessions AS (

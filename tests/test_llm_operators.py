@@ -224,3 +224,36 @@ def test_kmeans_invariants(spark):
         ).collect()
     }
     assert again == {r.vec_id: r.cluster for r in rows}
+
+
+def test_decode_stub_and_fallback():
+    """decode_stub really decodes when Pillow is importable, raises
+    NotImplementedError otherwise; decode_or_fake always yields an
+    array shaped by the metadata dims in codec-less environments."""
+    import numpy as np
+    import pytest
+
+    from rabbithole_spark.operators import multimodal
+
+    payload = bytes(range(200))
+    if multimodal._pil() is None:
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_stub(payload, "image/png")
+        fake = multimodal.decode_or_fake(payload, "image/png", width=20, height=10)
+        assert fake.shape == (10, 20)
+        assert fake.dtype == np.uint8
+        # deterministic: raveled payload bytes, tiled to the dims
+        assert fake[0, 0] == 0 and fake[0, 19] == 19
+    else:
+        import io
+
+        from PIL import Image
+
+        img = Image.new("RGB", (8, 4), color=(1, 2, 3))
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        arr = multimodal.decode_stub(buf.getvalue(), "image/png")
+        assert arr.shape == (4, 8, 3)
+        assert (arr == [1, 2, 3]).all()
+        same = multimodal.decode_or_fake(buf.getvalue(), "image/png", width=8, height=4)
+        assert (same == arr).all()

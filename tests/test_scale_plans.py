@@ -301,3 +301,39 @@ def test_headline_shuffle_budgets(spark):
         if n > budget:
             over[name] = (n, budget)
     assert not over, f"shuffle budget exceeded: {over}"
+
+
+def test_ivf_persisted_query_prunes_and_recalls(spark, tmp_path):
+    """The REGISTERED similarity_ann_ivf path: build-once persisted
+    layout, partition-pruned probe scan, meaningful overlap with exact
+    top-k."""
+    from rabbithole_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk_persisted,
+    )
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qv = [float(x) for x in
+          e.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    idx = str(tmp_path / "ivf_index")
+    out = ivf_topk_persisted(
+        spark, e, "embedding", qv, idx,
+        n_centroids=8, nprobe=3, k=10, id_cols=["vec_id"])
+    plan = _plan(out)
+    pf_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "cell" in pf_line
+    rows = out.collect()
+    approx = {r.vec_id for r in rows}
+    assert 0 in approx and rows[0].vec_id == 0
+    exact = {r.vec_id for r in
+             cosine_topk(e, "embedding", qv, k=10, id_cols=["vec_id"]).collect()}
+    assert len(exact & approx) >= 3
+    # second call reuses the index (meta matches) without rebuilding:
+    # mtime of the sidecar is unchanged
+    import os
+    meta = os.path.join(idx, "_ivf_meta.json")
+    mtime = os.path.getmtime(meta)
+    ivf_topk_persisted(spark, e, "embedding", qv, idx,
+                       n_centroids=8, nprobe=3, k=10,
+                       id_cols=["vec_id"]).collect()
+    assert os.path.getmtime(meta) == mtime
