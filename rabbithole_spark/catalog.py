@@ -101,10 +101,11 @@ _PRIORITY_ORDER = (
     "tpch_q3_shipping_priority",
     "tpch_q10_returned_items",
     "tpch_q18_large_volume",
+    # new in round 3 (local parity green, need a first external row)
+    "pack_sequences_by_source",
+    "mixture_token_budget",
     # rest of the temporal module (same file as the session-gap fix)
     "window_sliding_hourly",
-    "funnel_conversion_stages",
-    "temporal_calendar_funcs",
 )
 
 

@@ -1491,3 +1491,138 @@ def pipeline_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("lang", "doc_id").alias("lang")
     )
     return survivors.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+# --- sequence packing + mixture planning ---------------------------------------
+
+#: target training-sequence length (tokens) for the packing query
+_SEQ_LEN = 2048
+
+_PACK_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+), placed AS (
+  SELECT doc_id, source, n_tokens,
+         sum(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cum_tokens
+  FROM toks
+)
+SELECT doc_id, source, n_tokens,
+       CAST((cum_tokens - n_tokens) // {_SEQ_LEN} AS BIGINT) AS first_seq,
+       CAST((cum_tokens - 1) // {_SEQ_LEN} AS BIGINT) AS last_seq,
+       CAST((cum_tokens - n_tokens) % {_SEQ_LEN} AS BIGINT) AS start_offset
+FROM placed
+"""
+
+
+@register(
+    "pack_sequences_by_source",
+    oracle=_PACK_ORACLE,
+    doc="Concat-and-chunk sequence packing: documents concatenate in "
+    "deterministic doc_id order within each source shard and the "
+    "token stream is cut every 2048 tokens — each doc's span of "
+    "training sequences (first_seq..last_seq, start_offset) falls "
+    "out of one windowed cumulative sum. The window partitions by "
+    "source, so at 100 TB each shard packs independently (no global "
+    "ordering, no single-partition window); a finer shard key "
+    "(source, date bucket) bounds partition size the same way.",
+)
+def pack_sequences_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "source",
+        token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    placed = toks.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.sum("n_tokens").over(w).alias("cum_tokens"),
+    )
+    # integer `div`: DuckDB CAST(double AS BIGINT) rounds while Spark
+    # truncates, so both sides must divide in integer space
+    return placed.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.expr(f"(cum_tokens - n_tokens) div {_SEQ_LEN}").alias("first_seq"),
+        F.expr(f"(cum_tokens - 1) div {_SEQ_LEN}").alias("last_seq"),
+        ((F.col("cum_tokens") - F.col("n_tokens")) % _SEQ_LEN)
+        .cast("bigint")
+        .alias("start_offset"),
+    )
+
+
+_TOKEN_BUDGET_ORACLE = """
+WITH avail AS (
+  SELECT lang,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+           AS available_tokens
+  FROM documents
+  GROUP BY lang
+), weighted AS (
+  SELECT lang, n_docs, available_tokens,
+         CASE WHEN lang = 'en' THEN 0.5
+              ELSE 0.5 / (CAST((SELECT count(DISTINCT lang) FROM documents)
+                               AS DOUBLE) - 1)
+         END AS target_weight
+  FROM avail
+)
+SELECT lang, n_docs, available_tokens,
+       ROUND(target_weight, 6) AS target_weight,
+       CAST(floor(target_weight * 1000000) AS BIGINT) AS target_tokens,
+       ROUND(target_weight * 1000000 / available_tokens, 6) AS epochs,
+       ROUND(least(1.0, target_weight * 1000000 / available_tokens), 6)
+         AS sample_rate
+FROM weighted
+"""
+
+
+@register(
+    "mixture_token_budget",
+    oracle=_TOKEN_BUDGET_ORACLE,
+    doc="Token-budget mixture planning: given per-language available "
+    "token counts and a target mixture (50% en, rest uniform), derive "
+    "each language's token budget, epoch count (repeat factor when "
+    "under-resourced) and sampling rate (when over-resourced) for a "
+    "1M-token training budget — the planning step that precedes "
+    "mixture_resample_by_lang's execution step. One grouped agg over "
+    "the corpus; the plan itself is a handful of rows.",
+)
+def mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    avail = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col("text")).cast("bigint")).alias(
+            "available_tokens"
+        ),
+    )
+    n_langs = d.select("lang").distinct().count()
+    weight = F.when(F.col("lang") == "en", F.lit(0.5)).otherwise(
+        F.lit(0.5 / (n_langs - 1))
+    )
+    budget = weight * 1_000_000
+    return avail.select(
+        "lang",
+        "n_docs",
+        "available_tokens",
+        F.round(weight, 6).alias("target_weight"),
+        F.floor(budget).cast("bigint").alias("target_tokens"),
+        F.round(budget / F.col("available_tokens"), 6).alias("epochs"),
+        F.round(
+            F.least(F.lit(1.0), budget / F.col("available_tokens")), 6
+        ).alias("sample_rate"),
+    )
