@@ -104,8 +104,7 @@ _PRIORITY_ORDER = (
     # new in round 3 (local parity green, need a first external row)
     "pack_sequences_by_source",
     "mixture_token_budget",
-    # rest of the temporal module (same file as the session-gap fix)
-    "window_sliding_hourly",
+    "curriculum_phase_stats",
 )
 
 

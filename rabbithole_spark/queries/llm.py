@@ -1626,3 +1626,78 @@ def mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least(F.lit(1.0), budget / F.col("available_tokens")), 6
         ).alias("sample_rate"),
     )
+
+
+_CURRICULUM_ORACLE = """
+WITH scored AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         CAST(CASE WHEN length(text) BETWEEN 50 AND 10000 THEN 0.4 ELSE 0 END
+         + CASE WHEN CAST(length(regexp_replace(text, '[^\\.,;:!\\?''"]', '', 'g')) AS DOUBLE)
+                     / CAST(length(text) AS DOUBLE) < 0.1 THEN 0.3 ELSE 0 END
+         + CASE WHEN CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                  t -> list_contains(['the','a','of','and','to','in','is','it'], t))) AS DOUBLE)
+                     / CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS DOUBLE) > 0.01
+                THEN 0.3 ELSE 0 END AS DOUBLE) AS quality
+  FROM documents
+), phased AS (
+  SELECT CASE WHEN quality >= 0.7 THEN 0
+              WHEN quality >= 0.4 THEN 1
+              ELSE 2 END AS phase,
+         quality, n_tokens
+  FROM scored
+), rolled AS (
+  SELECT phase,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         ROUND(AVG(quality), 6) AS avg_quality,
+         CAST(sum(n_tokens) AS BIGINT) AS phase_tokens
+  FROM phased GROUP BY phase
+)
+SELECT phase, n_docs, avg_quality, phase_tokens,
+       CAST(sum(phase_tokens) OVER (ORDER BY phase
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_tokens
+FROM rolled
+"""
+
+
+@register(
+    "curriculum_phase_stats",
+    oracle=_CURRICULUM_ORACLE,
+    doc="Curriculum phasing: documents bin into training phases by "
+    "FIXED quality thresholds (cleanest data first), with per-phase "
+    "doc/token counts and the cumulative token schedule. Phase "
+    "assignment is row-local (no global ntile sort — a global ranked "
+    "window would be the scale-killer here), so the whole query is "
+    "one scan + a 3-row aggregate; the cumulative window runs over "
+    "phases, not documents.",
+)
+def curriculum_phase_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = spread(table(spark, sf_dir, "documents"))
+    scored = d.select(
+        token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+        quality_score(F.col("text")).alias("quality"),
+    )
+    phased = scored.withColumn(
+        "phase",
+        F.when(F.col("quality") >= 0.7, 0)
+        .when(F.col("quality") >= 0.4, 1)
+        .otherwise(2),
+    )
+    rolled = phased.groupBy("phase").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("quality"), 6).alias("avg_quality"),
+        F.sum("n_tokens").alias("phase_tokens"),
+    )
+    w = Window.orderBy("phase").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return rolled.select(
+        "phase",
+        "n_docs",
+        "avg_quality",
+        "phase_tokens",
+        F.sum("phase_tokens").over(w).cast("bigint").alias("cum_tokens"),
+    )

@@ -332,3 +332,42 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.table(name)
+
+
+@register(
+    "stream_static_enrich",
+    oracle=None,  # genuine streaming execution — rows-only
+    doc="Stream-static join: the events stream enriched against the "
+    "static customer dimension (broadcast — the static side never "
+    "re-shuffles per micro-batch, Spark re-reads only changed files), "
+    "then a watermarked per-nation revenue rollup. The standard "
+    "dimension-enrichment shape for streaming ETL at scale; the "
+    "static side stays a broadcast even on a 1000-executor cluster "
+    "as long as the dimension fits the broadcast threshold.",
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rabbithole_spark.session import table as _table
+
+    name = f"stream_enrich_{uuid.uuid4().hex[:8]}"
+    customers = _table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    enriched = (
+        _read_events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .join(F.broadcast(customers), "user_id")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+    )
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)

@@ -17,3 +17,26 @@ def test_queries_and_oracles_aligned():
     oracles = entrymod.oracle_sql()
     assert set(oracles) <= set(qs)
     assert "pricing_summary" in qs
+
+
+def test_no_compound_output_columns(spark):
+    """Driver-canonicalizer contract: every registered batch query must
+    emit only atomic top-level columns — raw array/map cells crash the
+    external comparator's pandas sort (unhashable type: list), the
+    exact failure multimodal_feature_extract and scalar_map_funcs hit
+    in earlier rounds. Streaming queries are skipped (they execute on
+    call; their outputs are scalar by construction and covered by the
+    streaming tests)."""
+    from pyspark.sql.types import ArrayType, BinaryType, MapType, StructType
+
+    from rabbithole_spark.catalog import load_all
+
+    offenders = []
+    for name, spec in load_all().items():
+        if name.startswith("stream_"):
+            continue
+        df = spec.fn(spark, "/root/testdata/sf0.001")
+        for f in df.schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, BinaryType, StructType)):
+                offenders.append((name, f.name, f.dataType.simpleString()))
+    assert not offenders, offenders

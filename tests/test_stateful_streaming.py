@@ -237,3 +237,32 @@ def test_stream_stream_join_matches_batch_twin(spark):
     assert sorted(map(key, stream.collect())) == sorted(
         map(key, batch.collect())
     )
+
+
+def test_stream_static_enrich_matches_batch_twin(spark):
+    """The broadcast stream-static join + watermarked rollup emits the
+    same per-nation totals as the equivalent batch join."""
+    from rabbithole_spark.catalog import load_all
+
+    specs = load_all()
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r.c_nationkey: (r.n_events, r.total_value)
+        for r in specs["stream_static_enrich"].fn(spark, sf).collect()
+    }
+    ev = table(spark, sf, "events")
+    cust = (
+        table(spark, sf, "customer")
+        .select(F.col("c_custkey").alias("user_id"), "c_nationkey")
+    )
+    expected = {
+        r.c_nationkey: (r.n, r.tv)
+        for r in ev.join(cust, "user_id")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("tv"),
+        )
+        .collect()
+    }
+    assert got == expected
