@@ -1701,3 +1701,49 @@ def curriculum_phase_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "phase_tokens",
         F.sum("phase_tokens").over(w).cast("bigint").alias("cum_tokens"),
     )
+
+
+_INCREMENTAL_DEDUP_ORACLE = """
+WITH corpus AS (
+  SELECT DISTINCT sha256(text) AS content_hash
+  FROM documents WHERE source = 'src0'
+), incoming AS (
+  SELECT sha256(text) AS content_hash,
+         CAST(min(doc_id) AS BIGINT) AS keep_id,
+         CAST(count(*) AS BIGINT) AS n_copies
+  FROM documents WHERE source <> 'src0'
+  GROUP BY sha256(text)
+)
+SELECT i.content_hash, i.keep_id, i.n_copies
+FROM incoming i
+WHERE i.content_hash NOT IN (SELECT content_hash FROM corpus)
+"""
+
+
+@register(
+    "dedup_incremental_new_docs",
+    oracle=_INCREMENTAL_DEDUP_ORACLE,
+    doc="Incremental-ingestion dedup: a new batch (source <> src0) "
+    "first dedups within itself (sha256 groupBy, deterministic "
+    "keeper), then anti-joins the already-ingested corpus (src0) on "
+    "the digest — the daily-crawl-vs-historical-corpus shape. Both "
+    "sides move only 32-byte keys; at 100 TB the anti join shuffles "
+    "on the digest (AQE may still broadcast a small corpus side) and "
+    "a bloom-filter pre-pass slots in front unchanged.",
+)
+def dedup_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    sha = F.sha2(F.col("text").cast("binary"), 256)
+    corpus = d.filter(F.col("source") == "src0").select(
+        sha.alias("content_hash")
+    ).distinct()
+    incoming = (
+        d.filter(F.col("source") != "src0")
+        .select(sha.alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+    return incoming.join(corpus, "content_hash", "left_anti")

@@ -337,3 +337,32 @@ def test_ivf_persisted_query_prunes_and_recalls(spark, tmp_path):
                        n_centroids=8, nprobe=3, k=10,
                        id_cols=["vec_id"]).collect()
     assert os.path.getmtime(meta) == mtime
+
+
+def test_pricing_summary_pushdown_and_pruning(spark):
+    """The flagship scan must push the shipdate filter into parquet and
+    prune to the 7 referenced columns — at 100 TB this is the
+    difference between reading the filtered 7-column subset and the
+    whole table."""
+    from rabbithole_spark.queries.core import pricing_summary
+
+    plan = _plan(pricing_summary(spark, SF))
+    pushed = next(l for l in plan.splitlines() if "PushedFilters" in l)
+    assert "LessThanOrEqual(l_shipdate" in pushed
+    scan_out = next(
+        l for l in plan.splitlines()
+        if l.startswith("Output") and "l_shipdate" in l
+    )
+    assert scan_out.startswith("Output [7]"), scan_out
+
+
+def test_multiway_revenue_broadcasts_dims(spark):
+    """TPC-H Q5 shape: region/nation/supplier dims broadcast; only the
+    fact-side joins shuffle on keys."""
+    from rabbithole_spark.catalog import load_all
+
+    plan = _plan(load_all()["join_multiway_revenue"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    # the date filter reaches the orders scan
+    assert any("o_orderdate" in l for l in pushed), pushed
