@@ -306,3 +306,64 @@ def agg_median_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("value", F.lit(0.25)), 6).alias("q1"),
         F.round(F.percentile("value", F.lit(0.75)), 6).alias("q3"),
     )
+
+
+_THETA_ORACLE = """
+WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS exact_n FROM u GROUP BY 1)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST((SELECT count(DISTINCT user_id) FROM u x
+             WHERE x.event_type IN (a.event_type, b.event_type)) AS BIGINT)
+         AS est_union,
+       CAST((SELECT count(*) FROM
+              (SELECT user_id FROM u WHERE event_type = a.event_type
+               INTERSECT
+               SELECT user_id FROM u WHERE event_type = b.event_type))
+            AS BIGINT) AS est_intersection,
+       CAST((SELECT count(*) FROM
+              (SELECT user_id FROM u WHERE event_type = a.event_type
+               EXCEPT
+               SELECT user_id FROM u WHERE event_type = b.event_type))
+            AS BIGINT) AS est_difference,
+       a.exact_n AS exact_a, b.exact_n AS exact_b
+FROM c a JOIN c b ON a.event_type < b.event_type
+"""
+
+
+@register(
+    "agg_theta_sketch_setops",
+    oracle=_THETA_ORACLE,
+    doc="Theta-sketch set algebra over user sets: one sketch per event "
+    "type (single shuffle, map-side partial agg), then union/"
+    "intersection/difference ESTIMATES between every type pair from "
+    "the 5-row sketch table — the mergeable-sketch way to answer "
+    "audience-overlap questions without re-scanning the fact table "
+    "per pair. The oracle holds while per-set cardinality stays under "
+    "the sketch's nominal capacity (4096 entries; <= 1500 at every "
+    "test SF) where DataSketches theta is EXACT; beyond that the "
+    "operator is approximate by design and the rows-only HLL/KLL "
+    "sketch queries model that regime.",
+)
+def agg_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    sk = ev.groupBy("event_type").agg(
+        F.theta_sketch_agg("user_id").alias("sk"),
+        F.count_distinct("user_id").alias("exact_n"),
+    )
+    a, b = sk.alias("a"), sk.alias("b")
+    est = F.theta_sketch_estimate
+    return a.join(b, F.col("a.event_type") < F.col("b.event_type")).select(
+        F.col("a.event_type").alias("type_a"),
+        F.col("b.event_type").alias("type_b"),
+        est(F.theta_union(F.col("a.sk"), F.col("b.sk")))
+        .cast("bigint")
+        .alias("est_union"),
+        est(F.theta_intersection(F.col("a.sk"), F.col("b.sk")))
+        .cast("bigint")
+        .alias("est_intersection"),
+        est(F.theta_difference(F.col("a.sk"), F.col("b.sk")))
+        .cast("bigint")
+        .alias("est_difference"),
+        F.col("a.exact_n").alias("exact_a"),
+        F.col("b.exact_n").alias("exact_b"),
+    )

@@ -259,3 +259,81 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "price_p90_approx"
         ),
     )
+
+
+_PROFILE_ORACLE = """
+WITH s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(*) - count(o_custkey) AS BIGINT) AS nc_custkey,
+         CAST(count(DISTINCT o_custkey) AS BIGINT) AS nd_custkey,
+         printf('%d', min(o_custkey)) AS mn_custkey,
+         printf('%d', max(o_custkey)) AS mx_custkey,
+         CAST(count(*) - count(o_orderstatus) AS BIGINT) AS nc_status,
+         CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS nd_status,
+         min(o_orderstatus) AS mn_status,
+         max(o_orderstatus) AS mx_status,
+         CAST(count(*) - count(o_totalprice) AS BIGINT) AS nc_price,
+         CAST(count(DISTINCT o_totalprice) AS BIGINT) AS nd_price,
+         printf('%.2f', min(o_totalprice)) AS mn_price,
+         printf('%.2f', max(o_totalprice)) AS mx_price,
+         CAST(count(*) - count(o_orderdate) AS BIGINT) AS nc_date,
+         CAST(count(DISTINCT o_orderdate) AS BIGINT) AS nd_date,
+         strftime(min(o_orderdate), '%Y-%m-%d') AS mn_date,
+         strftime(max(o_orderdate), '%Y-%m-%d') AS mx_date
+  FROM orders
+)
+SELECT 'o_custkey' AS col_name, n_rows, nc_custkey AS null_count,
+       nd_custkey AS n_distinct, mn_custkey AS min_value, mx_custkey AS max_value
+FROM s
+UNION ALL
+SELECT 'o_orderstatus', n_rows, nc_status, nd_status, mn_status, mx_status FROM s
+UNION ALL
+SELECT 'o_totalprice', n_rows, nc_price, nd_price, mn_price, mx_price FROM s
+UNION ALL
+SELECT 'o_orderdate', n_rows, nc_date, nd_date, mn_date, mx_date FROM s
+"""
+
+
+@register(
+    "profile_orders_columns",
+    oracle=_PROFILE_ORACLE,
+    doc="Data-quality column profiling in ONE scan: per-column null "
+    "count, exact distinct count, and format-pinned min/max for four "
+    "orders columns, computed as a single wide aggregate row and "
+    "unpivoted with stack() — the ingestion-gate profile a pipeline "
+    "runs before accepting a new data drop. Multiple exact distincts "
+    "expand the aggregate (Spark's Expand), still one pass over the "
+    "table; swap count_distinct for approx_count_distinct when the "
+    "profile itself must stay cheap at 100 TB.",
+)
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    wide = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_custkey").isNull().cast("bigint")).alias("nc_custkey"),
+        F.count_distinct("o_custkey").alias("nd_custkey"),
+        F.format_string("%d", F.min("o_custkey")).alias("mn_custkey"),
+        F.format_string("%d", F.max("o_custkey")).alias("mx_custkey"),
+        F.sum(F.col("o_orderstatus").isNull().cast("bigint")).alias("nc_status"),
+        F.count_distinct("o_orderstatus").alias("nd_status"),
+        F.min("o_orderstatus").alias("mn_status"),
+        F.max("o_orderstatus").alias("mx_status"),
+        F.sum(F.col("o_totalprice").isNull().cast("bigint")).alias("nc_price"),
+        F.count_distinct("o_totalprice").alias("nd_price"),
+        F.format_string("%.2f", F.min("o_totalprice")).alias("mn_price"),
+        F.format_string("%.2f", F.max("o_totalprice")).alias("mx_price"),
+        F.sum(F.col("o_orderdate").isNull().cast("bigint")).alias("nc_date"),
+        F.count_distinct("o_orderdate").alias("nd_date"),
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("mn_date"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("mx_date"),
+    )
+    return wide.select(
+        F.expr(
+            "stack(4, "
+            "'o_custkey', n_rows, nc_custkey, nd_custkey, mn_custkey, mx_custkey, "
+            "'o_orderstatus', n_rows, nc_status, nd_status, mn_status, mx_status, "
+            "'o_totalprice', n_rows, nc_price, nd_price, mn_price, mx_price, "
+            "'o_orderdate', n_rows, nc_date, nd_date, mn_date, mx_date) "
+            "AS (col_name, n_rows, null_count, n_distinct, min_value, max_value)"
+        )
+    )
