@@ -93,7 +93,7 @@ _PRIORITY_ORDER = (
     # remaining dsum/sql_dsum users (shared ROUND added in round 3)
     "join_cross_region_nation",
     "join_inner_enriched_orders",
-    "subquery_correlated",
+    "multimodal_frame_sample",
     "temporal_parts",
     "tpch_q3_shipping_priority",
     "tpch_q10_returned_items",

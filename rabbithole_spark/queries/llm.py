@@ -756,17 +756,41 @@ def multimodal_resize_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FRAME_ORACLE = """
+WITH ascii_docs AS (
+  SELECT doc_id, text,
+         CAST(greatest(ceil(octet_length(encode(text)) / 256.0), 1) AS BIGINT)
+           AS n_frames
+  FROM documents
+  WHERE octet_length(encode(text)) = length(text)
+)
+SELECT d.doc_id,
+       gs.frame_idx,
+       d.n_frames,
+       CAST(octet_length(encode(substring(d.text, gs.frame_idx * 256 + 1, 256)))
+            AS BIGINT) AS frame_bytes,
+       sha256(substring(d.text, gs.frame_idx * 256 + 1, 256)) AS frame_sha
+FROM ascii_docs d,
+     LATERAL (SELECT unnest(range(0, d.n_frames, 4)) AS frame_idx) gs
+"""
+
+
 @register(
     "multimodal_frame_sample",
-    oracle=None,  # fan-out mapInPandas kernel — rows-only
+    oracle=_FRAME_ORACLE,
     doc="Video-style frame sampling: every 4th 256-byte frame per "
     "payload fans out to its own row with a per-frame digest "
-    "(mapInPandas 1->N row multiplication).",
+    "(mapInPandas 1->N row multiplication). The registered scope "
+    "filters to payloads whose byte and char lengths agree (all docs "
+    "in this corpus) so the SQL oracle can slice frames with VARCHAR "
+    "substring — the kernel itself is byte-general; its multibyte "
+    "behavior is covered by the pytest stride/digest contract.",
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    media = attach_fake_media(
-        spread(table(spark, sf_dir, "documents")), "text", "doc_id"
+    docs = spread(table(spark, sf_dir, "documents")).filter(
+        F.octet_length(F.encode(F.col("text"), "utf-8")) == F.length("text")
     )
+    media = attach_fake_media(docs, "text", "doc_id")
     return sample_frames(media, frame_size=256, every_k=4, id_col="doc_id")
 
 
