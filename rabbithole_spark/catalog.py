@@ -94,15 +94,16 @@ _PRIORITY_ORDER = (
     "join_cross_region_nation",
     "join_inner_enriched_orders",
     "multimodal_frame_sample",
-    "temporal_parts",
+    "stream_static_enrich",
     "tpch_q3_shipping_priority",
     "tpch_q10_returned_items",
     "tpch_q18_large_volume",
     # new in round 3 (local parity green at sf0.001/0.01/0.1, need a
-    # first external row; temporal_arithmetic + window_tumbling_hourly
-    # ceded their slots — their only round-3 change is the dsum ROUND,
-    # which is value-identity at these magnitudes and representatively
-    # re-verified by the other eight dsum users above)
+    # first external row; temporal_parts/temporal_arithmetic/
+    # temporal_trunc_daily/window_tumbling_hourly ceded slots — their
+    # only round-3 change is the dsum ROUND, which is value-identity at
+    # these magnitudes and representatively re-verified by the other
+    # dsum users above)
     "pack_sequences_by_source",
     "mixture_token_budget",
     "curriculum_phase_stats",

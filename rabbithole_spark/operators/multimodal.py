@@ -103,16 +103,21 @@ def decode_stub(payload: bytes, mime: str):
 
 def decode_or_fake(payload: bytes, mime: str, width: int, height: int):
     """Real decode when a codec is available, else the deterministic
-    fake (payload bytes raveled to the metadata dims) — keeps kernels
-    runnable and bit-deterministic in codec-less environments while
-    exercising the real path wherever Pillow exists."""
+    fake (payload bytes tiled to the metadata dims).
+
+    Both paths return an (H, W, 3) uint8 array so downstream kernels
+    see one shape contract regardless of environment. The VALUES still
+    differ between a real decode and the fake (that is inherent), so
+    registered queries keep using the byte-histogram kernel, which is
+    bit-identical everywhere; this helper is for pipelines that accept
+    environment-dependent features in exchange for real decoding."""
     import numpy as np
 
     try:
         return decode_stub(payload, mime)
     except (NotImplementedError, OSError):
         data = np.frombuffer(payload, dtype=np.uint8)
-        return np.resize(data, (height, width))
+        return np.resize(data, (height, width, 3))
 
 
 FEATURE_SCHEMA = StructType(

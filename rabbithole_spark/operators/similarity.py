@@ -241,6 +241,7 @@ def ivf_build_index(
     n_centroids: int = 16,
     seed: int = 42,
     sample_fraction: float = 0.5,
+    fingerprint: str | None = None,
 ) -> dict:
     """Build the persisted IVF layout: fit the coarse quantizer on a
     SAMPLE, assign every vector, write the corpus partitioned by cell.
@@ -274,6 +275,7 @@ def ivf_build_index(
         "n": n,
         "n_centroids": n_centroids,
         "seed": seed,
+        "fingerprint": fingerprint,
         "centers": [[float(x) for x in c] for c in model.clusterCenters()],
     }
     with open(os.path.join(path, "_ivf_meta.json"), "w") as fh:
@@ -292,15 +294,22 @@ def ivf_topk_persisted(
     k: int = 10,
     id_cols: list[str] | None = None,
     seed: int = 42,
+    fingerprint: str | None = None,
 ) -> DataFrame:
     """IVF search against the prebuilt cell-partitioned layout.
 
-    Builds (or rebuilds, when the corpus size or quantizer config
+    Builds (or rebuilds, when the source data or quantizer config
     changed) the index via :func:`ivf_build_index`, then searches it:
     nearest ``nprobe`` centroids come from the JSON sidecar (driver-side
     k x dim math), and the scan of the layout carries
     ``cell IN (probes)`` — PartitionFilters in the plan, so only
     nprobe/n_centroids of the corpus is read.
+
+    Staleness: pass ``fingerprint`` (any string identifying the source
+    data version — e.g. source-file path+size+mtime) and the probe is a
+    metadata compare with ZERO scans of the corpus; without one, the
+    fallback compares a row count, which costs a count job per query
+    and cannot see same-size data changes.
     """
     import json
     import os
@@ -314,14 +323,24 @@ def ivf_topk_persisted(
             meta = json.load(fh)
     except (OSError, ValueError):
         meta = None
-    if (
+    stale = (
         meta is None
-        or meta.get("n") != df.count()
         or meta.get("n_centroids") != n_centroids
         or meta.get("seed") != seed
-    ):
+        or (
+            meta.get("fingerprint") != fingerprint
+            if fingerprint is not None
+            else meta.get("n") != df.count()
+        )
+    )
+    if stale:
         meta = ivf_build_index(
-            df, embedding_col, index_path, n_centroids=n_centroids, seed=seed
+            df,
+            embedding_col,
+            index_path,
+            n_centroids=n_centroids,
+            seed=seed,
+            fingerprint=fingerprint,
         )
     centers = np.asarray(meta["centers"], dtype=np.float64)
     qv = np.asarray(query_vec, dtype=np.float64)

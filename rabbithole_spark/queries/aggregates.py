@@ -62,10 +62,10 @@ def agg_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table(spark, sf_dir, "events").select("user_id", "event_type").distinct()
 
 
-_ROLLUP_ORACLE = """
+_ROLLUP_ORACLE = f"""
 SELECT r_name, n_name,
        count(*) AS customers,
-       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_balance
+       {sql_dsum("c_acctbal", "total_balance", 2)}
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey

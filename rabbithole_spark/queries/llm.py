@@ -324,6 +324,11 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rabbithole_spark_ivf",
         os.path.basename(os.path.normpath(sf_dir)),
     )
+    # source-data version stamp: rebuild on any change to the parquet
+    # file (path+size+mtime), zero corpus scans when it is unchanged
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    fingerprint = f"{src}:{st.st_size}:{st.st_mtime_ns}"
     return ivf_topk_persisted(
         spark,
         table(spark, sf_dir, "embeddings"),
@@ -334,6 +339,7 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         nprobe=4,
         k=10,
         id_cols=["vec_id", "label"],
+        fingerprint=fingerprint,
     )
 
 
@@ -631,8 +637,12 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: EXACT same expression runs in Spark and DuckDB — unlike df.sample(),
 #: whose selection depends on partition layout. Reproducible selection
 #: is what a training-data pipeline needs anyway (re-running a 100 TB
-#: sample must yield the same corpus).
-_SAMPLE_BUCKET_SQL = "(doc_id * 2654435761) % 4294967296 % 100"
+#: sample must yield the same corpus). The id folds to 31 bits BEFORE
+#: the multiply so the product peaks at 2^31 * 2654435761 ~ 5.7e18 <
+#: 2^63 — no ANSI overflow for any BIGINT doc_id.
+_SAMPLE_BUCKET_SQL = (
+    "((doc_id % 2147483648) * 2654435761) % 4294967296 % 100"
+)
 
 _UNIFORM_SAMPLE_ORACLE = f"""
 SELECT doc_id, lang, n_chars
@@ -1600,8 +1610,9 @@ WITH avail AS (
 ), weighted AS (
   SELECT lang, n_docs, available_tokens,
          CASE WHEN lang = 'en' THEN 0.5
-              ELSE 0.5 / (CAST((SELECT count(DISTINCT lang) FROM documents)
-                               AS DOUBLE) - 1)
+              ELSE 0.5 / greatest(
+                     CAST((SELECT count(DISTINCT lang) FROM documents)
+                          AS DOUBLE) - 1, 1)
          END AS target_weight
   FROM avail
 )
@@ -1634,9 +1645,11 @@ def mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             "available_tokens"
         ),
     )
+    # max(..., 1) guards the single-language corpus: the eager Python
+    # division must not raise even when the otherwise() branch is dead
     n_langs = d.select("lang").distinct().count()
     weight = F.when(F.col("lang") == "en", F.lit(0.5)).otherwise(
-        F.lit(0.5 / (n_langs - 1))
+        F.lit(0.5 / max(n_langs - 1, 1))
     )
     budget = weight * 1_000_000
     return avail.select(

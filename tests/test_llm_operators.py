@@ -240,10 +240,11 @@ def test_decode_stub_and_fallback():
         with pytest.raises(NotImplementedError):
             multimodal.decode_stub(payload, "image/png")
         fake = multimodal.decode_or_fake(payload, "image/png", width=20, height=10)
-        assert fake.shape == (10, 20)
+        # same (H, W, 3) contract as the real-decode path
+        assert fake.shape == (10, 20, 3)
         assert fake.dtype == np.uint8
         # deterministic: raveled payload bytes, tiled to the dims
-        assert fake[0, 0] == 0 and fake[0, 19] == 19
+        assert fake[0, 0, 0] == 0 and fake[0, 0, 1] == 1
     else:
         import io
 
