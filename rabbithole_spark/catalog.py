@@ -91,8 +91,8 @@ _PRIORITY_ORDER = (
     "similarity_ann_ivf",
     "window_session_per_user",
     # remaining dsum/sql_dsum users (shared ROUND added in round 3)
-    "join_cross_region_nation",
-    "join_inner_enriched_orders",
+    "similarity_ann_lsh",
+    "similarity_ann_quantized",
     "multimodal_frame_sample",
     "stream_static_enrich",
     "tpch_q3_shipping_priority",

@@ -182,7 +182,9 @@ def quantized_topk(
     )
     out = quantized.select(
         *id_cols,
-        q_dot.alias("q_dot"),
+        # bigint output: keeps the schema stable across engines (an
+        # int32 here would also overflow past ~133k dims)
+        q_dot.cast("bigint").alias("q_dot"),
         F.round(q_dot.cast("double") / (127.0 * 127.0), 6).alias("approx_cosine"),
     )
     order = [F.col("q_dot").desc()] + [F.col(c) for c in id_cols]

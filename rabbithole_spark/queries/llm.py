@@ -228,6 +228,37 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- similarity search --------------------------------------------------------
 
+#: Near-dup blocking planes: seeded, generated once at import so the
+#: Spark expression and the DuckDB oracle embed the IDENTICAL literals.
+_NEAR_DUP_THRESHOLD = 0.35
+_NEAR_DUP_N_PLANES = 6
+
+
+def _near_dup_planes() -> list[list[float]]:
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    return rng.normal(size=(_NEAR_DUP_N_PLANES, 64)).tolist()
+
+
+def _plane_sig_sql(col: str) -> str:
+    """SQL for the 6-bit hyperplane signature of ``col`` — the same
+    seeded planes as full-precision literals and the same sequential
+    double fold Spark's hyperplane_signature uses."""
+
+    def plane_dot(plane: list[float]) -> str:
+        lits = ", ".join(repr(x) for x in plane)
+        return (
+            "list_aggregate(list_transform(range(1, 65), "
+            f"i -> CAST({col}[i] AS DOUBLE) * ([{lits}])[i]), 'sum')"
+        )
+
+    return " + ".join(
+        f"(CASE WHEN {plane_dot(p)} > 0 THEN 1 ELSE 0 END) * {2 ** i}"
+        for i, p in enumerate(_near_dup_planes())
+    )
+
+
 
 def _query_vector(spark: SparkSession, sf_dir: str) -> list[float]:
     row = (
@@ -278,24 +309,48 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_lsh_oracle() -> str:
+    """DuckDB twin of the LSH ANN search: the query vector's bucket and
+    every row's bucket from the identical plane literals; exact cosine
+    + deterministic top-10 within the query's bucket."""
+    return f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+qb AS (SELECT {_plane_sig_sql("qe")} AS qbucket FROM q),
+b AS (SELECT vec_id, label, embedding,
+             {_plane_sig_sql("embedding")} AS bucket
+      FROM embeddings)
+SELECT b.vec_id, b.label,
+       round(
+         list_aggregate(list_transform(range(1, len(b.embedding) + 1),
+           i -> CAST(b.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)), 'sum')
+         / (sqrt(list_aggregate(list_transform(range(1, len(b.embedding) + 1),
+              i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum'))
+            * sqrt(list_aggregate(list_transform(range(1, len(q.qe) + 1),
+                i -> CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)), 'sum'))),
+         6) AS cosine_sim
+FROM b, q, qb
+WHERE b.bucket = qb.qbucket
+ORDER BY cosine_sim DESC, b.vec_id, b.label
+LIMIT 10
+"""
+
+
 @register(
     "similarity_ann_lsh",
-    oracle=None,  # approximate (bucket pruning) — rows-only
+    oracle=_ann_lsh_oracle(),
     doc="Random-hyperplane LSH ANN: 6-bit signature buckets prune the "
     "scan; exact cosine within the query's bucket. The partition-"
-    "pruned search path for 100 TB embedding stores.",
+    "pruned search path for 100 TB embedding stores. Fully "
+    "deterministic (seeded planes as shared literals), so the "
+    "bucket-pruned top-10 is oracle-checked, not just rows-counted.",
 )
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import numpy as np
-
     qv = _query_vector(spark, sf_dir)
-    rng = np.random.RandomState(42)
-    planes = rng.normal(size=(6, len(qv))).tolist()
     return ann_topk(
         table(spark, sf_dir, "embeddings"),
         "embedding",
         qv,
-        planes,
+        _near_dup_planes(),
         k=10,
         id_cols=["vec_id", "label"],
     )
@@ -343,36 +398,10 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Near-dup blocking planes: seeded, generated once at import so the
-#: Spark expression and the DuckDB oracle embed the IDENTICAL literals.
-_NEAR_DUP_THRESHOLD = 0.35
-_NEAR_DUP_N_PLANES = 6
-
-
-def _near_dup_planes() -> list[list[float]]:
-    import numpy as np
-
-    rng = np.random.RandomState(42)
-    return rng.normal(size=(_NEAR_DUP_N_PLANES, 64)).tolist()
-
-
 def _near_dup_oracle() -> str:
-    """DuckDB twin of the LSH-bucket-blocked near-dup query: the same
-    seeded hyperplanes as full-precision literals, the same sequential
-    double fold for the signature dot products, the same bucket-equality
-    blocking + cosine threshold."""
-
-    def plane_dot(plane: list[float]) -> str:
-        lits = ", ".join(repr(x) for x in plane)
-        return (
-            "list_aggregate(list_transform(range(1, 65), "
-            f"i -> CAST(embedding[i] AS DOUBLE) * ([{lits}])[i]), 'sum')"
-        )
-
-    sig = " + ".join(
-        f"(CASE WHEN {plane_dot(p)} > 0 THEN 1 ELSE 0 END) * {2 ** i}"
-        for i, p in enumerate(_near_dup_planes())
-    )
+    """DuckDB twin of the LSH-bucket-blocked near-dup query: identical
+    plane literals, bucket-equality blocking, cosine threshold."""
+    sig = _plane_sig_sql("embedding")
     return f"""
 WITH v AS (SELECT vec_id, embedding, {sig} AS bucket FROM embeddings),
 pairs AS (
@@ -1080,14 +1109,53 @@ def text_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.col("bm25").desc(), "doc_id").limit(10)
 
 
+_QUANTIZED_ORACLE = """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+qq AS (
+  SELECT qe,
+         CASE WHEN sqrt(list_aggregate(list_transform(range(1, len(qe) + 1),
+                i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)), 'sum')) = 0
+              THEN 1.0
+              ELSE sqrt(list_aggregate(list_transform(range(1, len(qe) + 1),
+                i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)), 'sum'))
+         END AS qnrm
+  FROM q
+),
+b AS (
+  SELECT vec_id, label, embedding,
+         sqrt(list_aggregate(list_transform(range(1, len(embedding) + 1),
+           i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), 'sum'))
+           AS nrm
+  FROM embeddings
+),
+scored AS (
+  SELECT b.vec_id, b.label,
+         CAST(list_aggregate(list_transform(range(1, len(b.embedding) + 1),
+           i -> CAST(CASE WHEN b.nrm = 0 THEN 0
+                          ELSE round(CAST(b.embedding[i] AS DOUBLE) / b.nrm * 127)
+                     END AS BIGINT)
+                * CAST(round(127 * CAST(qq.qe[i] AS DOUBLE) / qq.qnrm) AS BIGINT)),
+           'sum') AS BIGINT) AS q_dot
+  FROM b, qq
+)
+SELECT vec_id, label, q_dot,
+       round(CAST(q_dot AS DOUBLE) / 16129.0, 6) AS approx_cosine
+FROM scored
+ORDER BY q_dot DESC, vec_id, label
+LIMIT 10
+"""
+
+
 @register(
     "similarity_ann_quantized",
-    oracle=None,  # int8 approximation of cosine — rows-only
+    oracle=_QUANTIZED_ORACLE,
     doc="int8-quantized top-10 cosine neighbors of vec_id=0: unit-"
     "normalize, quantize to tinyint (4x smaller than float32), rank "
     "by exact integer dot product. The memory-bandwidth lever for "
-    "billion-vector stores; recall vs the float baseline is asserted "
-    "in tests/test_llm_operators.py.",
+    "billion-vector stores. Quantization is deterministic arithmetic, "
+    "so the SQL oracle replicates it term-for-term (same float op "
+    "order per side); recall vs the float baseline is asserted in "
+    "tests/test_llm_operators.py.",
 )
 def similarity_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rabbithole_spark.operators.similarity import quantized_topk
