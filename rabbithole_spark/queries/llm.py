@@ -725,14 +725,19 @@ def _stringify_features(df: DataFrame) -> DataFrame:
     """Render the ``features array<float>`` column as a rounded CSV
     string: deterministic, hashable cells for the driver's pandas-based
     canonicalizer (same treatment as scalar_map_funcs's map rendering —
-    raw array cells crash its sort with 'unhashable type: list')."""
+    raw array cells crash its sort with 'unhashable type: list').
+    %.6f formatting (not double->string casting) keeps the rendering
+    engine-neutral: Java would print small ratios as 1.0E-4 while SQL
+    engines print 0.000100."""
     return df.select(
         "doc_id",
         "n_bytes",
         F.array_join(
             F.transform(
                 "features",
-                lambda v: F.round(v.cast("double"), 6).cast("string"),
+                lambda v: F.format_string(
+                    "%.6f", F.round(v.cast("double"), 6)
+                ),
             ),
             ",",
         ).alias("features_csv"),
@@ -766,16 +771,45 @@ def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FEATURE_ORACLE = """
+WITH ascii_docs AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n_bytes
+  FROM documents WHERE octet_length(encode(text)) = length(text)
+),
+hist AS (
+  SELECT doc_id, n_bytes,
+         list_transform(range(0, 8),
+           b -> len(list_filter(range(1, length(text) + 1),
+                i -> ord(array_extract(text, i)) >= b * 32
+                 AND ord(array_extract(text, i)) < (b + 1) * 32))) AS h
+  FROM ascii_docs
+)
+SELECT doc_id, CAST(n_bytes AS BIGINT) AS n_bytes,
+       array_to_string(list_transform(h,
+         c -> printf('%.6f', round(CAST(CAST(
+                CAST(c AS DOUBLE)
+                / CAST(CASE WHEN n_bytes = 0 THEN 1 ELSE n_bytes END AS DOUBLE)
+              AS REAL) AS DOUBLE), 6))), ',') AS features_csv
+FROM hist
+"""
+
+
 @register(
     "multimodal_feature_extract",
-    oracle=None,  # pandas-UDF kernel — rows-only
+    oracle=_FEATURE_ORACLE,
     doc="mapInPandas feature extraction over binary payloads (Arrow "
     "batches; deterministic byte-histogram stand-in for an encoder "
     "forward pass; real decoders plug into operators.multimodal."
-    "decode_stub).",
+    "decode_stub). ASCII-scoped registration (all docs here) so the "
+    "SQL oracle can reproduce the byte histogram from codepoints, "
+    "including the float32 ratio rounding (double divide -> REAL "
+    "cast, matching numpy's float64-divide-then-float32-astype).",
 )
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    media = attach_fake_media(table(spark, sf_dir, "documents"), "text", "doc_id")
+    docs = table(spark, sf_dir, "documents").filter(
+        F.octet_length(F.encode(F.col("text"), "utf-8")) == F.length("text")
+    )
+    media = attach_fake_media(docs, "text", "doc_id")
     return _stringify_features(extract_features(media, "doc_id"))
 
 
