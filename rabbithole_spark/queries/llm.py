@@ -813,17 +813,56 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _stringify_features(extract_features(media, "doc_id"))
 
 
+_RESIZE_ORACLE = """
+WITH ascii_docs AS (
+  SELECT doc_id, text, length(text) AS n
+  FROM documents
+  WHERE octet_length(encode(text)) = length(text) AND length(text) > 0
+),
+dims AS (
+  SELECT doc_id, text, n, n % 512 + 1 AS w, n % 256 + 1 AS h FROM ascii_docs
+),
+resized AS (
+  SELECT doc_id,
+         list_transform(range(0, 512),
+           i -> ord(array_extract(text,
+                CAST((((i // 32) * h // 16) * w + ((i % 32) * w // 32)) % n
+                     AS BIGINT) + 1))) AS rb
+  FROM dims
+),
+hist AS (
+  SELECT doc_id,
+         list_transform(range(0, 8),
+           b -> len(list_filter(rb, v -> v >= b * 32 AND v < (b + 1) * 32)))
+           AS hh
+  FROM resized
+)
+SELECT doc_id, CAST(512 AS BIGINT) AS n_bytes,
+       array_to_string(list_transform(hh,
+         c -> printf('%.6f', round(CAST(CAST(
+                CAST(c AS DOUBLE) / 512.0
+              AS REAL) AS DOUBLE), 6))), ',') AS features_csv
+FROM hist
+"""
+
+
 @register(
     "multimodal_resize_pipeline",
-    oracle=None,  # pandas-UDF resize kernel — rows-only
-    doc="Composable resize stage (mapInPandas block-average to 32x16) "
+    oracle=_RESIZE_ORACLE,
+    doc="Composable resize stage (mapInPandas nearest-neighbor to 32x16) "
     "feeding feature extraction — the two-stage encoder-prep pipeline "
-    "shape; a real PIL/opencv resizer drops into the same kernel.",
+    "shape; a real PIL/opencv resizer drops into the same kernel. "
+    "ASCII-scoped registration: the oracle replays the kernel's exact "
+    "pixel selection (tile payload to metadata dims, pick the "
+    "nearest-neighbor grid) and the downstream histogram from "
+    "codepoints.",
 )
 def multimodal_resize_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    media = attach_fake_media(
-        spread(table(spark, sf_dir, "documents")), "text", "doc_id"
+    docs = spread(table(spark, sf_dir, "documents")).filter(
+        (F.octet_length(F.encode(F.col("text"), "utf-8")) == F.length("text"))
+        & (F.length("text") > 0)
     )
+    media = attach_fake_media(docs, "text", "doc_id")
     return _stringify_features(
         extract_features(resize_media(media, width=32, height=16), "doc_id")
     )
