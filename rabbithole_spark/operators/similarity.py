@@ -29,6 +29,8 @@ __all__ = [
     "ivf_topk",
     "ivf_build_index",
     "ivf_topk_persisted",
+    "lloyd_init_first_k",
+    "lloyd_iterate",
     "quantize_unit_int8",
     "quantized_topk",
     "kmeans_fit_assign",
@@ -168,8 +170,15 @@ def quantized_topk(
 
     id_cols = id_cols or [c for c in df.columns if c != embedding_col]
     nrm = math.sqrt(sum(x * x for x in query_vec)) or 1.0
+
+    def _half_away(v: float) -> int:
+        # Python round() is banker's (half-to-even); Spark ROUND and
+        # DuckDB round() are half-away-from-zero. Match them so an
+        # exact .5 component quantizes identically on every side.
+        return int(math.floor(v + 0.5)) if v >= 0 else int(math.ceil(v - 0.5))
+
     q_query = F.array(
-        *[F.lit(int(round(127 * x / nrm))).cast("tinyint") for x in query_vec]
+        *[F.lit(_half_away(127 * x / nrm)).cast("tinyint") for x in query_vec]
     )
     quantized = df.select(
         *id_cols, quantize_unit_int8(F.col(embedding_col)).alias("__q")
@@ -236,52 +245,141 @@ def ivf_topk(
     return cosine_topk(pruned, embedding_col, query_vec, k, id_cols)
 
 
+#: Version tag of the deterministic quantizer baked into persisted IVF
+#: layouts; bump on any change to the fit algorithm so stale caches
+#: rebuild instead of silently serving a different cell geometry.
+_IVF_QUANTIZER = "lloyd-det-v1"
+
+
+def _centroid_dists(vec_col: Column, cents: list[list[float]]) -> Column:
+    """Squared-L2 distances from a vector column to literal centroids —
+    entirely row-local codegen (the broadcast-variable pattern): no
+    shuffle, no row multiplication."""
+    carr = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in cents]
+    )
+    return F.transform(
+        carr,
+        lambda cvec: F.aggregate(
+            F.zip_with(vec_col, cvec, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+
+
+def _nearest_cell(vec_col: Column, cents: list[list[float]]) -> Column:
+    """0-based index of the nearest literal centroid; distance ties
+    resolve to the lowest cell id (array_position = first match)."""
+    d = _centroid_dists(vec_col, cents)
+    return (F.array_position(d, F.array_min(d)) - 1).cast("int")
+
+
+def lloyd_init_first_k(
+    df: DataFrame, vec_col: str, order_cols: list[str], k: int
+) -> list[list[float]]:
+    """Deterministic seeding: the first ``k`` vectors in id order."""
+    first = df.orderBy(*order_cols).limit(k).select(vec_col).collect()
+    return [[float(x) for x in r[0]] for r in first]
+
+
+def lloyd_iterate(
+    df: DataFrame,
+    vec_col: str,
+    centroids: list[list[float]],
+    iters: int,
+) -> list[list[float]]:
+    """Fixed-count Lloyd updates, deterministic by construction: each
+    step assigns rows to the nearest literal centroid (row-local, ties
+    to the lowest id) and recomputes per-position means; empty clusters
+    keep their previous centroid. Only the k x dim centroid update
+    shuffles; its result collects to the driver and folds into the next
+    step's plan as literals, so lineage stays O(1) per iteration."""
+    cents = [list(c) for c in centroids]
+    for _ in range(iters):
+        assigned = df.select(
+            F.col(vec_col).alias("__v"),
+            _nearest_cell(F.col(vec_col), cents).alias("cluster"),
+        )
+        new = (
+            assigned.select("cluster", F.posexplode("__v").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("val").alias("avg_val"))
+            .groupBy("cluster")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "avg_val"))
+                ).alias("pairs")
+            )
+            .select(
+                "cluster",
+                F.transform(F.col("pairs"), lambda p: p.avg_val).alias("cvec"),
+            )
+            .collect()
+        )
+        for row in new:  # empty clusters keep their previous centroid
+            cents[row["cluster"]] = [float(x) for x in row["cvec"]]
+    return cents
+
+
 def ivf_build_index(
     df: DataFrame,
     embedding_col: str,
     path: str,
     n_centroids: int = 16,
-    seed: int = 42,
-    sample_fraction: float = 0.5,
+    iters: int = 2,
+    order_cols: list[str] | None = None,
+    fit_filter: Column | None = None,
     fingerprint: str | None = None,
 ) -> dict:
-    """Build the persisted IVF layout: fit the coarse quantizer on a
-    SAMPLE, assign every vector, write the corpus partitioned by cell.
+    """Build the persisted IVF layout: fit the coarse quantizer, assign
+    every vector, write the corpus partitioned by cell — atomically.
 
-    This is the offline half of IVF at 100 TB: training touches a
-    fraction of the data (KMeans on the full corpus would be the
-    scale-killer), the one full pass is the partitioned write, and the
-    resulting directory layout turns every query's probe filter into
-    partition pruning. Centroids + corpus size persist in a JSON
-    sidecar so queries never refit.
+    The quantizer is the repo's own deterministic Lloyd loop
+    (:func:`lloyd_init_first_k` seeds from the first k vectors in id
+    order, :func:`lloyd_iterate` runs a fixed iteration count), so the
+    final centroids are a pure function of the data — replayable by a
+    SQL oracle, no MLlib sampling RNG in the loop. ``fit_filter`` keeps
+    the 100 TB story: pass a deterministic hash-mod predicate and the
+    quantizer fits on that sample while the one full pass over the
+    corpus is the partitioned write. Centroids + corpus size persist in
+    a JSON sidecar so queries never refit.
+
+    The layout is PUBLISHED atomically: Spark writes into a fresh
+    ``<path>.build-*`` directory (sidecar included) which is renamed
+    into place, so a concurrent reader never observes a half-written
+    index (Spark's own overwrite mode is not atomic).
     """
     import json
     import os
+    import shutil
+    import uuid
 
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
+    order_cols = list(order_cols or ["vec_id"])
     n = df.count()
-    fit_df = df
-    # fit on a seeded sample unless it would starve the quantizer
-    if sample_fraction < 1.0 and n * sample_fraction >= 4 * n_centroids:
-        fit_df = df.sample(fraction=sample_fraction, seed=seed)
-    model = KMeans(
-        k=n_centroids, seed=seed, featuresCol="__vec", predictionCol="cell"
-    ).fit(fit_df.withColumn("__vec", array_to_vector(F.col(embedding_col))))
-    assigned = model.transform(
-        df.withColumn("__vec", array_to_vector(F.col(embedding_col)))
-    ).drop("__vec")
-    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+    fit_df = df.filter(fit_filter) if fit_filter is not None else df
+    cents = lloyd_init_first_k(fit_df, embedding_col, order_cols, n_centroids)
+    cents = lloyd_iterate(fit_df, embedding_col, cents, iters)
+    assigned = df.withColumn(
+        "cell", _nearest_cell(F.col(embedding_col), cents)
+    )
+    build = f"{path}.build-{uuid.uuid4().hex[:8]}"
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(build)
     meta = {
         "n": n,
         "n_centroids": n_centroids,
-        "seed": seed,
+        "iters": iters,
+        "quantizer": _IVF_QUANTIZER,
         "fingerprint": fingerprint,
-        "centers": [[float(x) for x in c] for c in model.clusterCenters()],
+        "centers": cents,
     }
-    with open(os.path.join(path, "_ivf_meta.json"), "w") as fh:
+    with open(os.path.join(build, "_ivf_meta.json"), "w") as fh:
         json.dump(meta, fh)
+    trash = f"{path}.trash-{uuid.uuid4().hex[:8]}"
+    if os.path.exists(path):
+        os.rename(path, trash)
+    os.rename(build, path)
+    shutil.rmtree(trash, ignore_errors=True)
     return meta
 
 
@@ -295,7 +393,8 @@ def ivf_topk_persisted(
     nprobe: int = 4,
     k: int = 10,
     id_cols: list[str] | None = None,
-    seed: int = 42,
+    iters: int = 2,
+    fit_filter: Column | None = None,
     fingerprint: str | None = None,
 ) -> DataFrame:
     """IVF search against the prebuilt cell-partitioned layout.
@@ -303,15 +402,16 @@ def ivf_topk_persisted(
     Builds (or rebuilds, when the source data or quantizer config
     changed) the index via :func:`ivf_build_index`, then searches it:
     nearest ``nprobe`` centroids come from the JSON sidecar (driver-side
-    k x dim math), and the scan of the layout carries
-    ``cell IN (probes)`` — PartitionFilters in the plan, so only
-    nprobe/n_centroids of the corpus is read.
+    k x dim math, ties to the lowest cell id), and the scan of the
+    layout carries ``cell IN (probes)`` — PartitionFilters in the plan,
+    so only nprobe/n_centroids of the corpus is read.
 
     Staleness: pass ``fingerprint`` (any string identifying the source
     data version — e.g. source-file path+size+mtime) and the probe is a
     metadata compare with ZERO scans of the corpus; without one, the
     fallback compares a row count, which costs a count job per query
-    and cannot see same-size data changes.
+    and cannot see same-size data changes. A quantizer-version mismatch
+    (older cache formats) also forces a rebuild.
     """
     import json
     import os
@@ -328,7 +428,8 @@ def ivf_topk_persisted(
     stale = (
         meta is None
         or meta.get("n_centroids") != n_centroids
-        or meta.get("seed") != seed
+        or meta.get("iters") != iters
+        or meta.get("quantizer") != _IVF_QUANTIZER
         or (
             meta.get("fingerprint") != fingerprint
             if fingerprint is not None
@@ -341,13 +442,19 @@ def ivf_topk_persisted(
             embedding_col,
             index_path,
             n_centroids=n_centroids,
-            seed=seed,
+            iters=iters,
+            fit_filter=fit_filter,
             fingerprint=fingerprint,
         )
     centers = np.asarray(meta["centers"], dtype=np.float64)
     qv = np.asarray(query_vec, dtype=np.float64)
+    # stable argsort: equidistant centroids probe in cell-id order,
+    # matching the oracle's (distance, cluster) ordering
     probes = [
-        int(i) for i in np.argsort(np.linalg.norm(centers - qv, axis=1))[:nprobe]
+        int(i)
+        for i in np.argsort(np.linalg.norm(centers - qv, axis=1), kind="stable")[
+            :nprobe
+        ]
     ]
     pruned = spark.read.parquet(index_path).filter(F.col("cell").isin(probes))
     return cosine_topk(pruned, embedding_col, query_vec, k, id_cols)
@@ -378,60 +485,11 @@ def kmeans_fit_assign(
     how ivf_topk's quantizer would be built); iters is small because
     curation pipelines want coarse cells, not converged clusters.
     """
-    first = df.orderBy(*id_cols).limit(k).select(vec_col).collect()
-    centroids: list[list[float]] = [list(r[0]) for r in first]
-
-    def assign(cents: list[list[float]]) -> DataFrame:
-        carr = F.array(
-            *[
-                F.array(*[F.lit(float(x)) for x in c])
-                for c in cents
-            ]
-        )
-        dists = F.transform(
-            carr,
-            lambda cvec: F.aggregate(
-                F.zip_with(
-                    F.col(vec_col), cvec, lambda a, b: (a - b) * (a - b)
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-        )
-        return df.select(
-            *id_cols,
-            F.col(vec_col).alias("__v"),
-            dists.alias("__d"),
-        ).select(
-            *id_cols,
-            "__v",
-            (F.array_position(F.col("__d"), F.array_min("__d")) - 1)
-            .cast("int")
-            .alias("cluster"),
-            F.array_min("__d").alias("dist2"),
-        )
-
-    for _ in range(iters):
-        assigned = assign(centroids)
-        new = (
-            assigned.select("cluster", F.posexplode("__v").alias("pos", "val"))
-            .groupBy("cluster", "pos")
-            .agg(F.avg("val").alias("avg_val"))
-            .groupBy("cluster")
-            .agg(
-                F.array_sort(
-                    F.collect_list(F.struct("pos", "avg_val"))
-                ).alias("pairs")
-            )
-            .select(
-                "cluster",
-                F.transform(F.col("pairs"), lambda p: p.avg_val).alias("cvec"),
-            )
-            .collect()
-        )
-        for row in new:  # empty clusters keep their previous centroid
-            centroids[row["cluster"]] = [float(x) for x in row["cvec"]]
-
-    return assign(centroids).select(
-        *id_cols, "cluster", F.round(F.col("dist2"), 6).alias("dist2")
+    cents = lloyd_init_first_k(df, vec_col, id_cols, k)
+    cents = lloyd_iterate(df, vec_col, cents, iters)
+    d = _centroid_dists(F.col(vec_col), cents)
+    return df.select(
+        *id_cols,
+        _nearest_cell(F.col(vec_col), cents).alias("cluster"),
+        F.round(F.array_min(d), 6).alias("dist2"),
     )

@@ -54,9 +54,16 @@ def bpe_ish_token_count(text: Column) -> Column:
 
 
 def punct_ratio(text: Column) -> Column:
-    """Fraction of characters that are punctuation."""
+    """Fraction of characters that are punctuation.
+
+    The denominator is ``greatest(length, 1)`` so an empty document
+    scores 0.0 instead of NULL (Spark) / NaN (DuckDB double 0/0) — the
+    two engines disagree on 0/0, so guarding both sides identically is
+    what keeps quality_score oracle-stable on length-0 rows."""
     punct = F.length(F.regexp_replace(text, r"[^\.,;:!\?'\"]", ""))
-    return punct.cast("double") / F.length(text).cast("double")
+    return punct.cast("double") / F.greatest(
+        F.length(text), F.lit(1)
+    ).cast("double")
 
 
 def stopword_ratio(text: Column, lang: str = "en") -> Column:

@@ -356,29 +356,124 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Deterministic hash-mod fit sample for the IVF coarse quantizer: the
+#: same Knuth-multiplicative bucket used by the sampling queries, on
+#: vec_id, keeping ~50% of vectors. 31-bit fold before the multiply
+#: guards ANSI int64 overflow; the identical expression runs in DuckDB.
+_IVF_FIT_BUCKET_SQL = "((vec_id % 2147483648) * 2654435761) % 4294967296 % 100 < 50"
+_IVF_N_CENTROIDS = 16
+_IVF_NPROBE = 4
+_IVF_ITERS = 2
+
+
+def _sq_l2_sql(vec: str, cent: str) -> str:
+    """Squared L2 between a (float) vector column and a double-list
+    centroid column — same element fold as Spark's zip_with."""
+    return (
+        f"list_aggregate(list_transform(range(1, len({vec}) + 1), "
+        f"i -> (CAST({vec}[i] AS DOUBLE) - {cent}[i]) "
+        f"* (CAST({vec}[i] AS DOUBLE) - {cent}[i])), 'sum')"
+    )
+
+
+def _ann_ivf_oracle() -> str:
+    """DuckDB twin of the persisted-IVF search: replays the
+    deterministic quantizer exactly — first-k-by-id seeding over the
+    hash-mod fit sample, a fixed number of unrolled Lloyd updates
+    (assign to nearest centroid with ties to the lowest cell, then
+    per-position means; empty cells keep their previous centroid) —
+    then the nprobe nearest cells and the exact cosine top-10 within
+    them. Assignments/probes are integers with distance gaps vastly
+    above cross-engine float noise, so the replay is stable."""
+    k, iters, nprobe = _IVF_N_CENTROIDS, _IVF_ITERS, _IVF_NPROBE
+    ctes = [
+        "q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)",
+        "fit AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e\n"
+        f"  FROM embeddings WHERE {_IVF_FIT_BUCKET_SQL})",
+        f"c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cluster, e AS c\n"
+        f"  FROM (SELECT vec_id, e FROM fit ORDER BY vec_id LIMIT {k}))",
+    ]
+    prev = "c0"
+    for it in range(1, iters + 1):
+        ctes.append(
+            f"a{it} AS (SELECT vec_id, e, cluster FROM (\n"
+            f"  SELECT f.vec_id, f.e, c.cluster,\n"
+            f"         row_number() OVER (PARTITION BY f.vec_id ORDER BY\n"
+            f"           {_sq_l2_sql('f.e', 'c.c')}, c.cluster) AS rn\n"
+            f"  FROM fit f CROSS JOIN {prev} c) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"m{it} AS (SELECT cluster, pos, avg(e[pos]) AS v FROM (\n"
+            f"  SELECT cluster, e, unnest(generate_series(1, len(e))) AS pos FROM a{it})\n"
+            f"  GROUP BY cluster, pos)"
+        )
+        ctes.append(
+            f"c{it} AS (SELECT {prev}.cluster, coalesce(u.c, {prev}.c) AS c\n"
+            f"  FROM {prev} LEFT JOIN (SELECT cluster, list(v ORDER BY pos) AS c\n"
+            f"                         FROM m{it} GROUP BY cluster) u USING (cluster))"
+        )
+        prev = f"c{it}"
+    ctes.append(
+        f"probes AS (SELECT cluster FROM (\n"
+        f"  SELECT c.cluster, row_number() OVER (ORDER BY\n"
+        f"    {_sq_l2_sql('q.qe', 'c.c')}, c.cluster) AS rn\n"
+        f"  FROM {prev} c, q) WHERE rn <= {nprobe})"
+    )
+    ctes.append(
+        f"cells AS (SELECT vec_id, label, embedding, cluster FROM (\n"
+        f"  SELECT v.vec_id, v.label, v.embedding, c.cluster,\n"
+        f"         row_number() OVER (PARTITION BY v.vec_id ORDER BY\n"
+        f"           {_sq_l2_sql('v.embedding', 'c.c')}, c.cluster) AS rn\n"
+        f"  FROM embeddings v CROSS JOIN {prev} c) WHERE rn = 1)"
+    )
+    with_sql = "WITH " + ",\n".join(ctes)
+    return f"""{with_sql}
+SELECT b.vec_id, b.label,
+       round(
+         list_aggregate(list_transform(range(1, len(b.embedding) + 1),
+           i -> CAST(b.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)), 'sum')
+         / (sqrt(list_aggregate(list_transform(range(1, len(b.embedding) + 1),
+              i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum'))
+            * sqrt(list_aggregate(list_transform(range(1, len(q.qe) + 1),
+                i -> CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)), 'sum'))),
+         6) AS cosine_sim
+FROM cells b, q
+WHERE b.cluster IN (SELECT cluster FROM probes)
+ORDER BY cosine_sim DESC, b.vec_id, b.label
+LIMIT 10
+"""
+
+
 @register(
     "similarity_ann_ivf",
-    oracle=None,  # approximate (cell pruning) — rows-only
+    oracle=_ann_ivf_oracle(),
     doc="IVF ANN against a PREBUILT cell-partitioned layout: the coarse "
-    "quantizer fits on a seeded sample and the corpus persists "
-    "partitioned by cell id (built once, reused across queries); the "
-    "search probes the 4 nearest of 16 cells as a partition-pruned "
-    "scan (PartitionFilters on cell), reading nprobe/n_centroids of "
-    "the corpus — the 100 TB shape, vs the inline full-corpus fit "
-    "this replaced.",
+    "quantizer is the repo's own deterministic Lloyd loop "
+    "(first-k-by-id seeding over a hash-mod fit sample, fixed "
+    "iterations — similarity.py lloyd_iterate), the corpus persists "
+    "partitioned by cell id under a per-user private hash-keyed cache "
+    "published by atomic rename, and the search probes the 4 nearest "
+    "of 16 cells as a partition-pruned scan (PartitionFilters on "
+    "cell), reading nprobe/n_centroids of the corpus — the 100 TB "
+    "shape. Deterministic end to end, so the probe replay is "
+    "oracle-checked rather than rows-counted.",
 )
 def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
     import os
-    import tempfile
 
     from rabbithole_spark.operators.similarity import ivf_topk_persisted
 
     qv = _query_vector(spark, sf_dir)
-    index_path = os.path.join(
-        tempfile.gettempdir(),
-        "rabbithole_spark_ivf",
-        os.path.basename(os.path.normpath(sf_dir)),
-    )
+    # per-user private cache, keyed by a hash of the FULL dataset path:
+    # no cross-user predictable /tmp dir, no basename collisions
+    base = os.path.join(os.path.expanduser("~"), ".cache", "rabbithole_spark")
+    os.makedirs(base, mode=0o700, exist_ok=True)
+    os.chmod(base, 0o700)
+    cache_root = os.path.join(base, "ivf")
+    os.makedirs(cache_root, exist_ok=True)
+    key = hashlib.sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:16]
+    index_path = os.path.join(cache_root, key)
     # source-data version stamp: rebuild on any change to the parquet
     # file (path+size+mtime), zero corpus scans when it is unchanged
     src = os.path.join(sf_dir, "embeddings.parquet")
@@ -390,10 +485,12 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         qv,
         index_path,
-        n_centroids=16,
-        nprobe=4,
+        n_centroids=_IVF_N_CENTROIDS,
+        nprobe=_IVF_NPROBE,
         k=10,
         id_cols=["vec_id", "label"],
+        iters=_IVF_ITERS,
+        fit_filter=F.expr(_IVF_FIT_BUCKET_SQL),
         fingerprint=fingerprint,
     )
 
@@ -486,13 +583,13 @@ _QUALITY_ORACLE = """
 SELECT doc_id,
        CAST(length(text) AS INTEGER) AS text_len,
        round(CAST(length(regexp_replace(text, '[^\\.,;:!\\?''"]', '', 'g')) AS DOUBLE)
-             / CAST(length(text) AS DOUBLE), 6) AS punct_ratio,
+             / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS punct_ratio,
        round(CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
                 t -> list_contains(['the','a','of','and','to','in','is','it'], t))) AS DOUBLE)
              / CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS DOUBLE), 6) AS stopword_ratio,
        round(CAST(CASE WHEN length(text) BETWEEN 50 AND 10000 THEN 0.4 ELSE 0 END
              + CASE WHEN CAST(length(regexp_replace(text, '[^\\.,;:!\\?''"]', '', 'g')) AS DOUBLE)
-                         / CAST(length(text) AS DOUBLE) < 0.1 THEN 0.3 ELSE 0 END
+                         / CAST(greatest(length(text), 1) AS DOUBLE) < 0.1 THEN 0.3 ELSE 0 END
              + CASE WHEN CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
                       t -> list_contains(['the','a','of','and','to','in','is','it'], t))) AS DOUBLE)
                          / CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS DOUBLE) > 0.01
@@ -631,7 +728,7 @@ WITH filtered AS (
   FROM documents
   WHERE n_chars BETWEEN 50 AND 10000
     AND CAST(length(regexp_replace(text, '[^\\.,;:!\\?''"]', '', 'g')) AS DOUBLE)
-        / CAST(length(text) AS DOUBLE) < 0.1
+        / CAST(greatest(length(text), 1) AS DOUBLE) < 0.1
 )
 SELECT min(doc_id) AS keep_id, fp,
        count(*) AS n_copies,
@@ -1517,7 +1614,7 @@ WITH scored AS (
   SELECT source,
          CAST(CASE WHEN length(text) BETWEEN 50 AND 10000 THEN 0.4 ELSE 0 END
          + CASE WHEN CAST(length(regexp_replace(text, '[^\\.,;:!\\?''"]', '', 'g')) AS DOUBLE)
-                     / CAST(length(text) AS DOUBLE) < 0.1 THEN 0.3 ELSE 0 END
+                     / CAST(greatest(length(text), 1) AS DOUBLE) < 0.1 THEN 0.3 ELSE 0 END
          + CASE WHEN CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
                   t -> list_contains(['the','a','of','and','to','in','is','it'], t))) AS DOUBLE)
                      / CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS DOUBLE) > 0.01
@@ -1570,7 +1667,7 @@ WITH scored AS (
   SELECT doc_id, source, lang, text,
          CAST(CASE WHEN length(text) BETWEEN 50 AND 10000 THEN 0.4 ELSE 0 END
          + CASE WHEN CAST(length(regexp_replace(text, '[^\\.,;:!\\?''"]', '', 'g')) AS DOUBLE)
-                     / CAST(length(text) AS DOUBLE) < 0.1 THEN 0.3 ELSE 0 END
+                     / CAST(greatest(length(text), 1) AS DOUBLE) < 0.1 THEN 0.3 ELSE 0 END
          + CASE WHEN CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
                   t -> list_contains(['the','a','of','and','to','in','is','it'], t))) AS DOUBLE)
                      / CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS DOUBLE) > 0.01
@@ -1812,7 +1909,7 @@ WITH scored AS (
          CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
          CAST(CASE WHEN length(text) BETWEEN 50 AND 10000 THEN 0.4 ELSE 0 END
          + CASE WHEN CAST(length(regexp_replace(text, '[^\\.,;:!\\?''"]', '', 'g')) AS DOUBLE)
-                     / CAST(length(text) AS DOUBLE) < 0.1 THEN 0.3 ELSE 0 END
+                     / CAST(greatest(length(text), 1) AS DOUBLE) < 0.1 THEN 0.3 ELSE 0 END
          + CASE WHEN CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
                   t -> list_contains(['the','a','of','and','to','in','is','it'], t))) AS DOUBLE)
                      / CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS DOUBLE) > 0.01

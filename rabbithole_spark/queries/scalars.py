@@ -264,16 +264,24 @@ def scalar_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Integer coercion mirrors Spark's from_json(Map<String,Integer>): only
+# strict integer literals cast; fractional/other numerics -> NULL
+# (DuckDB TRY_CAST('12.5' AS INTEGER) would round to 13 instead).
 _MAP_ORACLE = """
 SELECT event_id,
        array_to_string(list_sort(json_keys(props)), ',') AS prop_keys,
        array_to_string(
          list_transform(list_sort(json_keys(props)),
-                        kk -> CAST(TRY_CAST(json_extract_string(props, '$.' || kk)
-                                            AS INTEGER) AS VARCHAR)),
+                        kk -> CAST(CASE WHEN regexp_full_match(
+                                     json_extract_string(props, '$.' || kk),
+                                     '-?[0-9]+')
+                                   THEN CAST(json_extract_string(props, '$.' || kk)
+                                             AS INTEGER) END AS VARCHAR)),
          ',') AS prop_values,
        CAST(len(json_keys(props)) AS INTEGER) AS n_props,
-       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_value
+       CASE WHEN regexp_full_match(json_extract_string(props, '$.k'), '-?[0-9]+')
+            THEN CAST(json_extract_string(props, '$.k') AS INTEGER)
+       END AS k_value
 FROM events
 """
 
