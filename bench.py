@@ -155,8 +155,20 @@ def main() -> None:
         except Exception as exc:  # one broken query must not kill the bench
             failures[name] = f"{type(exc).__name__}: {exc}"[:200]
 
+    # Pinned ETL-probe protocol (round-4): the probe swings with
+    # background machine load, so run it three times and report the
+    # MEDIAN-rate run as the headline, with all three rates attached so
+    # the spread is visible. Run 1 additionally pays the streaming
+    # plan's codegen compile (cold); the median therefore reflects a
+    # steady-state floor rather than one hot or cold sample.
     try:
-        etl = etl_throughput(spark, sf_dir)
+        runs = [etl_throughput(spark, sf_dir) for _ in range(3)]
+        rates = sorted(r["rows_per_sec"] for r in runs)
+        etl = next(r for r in runs if r["rows_per_sec"] == rates[1])
+        etl["rows_per_sec_runs"] = [r["rows_per_sec"] for r in runs]
+        etl["spread"] = (
+            round(rates[-1] / rates[0], 3) if rates[0] else None
+        )
     except Exception as exc:  # throughput probe must not kill the bench
         etl = {"error": f"{type(exc).__name__}: {exc}"[:200]}
 

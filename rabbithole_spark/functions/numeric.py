@@ -13,23 +13,36 @@ flaky. The stable pattern used across the catalog:
    engines round it identically; when it does not, true decimal
    midpoints appear and Spark (HALF_UP) vs DuckDB (half-even) diverge,
 3. SUM the decimals — exact integer arithmetic, order-insensitive,
-4. CAST the exact sum to DOUBLE as the *output* type, then ROUND to a
-   fixed 6-decimal grain on BOTH sides. The cast alone is only
-   bit-identical while the scaled integer sum fits in 2^53: Spark's
-   BigDecimal->double is a single correctly-rounded conversion, but
-   DuckDB converts the hugeint-backed decimal and divides by 10^scale
-   (two roundings), so above ~2^53/10^scale (~9e11 at scale 4) the
-   engines can differ by 1 ulp. The shared ROUND re-quantizes both
-   results through the identical decimal grain; for sums large enough
-   that 1 ulp exceeds the grain the residual risk is a straddled
-   rounding boundary (~ulp/grain probability) — at the driver's SFs the
-   sums stay far below the 2^53 bound and the cast is already exact.
-   Returning DecimalType here is a trap: Spark->pandas yields Python
-   ``Decimal`` objects while DuckDB->pandas yields float64, so
-   dtype-sensitive hashers flag equal values as different.
+4. convert the exact sum to DOUBLE through exactly ONE correctly-
+   rounded conversion on each engine: Spark's decimal->double cast is
+   BigDecimal.doubleValue (correctly rounded at every magnitude); the
+   oracle routes through VARCHAR — ``CAST(CAST(sum AS VARCHAR) AS
+   DOUBLE)`` — because DuckDB's *direct* decimal->double cast is
+   two-step (hugeint conversion then scale multiply) and drifts 1 ulp
+   above ~2^53/10^scale, while its string->double parse is correctly
+   rounded. Two correctly-rounded conversions of the same exact
+   decimal are bit-identical, so the comparison is exact at ALL
+   magnitudes.
+
+Earlier rounds instead cast directly and re-quantized both sides with
+a shared ROUND(…,6). Round-4 measurement (tests/test_numeric_policy.py)
+showed that formulation breaks far below its documented ~2^53/10^scale
+bound: DuckDB evaluates ROUND(x, 6) on doubles as a multiply/round/
+divide through x*1e6, which is inexact once x*1e6 exceeds 2^53 —
+ROUND(600030003333.0, 6) returns 600030003332.9999 — so sums above
+~9e9 could hash-mismatch even though both casts were still exact. The
+string-roundtrip formulation has no such cliff and needs no final
+ROUND at all; output values are unchanged wherever the old ROUND was
+identity (every catalog sum at the driver's SFs, where true decimal
+precision <= s <= 6 digits and sums sit far below 2^53).
+
+Returning DecimalType here would be a trap: Spark->pandas yields Python
+``Decimal`` objects while DuckDB->pandas yields float64, so
+dtype-sensitive hashers flag equal values as different.
 
 AVG keeps double arithmetic but rounds to 6 decimals: the cross-order
-error of a double mean is ~1e-12 relative, vastly below the 1e-6 grain.
+error of a double mean is ~1e-12 relative, vastly below the 1e-6 grain
+(and catalog means stay small enough that DuckDB's ROUND stays exact).
 
 The same expressions are emitted in SQL for the oracle via
 ``sql_dsum`` / ``sql_ravg``.
@@ -44,11 +57,10 @@ from pyspark.sql.types import DecimalType
 __all__ = ["dsum", "ravg", "sql_dsum", "sql_ravg"]
 
 
-def dsum(expr: Column, alias: str, scale: int = 4, digits: int = 6) -> Column:
+def dsum(expr: Column, alias: str, scale: int = 4) -> Column:
     """Order-insensitive exact sum of a double expression (see module doc)."""
     return (
-        F.round(F.sum(expr.cast(DecimalType(18, scale))).cast("double"), digits)
-        .alias(alias)
+        F.sum(expr.cast(DecimalType(18, scale))).cast("double").alias(alias)
     )
 
 
@@ -57,11 +69,15 @@ def ravg(expr: Column, alias: str, digits: int = 6) -> Column:
     return F.round(F.avg(expr), digits).alias(alias)
 
 
-def sql_dsum(expr_sql: str, alias: str, scale: int = 4, digits: int = 6) -> str:
-    """DuckDB SQL emitting the identical decimal-sum as :func:`dsum`."""
+def sql_dsum(expr_sql: str, alias: str, scale: int = 4) -> str:
+    """DuckDB SQL emitting the identical decimal-sum as :func:`dsum`.
+
+    The VARCHAR hop forces DuckDB's correctly-rounded string->double
+    parse instead of its drifting direct decimal->double cast.
+    """
     return (
-        f"ROUND(CAST(SUM(CAST(({expr_sql}) AS DECIMAL(18,{scale}))) "
-        f"AS DOUBLE), {digits}) AS {alias}"
+        f"CAST(CAST(SUM(CAST(({expr_sql}) AS DECIMAL(18,{scale}))) "
+        f"AS VARCHAR) AS DOUBLE) AS {alias}"
     )
 
 

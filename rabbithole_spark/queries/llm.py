@@ -1770,20 +1770,28 @@ def pipeline_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: target training-sequence length (tokens) for the packing query
 _SEQ_LEN = 2048
 
+#: docs per packing shard: the cumulative-sum window partitions on
+#: (source, shard) instead of bare source, so no single task ever owns
+#: one source's entire token stream. 128 keeps several shards per
+#: source even at sf0.001; at 100 TB the same constant (or a date
+#: bucket) bounds every window partition to a fixed document count.
+_PACK_SHARD_DOCS = 128
+
 _PACK_ORACLE = f"""
 WITH toks AS (
   SELECT doc_id, source,
+         CAST(doc_id // {_PACK_SHARD_DOCS} AS BIGINT) AS shard,
          CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
   FROM documents
 ), placed AS (
-  SELECT doc_id, source, n_tokens,
+  SELECT doc_id, source, shard, n_tokens,
          sum(n_tokens) OVER (
-           PARTITION BY source ORDER BY doc_id
+           PARTITION BY source, shard ORDER BY doc_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
          ) AS cum_tokens
   FROM toks
 )
-SELECT doc_id, source, n_tokens,
+SELECT doc_id, source, shard, n_tokens,
        CAST((cum_tokens - n_tokens) // {_SEQ_LEN} AS BIGINT) AS first_seq,
        CAST((cum_tokens - 1) // {_SEQ_LEN} AS BIGINT) AS last_seq,
        CAST((cum_tokens - n_tokens) % {_SEQ_LEN} AS BIGINT) AS start_offset
@@ -1795,13 +1803,16 @@ FROM placed
     "pack_sequences_by_source",
     oracle=_PACK_ORACLE,
     doc="Concat-and-chunk sequence packing: documents concatenate in "
-    "deterministic doc_id order within each source shard and the "
+    "deterministic doc_id order within each (source, shard) and the "
     "token stream is cut every 2048 tokens — each doc's span of "
     "training sequences (first_seq..last_seq, start_offset) falls "
-    "out of one windowed cumulative sum. The window partitions by "
-    "source, so at 100 TB each shard packs independently (no global "
-    "ordering, no single-partition window); a finer shard key "
-    "(source, date bucket) bounds partition size the same way.",
+    "out of one windowed cumulative sum. The window partitions on "
+    "the BOUNDED shard key (source, doc_id div 128), never bare "
+    "source: at 100 TB a popular source would otherwise serialize "
+    "its whole token stream through one task, while the shard key "
+    "caps every window partition at a fixed document count and each "
+    "shard packs (and would write) its sequences independently, "
+    "addressed by (source, shard, seq).",
 )
 def pack_sequences_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -1810,16 +1821,18 @@ def pack_sequences_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "doc_id",
         "source",
+        F.expr(f"doc_id div {_PACK_SHARD_DOCS}").alias("shard"),
         token_count(F.col("text")).cast("bigint").alias("n_tokens"),
     )
     w = (
-        Window.partitionBy("source")
+        Window.partitionBy("source", "shard")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     placed = toks.select(
         "doc_id",
         "source",
+        "shard",
         "n_tokens",
         F.sum("n_tokens").over(w).alias("cum_tokens"),
     )
@@ -1828,6 +1841,7 @@ def pack_sequences_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return placed.select(
         "doc_id",
         "source",
+        "shard",
         "n_tokens",
         F.expr(f"(cum_tokens - n_tokens) div {_SEQ_LEN}").alias("first_seq"),
         F.expr(f"(cum_tokens - 1) div {_SEQ_LEN}").alias("last_seq"),

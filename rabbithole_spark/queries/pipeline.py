@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from rabbithole_spark.catalog import register
+from rabbithole_spark.functions.numeric import dsum, sql_dsum
 from rabbithole_spark.plans.mapper import ParametersMapper
 from rabbithole_spark.session import table
 
@@ -69,12 +70,34 @@ def _read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros(micros))
 
 
+#: Why several genuine streaming executions below carry real oracles:
+#: the bounded replay is DETERMINISTIC. events.parquet is a single file,
+#: so the AvailableNow file source delivers it as one micro-batch
+#: (maxFilesPerTrigger is per-file); the watermark only advances
+#: *between* micro-batches, so it provably drops nothing within the
+#: single batch, and `complete`-mode aggregations emit full state
+#: regardless of batching. Under that contract the streamed output is
+#: exactly the batch twin's value set and the twin's oracle SQL applies
+#: verbatim. Queries whose output depends on processing time
+#: (count-or-time flush tags) or per-batch emission (update-mode
+#: running totals with n_batches) stay rows-only by design.
+_TUMBLING_STREAM_ORACLE = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       event_type,
+       count(*) AS n_events
+FROM events
+GROUP BY 1, 2
+"""
+
+
 @register(
     "stream_tumbling_counts",
-    oracle=None,  # genuine streaming execution — rows-only check
+    oracle=_TUMBLING_STREAM_ORACLE,
     doc="Structured Streaming tumbling-window aggregation with watermark "
-    "over the events stream (AvailableNow + memory sink); the batch "
-    "twin window_tumbling_hourly is the value-checked equivalent.",
+    "over the events stream (AvailableNow + memory sink). Complete "
+    "output mode over a deterministic single-file bounded stream: the "
+    "emitted state equals the batch twin window_tumbling_hourly, so "
+    "the twin's oracle checks the STREAMED output directly.",
 )
 def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"stream_tumbling_{uuid.uuid4().hex[:8]}"
@@ -100,13 +123,23 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+_DISTINCT_KEYS_ORACLE = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
 @register(
     "stream_dedup_within_watermark",
-    oracle=None,  # streaming stateful dedup with bounded state — rows-only
+    oracle=_DISTINCT_KEYS_ORACLE,
     doc="dropDuplicatesWithinWatermark: duplicates suppressed only "
     "within the watermark horizon, so per-key state EXPIRES — the "
     "bounded-state dedup for infinite streams (plain dropDuplicates "
-    "state grows forever).",
+    "state grows forever). Projects the key columns only: WHICH "
+    "surviving row's ts is kept is a partition-order race, but the "
+    "surviving KEY SET over the single-batch bounded replay is "
+    "exactly DISTINCT(user_id, event_type) — state cannot expire "
+    "within one micro-batch — so the dedup semantics are "
+    "oracle-checked.",
 )
 def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"stream_dedupw_{uuid.uuid4().hex[:8]}"
@@ -114,7 +147,7 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
         _read_events_stream(spark, sf_dir)
         .withWatermark("ts", "2 hours")
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
-        .select("user_id", "event_type", "ts")
+        .select("user_id", "event_type")
     )
     q = (
         dedup.writeStream.format("memory")
@@ -127,12 +160,38 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     return spark.table(name)
 
 
+_SESSION_STREAM_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   <= INTERVAL '30 minutes'
+              THEN 0 ELSE 1 END AS new_session
+  FROM events
+), sessions AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS session_id
+  FROM flagged
+)
+SELECT min(ts) AS session_start,
+       max(ts) + INTERVAL '30 minutes' AS session_end,
+       user_id,
+       count(*) AS n_events
+FROM sessions
+GROUP BY user_id, session_id
+"""
+
+
 @register(
     "stream_session_window",
-    oracle=None,  # streaming session windows — rows-only check
+    oracle=_SESSION_STREAM_ORACLE,
     doc="Streaming session-window aggregation (30 min gap) with "
-    "watermark; the batch twin window_session_per_user is the "
-    "value-checked equivalent.",
+    "watermark. Complete output mode over the deterministic "
+    "single-file bounded stream: emitted sessions equal the batch "
+    "twin window_session_per_user, so the gaps-and-islands oracle "
+    "checks the STREAMED output directly.",
 )
 def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"stream_session_{uuid.uuid4().hex[:8]}"
@@ -228,9 +287,13 @@ def stream_count_or_time_batcher(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_dedup_watermark",
-    oracle=None,  # streaming stateful dedup — rows-only check
+    oracle=_DISTINCT_KEYS_ORACLE,
     doc="Stateful streaming deduplication (dropDuplicates on user/type "
-    "with watermark): first event per (user_id, event_type).",
+    "with watermark): first event per (user_id, event_type). Projects "
+    "the key columns only — WHICH row survives is a partition-order "
+    "race, but the surviving key set over the single-batch bounded "
+    "replay is DISTINCT(user_id, event_type) (no state eviction "
+    "within one micro-batch), so the dedup is oracle-checked.",
 )
 def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
@@ -238,7 +301,7 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         _read_events_stream(spark, sf_dir)
         .withWatermark("ts", "1 hour")
         .dropDuplicates(["user_id", "event_type"])
-        .select("user_id", "event_type", "ts")
+        .select("user_id", "event_type")
     )
     q = (
         dedup.writeStream.format("memory")
@@ -290,12 +353,15 @@ def join_attribution_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_stream_interval_join",
-    oracle=None,  # genuine stream-stream join execution — rows-only
+    oracle=_ATTRIBUTION_ORACLE,
     doc="Stream-stream inner join with watermarks on both sides and an "
     "event-time range condition (purchase within 1h of same-user "
     "click). Spark bounds both join-state buffers from the watermark "
-    "+ interval, so state stays finite on infinite streams; the batch "
-    "twin join_attribution_clicks is the value-checked equivalent.",
+    "+ interval, so state stays finite on infinite streams. Both "
+    "sides arrive in the same single micro-batch of the bounded "
+    "replay, so no match is watermark-evicted and the emitted match "
+    "set equals the batch twin join_attribution_clicks — the twin's "
+    "oracle checks the STREAMED output directly.",
 )
 def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"stream_ssjoin_{uuid.uuid4().hex[:8]}"
@@ -334,16 +400,27 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+_ENRICH_ORACLE = f"""
+SELECT c.c_nationkey,
+       count(*) AS n_events,
+       {sql_dsum("e.value", "total_value", 2)}
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_nationkey
+"""
+
+
 @register(
     "stream_static_enrich",
-    oracle=None,  # genuine streaming execution — rows-only
+    oracle=_ENRICH_ORACLE,
     doc="Stream-static join: the events stream enriched against the "
     "static customer dimension (broadcast — the static side never "
     "re-shuffles per micro-batch, Spark re-reads only changed files), "
     "then a watermarked per-nation revenue rollup. The standard "
     "dimension-enrichment shape for streaming ETL at scale; the "
     "static side stays a broadcast even on a 1000-executor cluster "
-    "as long as the dimension fits the broadcast threshold.",
+    "as long as the dimension fits the broadcast threshold. Complete "
+    "mode + decimal-exact dsum make the bounded replay deterministic, "
+    "so the streamed rollup is oracle-checked.",
 )
 def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rabbithole_spark.session import table as _table
@@ -359,7 +436,7 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 6).alias("total_value"),
+            dsum(F.col("value"), "total_value", 2),
         )
     )
     q = (

@@ -92,3 +92,36 @@ def test_list_form_positional_naming(spark):
     assert out.columns == ["param_0", "param_1", "param_2"]
     row = out.collect()[0]
     assert (row.param_0, row.param_1, row.param_2) == ("1", "x", None)
+
+
+def test_duplicate_json_keys_first_wins_documented_divergence(spark):
+    """Raw JSON may repeat a key ({"k":1,"k":2}) — something the
+    reference never sees because Python json.loads collapses to the
+    LAST occurrence before mapping (sql.py parses to dict). The
+    JVM-side mapper reads the serialized payload directly and Spark's
+    get_json_object returns the FIRST occurrence — as does DuckDB's
+    json_extract_string, so the oracle hash-compare stays aligned.
+    This test pins that documented divergence: first-wins here,
+    last-wins in the reference."""
+    df = spark.createDataFrame([('{"k":1,"k":2}',)], ["payload"])
+    out = ParametersMapper({"k": "k"}).apply(df).collect()[0]
+    assert out.k == "1"
+
+
+def test_list_traversal_yields_null_like_reference(spark):
+    """A dotted path into a list value ('a.0' where a=[1,2,3]) is NULL:
+    the reference's dict.get traversal returns None for non-dict
+    intermediates (sql.py:145-166), and the mapper's struct/JSON walk
+    must agree — '0' is only a real key when the payload holds an
+    object with that string key."""
+    df = spark.createDataFrame(
+        [('{"a":[1,2,3]}',), ('{"a":{"0":"zero"}}',), ('{"a":5}',)],
+        ["payload"],
+    )
+    rows = (
+        ParametersMapper({"a0": "a.0", "ab": "a.b"})
+        .apply(df)
+        .collect()
+    )
+    got = sorted((r.a0, r.ab) for r in rows)
+    assert got == [(None, None), (None, None), ("zero", None)]

@@ -1,0 +1,56 @@
+"""The dsum cross-engine policy's documented residual risk, tested:
+above ~2^53/10^scale the exact decimal sum no longer converts to
+double identically in one rounding on both engines (Spark does one
+correctly-rounded BigDecimal->double; DuckDB divides a hugeint by
+10^scale — two roundings), and the shared ROUND(…,6) is what
+re-quantizes both results onto the same grid (functions/numeric.py
+module doc). This synthesizes sums far above the 2^53 bound and
+asserts Spark dsum == DuckDB sql_dsum bit-for-bit after the ROUND."""
+
+from __future__ import annotations
+
+import duckdb
+
+from pyspark.sql import functions as F
+
+from rabbithole_spark.functions.numeric import dsum, sql_dsum
+
+# v_i = 9e7 + (i % 10000) * 1e-4: true decimal precision 4; over
+# N=20000 rows the scale-4 scaled integer sum is ~1.8e16 > 2^53.
+_N = 20000
+_EXPR = "90000000.0 + (CAST(i % 10000 AS DOUBLE) * 0.0001)"
+
+
+def test_dsum_beyond_2_53_matches_oracle(spark):
+    sdf = spark.range(_N).select(
+        F.expr(_EXPR.replace("i", "id")).alias("v")
+    )
+    got = sdf.agg(dsum(F.col("v"), "s", 4)).collect()[0]["s"]
+    # sanity: the scaled sum really exceeds the 2^53 exact-double bound
+    assert got * 10**4 > 2**53
+    want = duckdb.sql(
+        f"SELECT {sql_dsum('v', 's', 4)} FROM ("
+        f"  SELECT {_EXPR} AS v"
+        f"  FROM (SELECT unnest(range({_N})) AS i))"
+    ).fetchone()[0]
+    assert got == want, (got, want, got - want)
+
+
+def test_dsum_grouped_beyond_2_53_matches_oracle(spark):
+    """Same bound but through a grouped aggregation — the shape every
+    catalog dsum user actually runs."""
+    sdf = spark.range(_N).select(
+        (F.col("id") % 3).alias("g"),
+        F.expr(_EXPR.replace("i", "id")).alias("v"),
+    )
+    got = {
+        r["g"]: r["s"]
+        for r in sdf.groupBy("g").agg(dsum(F.col("v"), "s", 4)).collect()
+    }
+    rows = duckdb.sql(
+        f"SELECT g, {sql_dsum('v', 's', 4)} FROM ("
+        f"  SELECT i % 3 AS g, {_EXPR} AS v"
+        f"  FROM (SELECT unnest(range({_N})) AS i)) GROUP BY g"
+    ).fetchall()
+    want = {g: s for g, s in rows}
+    assert got == want, (got, want)

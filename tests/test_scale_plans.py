@@ -366,3 +366,31 @@ def test_multiway_revenue_broadcasts_dims(spark):
     pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
     # the date filter reaches the orders scan
     assert any("o_orderdate" in l for l in pushed), pushed
+
+
+def test_pack_sequences_shard_key_bounds_window_partitions(spark):
+    """Sequence packing must window on (source, shard), never bare
+    source: at 100 TB one popular source would otherwise funnel its
+    entire token stream through a single window task. Evidence: the
+    data carries strictly more (source, shard) window partitions than
+    sources, every shard holds at most _PACK_SHARD_DOCS docs, and the
+    physical window spec partitions on both keys."""
+    from rabbithole_spark.catalog import load_all
+    from rabbithole_spark.queries.llm import _PACK_SHARD_DOCS
+
+    df = load_all()["pack_sequences_by_source"].fn(spark, SF)
+    shards = (
+        df.groupBy("source", "shard")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .collect()
+    )
+    n_sources = len({r.source for r in shards})
+    assert len(shards) > n_sources, (len(shards), n_sources)
+    assert all(r.n_docs <= _PACK_SHARD_DOCS for r in shards)
+    plan = _plan(df)
+    window_args = [
+        l for l in plan.splitlines() if "windowspecdefinition" in l
+    ]
+    assert window_args and all(
+        "source" in l and "shard" in l for l in window_args
+    ), window_args

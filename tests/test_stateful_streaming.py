@@ -10,6 +10,7 @@ import pytest
 
 from pyspark.sql import functions as F
 
+from rabbithole_spark.functions.numeric import dsum
 from rabbithole_spark.session import table
 from rabbithole_spark.streaming.stateful import running_totals_with_state
 
@@ -261,7 +262,7 @@ def test_stream_static_enrich_matches_batch_twin(spark):
         .groupBy("c_nationkey")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 6).alias("tv"),
+            dsum(F.col("value"), "tv", 2),
         )
         .collect()
     }
