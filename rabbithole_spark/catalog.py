@@ -69,6 +69,7 @@ _PRIORITY_ORDER = (
     "stream_dedup_watermark",
     "stream_dedup_within_watermark",
     "stream_stream_interval_join",
+    "stream_stateful_running_totals",
     "pack_sequences_by_source",
     # modified in round 4: quality_score empty-doc guard users,
     # quantized-ANN query rounding, kmeans Lloyd refactor, map-funcs
@@ -120,7 +121,6 @@ _PRIORITY_ORDER = (
     "subquery_correlated",
     "scalar_string_funcs",
     "scalar_math_funcs",
-    "scalar_array_funcs",
 )
 
 

@@ -376,20 +376,17 @@ def _sq_l2_sql(vec: str, cent: str) -> str:
     )
 
 
-def _ann_ivf_oracle() -> str:
-    """DuckDB twin of the persisted-IVF search: replays the
-    deterministic quantizer exactly — first-k-by-id seeding over the
-    hash-mod fit sample, a fixed number of unrolled Lloyd updates
-    (assign to nearest centroid with ties to the lowest cell, then
-    per-position means; empty cells keep their previous centroid) —
-    then the nprobe nearest cells and the exact cosine top-10 within
-    them. Assignments/probes are integers with distance gaps vastly
-    above cross-engine float noise, so the replay is stable."""
-    k, iters, nprobe = _IVF_N_CENTROIDS, _IVF_ITERS, _IVF_NPROBE
+def _lloyd_replay_ctes(k: int, iters: int, fit_where: str | None) -> tuple[list[str], str]:
+    """CTEs replaying the repo's deterministic Lloyd quantizer in
+    DuckDB (similarity.py lloyd_init_first_k/lloyd_iterate):
+    first-k-by-id seeding over ``fit`` (optionally a hash-mod sample),
+    then ``iters`` unrolled updates — assign to the nearest centroid
+    with ties to the lowest cell, per-position means, empty cells keep
+    their previous centroid. Returns (ctes, final_centroid_cte)."""
+    where = f" WHERE {fit_where}" if fit_where else ""
     ctes = [
-        "q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)",
         "fit AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e\n"
-        f"  FROM embeddings WHERE {_IVF_FIT_BUCKET_SQL})",
+        f"  FROM embeddings{where})",
         f"c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cluster, e AS c\n"
         f"  FROM (SELECT vec_id, e FROM fit ORDER BY vec_id LIMIT {k}))",
     ]
@@ -413,6 +410,21 @@ def _ann_ivf_oracle() -> str:
             f"                         FROM m{it} GROUP BY cluster) u USING (cluster))"
         )
         prev = f"c{it}"
+    return ctes, prev
+
+
+def _ann_ivf_oracle() -> str:
+    """DuckDB twin of the persisted-IVF search: replays the
+    deterministic quantizer exactly (see _lloyd_replay_ctes), then the
+    nprobe nearest cells and the exact cosine top-10 within them.
+    Assignments/probes are integers with distance gaps vastly above
+    cross-engine float noise, so the replay is stable."""
+    k, iters, nprobe = _IVF_N_CENTROIDS, _IVF_ITERS, _IVF_NPROBE
+    lloyd, prev = _lloyd_replay_ctes(k, iters, _IVF_FIT_BUCKET_SQL)
+    ctes = [
+        "q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)",
+        *lloyd,
+    ]
     ctes.append(
         f"probes AS (SELECT cluster FROM (\n"
         f"  SELECT c.cluster, row_number() OVER (ORDER BY\n"
@@ -1585,23 +1597,62 @@ def mixture_resample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KMEANS_K = 10
+_KMEANS_ITERS = 4
+
+
+def _kmeans_oracle() -> str:
+    """DuckDB twin of the k-means rollup: replays the deterministic
+    Lloyd loop over the FULL corpus (same first-k-by-id seeding and
+    unrolled updates the IVF quantizer oracle uses), assigns every
+    vector to its nearest final centroid, and aggregates cluster size
+    + mean within-cluster squared distance. Cluster memberships are
+    integers separated by distance gaps far above cross-engine float
+    noise; dist2 is rounded per row and again after the mean on both
+    sides, so the hash-compare is stable."""
+    k, iters = _KMEANS_K, _KMEANS_ITERS
+    ctes, prev = _lloyd_replay_ctes(k, iters, None)
+    d2 = _sq_l2_sql("f.e", "c.c")
+    ctes.append(
+        f"af AS (SELECT vec_id, cluster, d2 FROM (\n"
+        f"  SELECT f.vec_id, c.cluster, {d2} AS d2,\n"
+        f"         row_number() OVER (PARTITION BY f.vec_id ORDER BY\n"
+        f"           {d2}, c.cluster) AS rn\n"
+        f"  FROM fit f CROSS JOIN {prev} c) WHERE rn = 1)"
+    )
+    with_sql = "WITH " + ",\n".join(ctes)
+    return f"""{with_sql}
+SELECT cluster,
+       count(*) AS n_vectors,
+       ROUND(AVG(ROUND(d2, 6)), 6) AS avg_dist2
+FROM af
+GROUP BY cluster
+"""
+
+
 @register(
     "similarity_kmeans_clusters",
-    oracle=None,  # iterative algorithm — rows-only + purity test
+    oracle=_kmeans_oracle(),
     doc="Semantic clustering of the embedding corpus: deterministic "
     "Lloyd's k-means (k=10, 4 iterations), per-iteration cost = one "
     "assignment scan against literal (broadcast-pattern) centroids + "
     "one (cluster, pos) update aggregation; cluster sizes and mean "
     "within-cluster squared distance reported per cluster. The "
     "training loop of an IVF index and the grouping step of "
-    "semantic dedup. Label purity is asserted in "
-    "tests/test_llm_operators.py.",
+    "semantic dedup. Deterministic by construction (first-k-by-id "
+    "init, fixed iterations), so the whole iterative loop is "
+    "oracle-replayed in SQL rather than rows-counted; label purity "
+    "is additionally asserted in tests/test_llm_operators.py.",
 )
 def similarity_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rabbithole_spark.operators.similarity import kmeans_fit_assign
 
     assigned = kmeans_fit_assign(
-        table(spark, sf_dir, "embeddings"), "embedding", ["vec_id"], k=10, iters=4
+        table(spark, sf_dir, "embeddings"),
+        "embedding",
+        ["vec_id"],
+        k=_KMEANS_K,
+        iters=_KMEANS_ITERS,
     )
     return assigned.groupBy("cluster").agg(
         F.count(F.lit(1)).alias("n_vectors"),

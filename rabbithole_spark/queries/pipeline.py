@@ -218,13 +218,27 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+_RUNNING_TOTALS_ORACLE = """
+SELECT user_id,
+       count(*) AS n_events,
+       ROUND(SUM(COALESCE(value, 0)), 6) AS total_value,
+       CAST(1 AS BIGINT) AS n_batches
+FROM events
+GROUP BY user_id
+"""
+
+
 @register(
     "stream_stateful_running_totals",
-    oracle=None,  # custom stateful operator — rows-only check
+    oracle=_RUNNING_TOTALS_ORACLE,
     doc="applyInPandasWithState cumulative per-user totals: arbitrary "
     "Python state folded per micro-batch in the checkpointed state "
     "store (the Spark-native upgrade of the reference's in-memory "
-    "Batcher buffer, batcher.py:49).",
+    "Batcher buffer, batcher.py:49). Update mode emits one row per "
+    "key per micro-batch; the single-batch bounded replay therefore "
+    "emits each user's final totals exactly once with n_batches = 1, "
+    "and the 6-decimal round absorbs pandas-vs-SQL float sum "
+    "ordering — so the custom operator's output is oracle-checked.",
 )
 def stream_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rabbithole_spark.streaming.stateful import running_totals_with_state
