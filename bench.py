@@ -58,7 +58,12 @@ def etl_throughput(spark, sf_dir: str) -> dict:
     tmp = tempfile.mkdtemp(prefix="bench_etl_")
     spool, db = os.path.join(tmp, "spool"), os.path.join(tmp, "out.sqlite")
     try:
-        ev = table(spark, sf_dir, "events")
+        # 4x-replicated message stream: a ~2 s probe swings ~1.6x with
+        # scheduler/IO noise; ~8 s of work per run keeps the spread
+        # inside the pinned-protocol target (NOTES.md round 4)
+        ev = table(spark, sf_dir, "events").crossJoin(
+            spark.range(4).select(F.col("id").alias("__rep"))
+        ).drop("__rep")
         body = F.to_json(F.struct("event_id", "user_id", "value", "event_type"))
         env = ev.select(
             F.to_json(
@@ -155,13 +160,13 @@ def main() -> None:
         except Exception as exc:  # one broken query must not kill the bench
             failures[name] = f"{type(exc).__name__}: {exc}"[:200]
 
-    # Pinned ETL-probe protocol (round-4): the probe swings with
-    # background machine load, so run it three times and report the
-    # MEDIAN-rate run as the headline, with all three rates attached so
-    # the spread is visible. Run 1 additionally pays the streaming
-    # plan's codegen compile (cold); the median therefore reflects a
-    # steady-state floor rather than one hot or cold sample.
+    # Pinned ETL-probe protocol (round-4): one untimed warm-up run pays
+    # the streaming plan's codegen compile, then three measured runs;
+    # the headline is the MEDIAN-rate run, with all three rates
+    # attached so the spread is visible. Measured quiet-run spread with
+    # this protocol is recorded in NOTES.md.
     try:
+        etl_throughput(spark, sf_dir)  # warm-up, discarded
         runs = [etl_throughput(spark, sf_dir) for _ in range(3)]
         rates = sorted(r["rows_per_sec"] for r in runs)
         etl = next(r for r in runs if r["rows_per_sec"] == rates[1])
