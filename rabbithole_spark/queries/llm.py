@@ -828,6 +828,150 @@ def sample_stratified_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "n_chars")
 
 
+#: Train/val/test assignment bucket: same 31-bit-fold hash-mod shape as
+#: _SAMPLE_BUCKET_SQL but with a DIFFERENT odd multiplier (xxhash
+#: prime2), so split membership is statistically independent of the
+#: sampling queries' bucket — a doc sampled by one stage is not thereby
+#: biased into one split. 2^31 * 2246822519 ~ 4.8e18 < 2^63: no
+#: overflow for any BIGINT doc_id.
+_SPLIT_BUCKET_SQL = "((doc_id % 2147483648) * 2246822519) % 4294967296 % 100"
+
+_SPLIT_CASE_SQL = (
+    f"CASE WHEN {_SPLIT_BUCKET_SQL} < 98 THEN 'train' "
+    f"WHEN {_SPLIT_BUCKET_SQL} < 99 THEN 'val' ELSE 'test' END"
+)
+
+_SPLIT_ORACLE = f"""
+SELECT {_SPLIT_CASE_SQL} AS split,
+       lang,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "split_train_val_test",
+    oracle=_SPLIT_ORACLE,
+    doc="Deterministic 98/1/1 train/val/test split by hash-mod on "
+    "doc_id, rolled up per (split, lang). Row-local assignment: no "
+    "shuffle beyond the rollup, reproducible across runs and engines "
+    "(re-materializing a 100 TB split MUST land every document in the "
+    "same file), and leakage-free by construction — membership is a "
+    "pure function of the id, so a document can never drift between "
+    "splits across incremental ingestion runs. The independent "
+    "multiplier keeps split choice uncorrelated with the sampling "
+    "queries' hash bucket.",
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.withColumn("split", F.expr(_SPLIT_CASE_SQL))
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+_CANONICAL_SURVIVORS_ORACLE = f"""
+{_COMPONENTS_ORACLE.replace("SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src",
+                            ", comp AS (SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src)")}
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d LEFT JOIN comp ON d.doc_id = comp.doc_id
+WHERE comp.doc_id IS NULL OR comp.component = comp.doc_id
+"""
+
+
+@register(
+    "dedup_canonical_survivors",
+    oracle=_CANONICAL_SURVIVORS_ORACLE,
+    doc="The dedup family's OUTPUT step: near-dup pairs -> connected "
+    "components -> keep exactly one canonical document per duplicate "
+    "cluster (the min doc_id, i.e. the component label) plus every "
+    "unpaired document. An anti-join of the corpus against the "
+    "non-canonical member set — digest-sized rows through the "
+    "shuffle, the corpus itself never re-partitions. Pair-source-"
+    "agnostic: at 100 TB the pairs come from the LSH candidates "
+    "(dedup_minhash_lsh); wired here to the blocked n-gram pairs so "
+    "the whole closure is oracle-replayable in SQL.",
+)
+def dedup_canonical_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rabbithole_spark.operators.dedup import connected_components
+
+    d = spread(table(spark, sf_dir, "documents")).withColumn(
+        "len_band", F.floor(F.col("n_chars") / 100).cast("int")
+    )
+    pairs = ngram_jaccard_pairs(
+        d, "doc_id", "text", block_cols=["lang", "len_band"], k=3, threshold=0.2
+    )
+    comps = connected_components(pairs)
+    losers = comps.filter(F.col("component") != F.col("doc_id")).select("doc_id")
+    return (
+        table(spark, sf_dir, "documents")
+        .join(losers, "doc_id", "left_anti")
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+#: padded sequence-length grain for the padding-efficiency rollup —
+#: 16 keeps several buckets populated on the synthetic 10-99-token
+#: docs; a production corpus would use 256/512
+_PAD_BUCKET = 16
+
+_PAD_EFFICIENCY_ORACLE = f"""
+WITH toks AS (
+  SELECT CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+), b AS (
+  SELECT n_tokens, CAST(n_tokens // {_PAD_BUCKET} AS BIGINT) AS bucket FROM toks
+)
+SELECT bucket,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(count(*) * (bucket + 1) * {_PAD_BUCKET} AS BIGINT) AS padded_tokens,
+       ROUND(CAST(sum(n_tokens) AS DOUBLE)
+             / (count(*) * (bucket + 1) * {_PAD_BUCKET}), 6) AS efficiency
+FROM b
+GROUP BY bucket
+"""
+
+
+@register(
+    "pack_padding_efficiency",
+    oracle=_PAD_EFFICIENCY_ORACLE,
+    doc="Length-bucketed padding-waste audit: group documents by "
+    "token-length bucket (grain _PAD_BUCKET) and report, per bucket, "
+    "how much of the padded batch (every doc padded to the bucket "
+    "ceiling) is real tokens — the standard measurement behind "
+    "length-bucketed batching (padding a 10-token doc to 2048 wastes "
+    "99.5% of the batch). One scan + one grouped agg on an integer "
+    "key: linear at any scale.",
+)
+def pack_padding_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(token_count(F.col("text")).cast("bigint").alias("n_tokens"))
+    bucket = F.expr(f"n_tokens div {_PAD_BUCKET}").alias("bucket")
+    grouped = toks.groupBy(bucket).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+    padded = (
+        (F.col("bucket") + 1) * _PAD_BUCKET * F.col("n_docs")
+    ).cast("bigint")
+    return grouped.select(
+        "bucket",
+        "n_docs",
+        "total_tokens",
+        padded.alias("padded_tokens"),
+        F.round(
+            F.col("total_tokens").cast("double") / padded, 6
+        ).alias("efficiency"),
+    )
+
+
 # --- multimodal -----------------------------------------------------------------
 
 def _stringify_features(df: DataFrame) -> DataFrame:
