@@ -2112,6 +2112,75 @@ def mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: temperature for source-share flattening (w_i ~ p_i^alpha): <1 boosts
+#: small sources, 1 is proportional sampling
+_MIX_ALPHA = 0.7
+
+_TEMPERATURE_MIX_ORACLE = f"""
+WITH toks AS (
+  SELECT source,
+         count(*) AS n_docs,
+         CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+           AS n_tokens
+  FROM documents
+  GROUP BY source
+), tot AS (
+  SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM toks
+), sh AS (
+  SELECT source, n_docs, n_tokens,
+         CAST(n_tokens AS DOUBLE) / total_tokens AS share,
+         pow(CAST(n_tokens AS DOUBLE) / total_tokens, {_MIX_ALPHA}) AS w_raw
+  FROM toks, tot
+), z AS (
+  SELECT sum(w_raw) AS z FROM sh
+)
+SELECT source, n_docs, n_tokens,
+       ROUND(share, 6) AS raw_share,
+       ROUND(w_raw / z, 6) AS weight,
+       ROUND(w_raw / z * 1000000 / n_tokens, 6) AS epochs
+FROM sh, z
+"""
+
+
+@register(
+    "mixture_temperature_weights",
+    oracle=_TEMPERATURE_MIX_ORACLE,
+    doc="Temperature-based source mixing: each source's sampling weight "
+    "is its token share raised to alpha=0.7 and renormalized — the "
+    "standard flattening that up-weights small sources without "
+    "letting any source dominate; epochs is the repeat factor at a "
+    "1M-token budget. Two grouped aggs plus two scalar (broadcast) "
+    "totals over source-cardinality rows — the corpus is scanned "
+    "once, everything downstream is tiny at any scale.",
+)
+def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    tot = toks.agg(F.sum("n_tokens").cast("bigint").alias("total_tokens"))
+    share = F.col("n_tokens").cast("double") / F.col("total_tokens")
+    sh = toks.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        share.alias("share"),
+        F.pow(share, F.lit(_MIX_ALPHA)).alias("w_raw"),
+    )
+    z = sh.agg(F.sum("w_raw").alias("z"))
+    return sh.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("share"), 6).alias("raw_share"),
+        F.round(F.col("w_raw") / F.col("z"), 6).alias("weight"),
+        F.round(
+            F.col("w_raw") / F.col("z") * 1000000 / F.col("n_tokens"), 6
+        ).alias("epochs"),
+    )
+
+
 _CURRICULUM_ORACLE = """
 WITH scored AS (
   SELECT doc_id,
