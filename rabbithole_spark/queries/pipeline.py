@@ -414,6 +414,91 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+_OUTER_JOIN_ORACLE = """
+WITH c AS (
+  SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click'
+), p AS (
+  SELECT user_id, ts AS purchase_ts, value AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+), wm AS (
+  SELECT least((SELECT max(click_ts) FROM c),
+               (SELECT max(purchase_ts) FROM p)) - INTERVAL 2 HOUR AS w
+), matched AS (
+  SELECT c.user_id, c.click_ts, p.purchase_ts, p.purchase_value
+  FROM c JOIN p
+    ON c.user_id = p.user_id
+   AND p.purchase_ts >= c.click_ts
+   AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
+), unmatched AS (
+  SELECT c.user_id, c.click_ts,
+         CAST(NULL AS TIMESTAMP) AS purchase_ts,
+         CAST(NULL AS DOUBLE) AS purchase_value
+  FROM c, wm
+  WHERE NOT EXISTS (
+          SELECT 1 FROM p
+          WHERE p.user_id = c.user_id
+            AND p.purchase_ts >= c.click_ts
+            AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR)
+    AND c.click_ts + INTERVAL 1 HOUR < wm.w
+)
+SELECT * FROM matched UNION ALL SELECT * FROM unmatched
+"""
+
+
+@register(
+    "stream_stream_outer_join",
+    oracle=_OUTER_JOIN_ORACLE,
+    doc="Stream-stream LEFT OUTER interval join: matches emit as found; "
+    "an unmatched click null-extends only once the event-time "
+    "watermark proves no future purchase can match it. The oracle "
+    "encodes that state-eviction semantics exactly: null rows are the "
+    "unmatched clicks whose match window [click_ts, click_ts+1h] "
+    "closed strictly before the final global watermark "
+    "min(max(click_ts), max(purchase_ts)) - 2h; unmatched clicks "
+    "inside the final horizon are still buffered at shutdown and "
+    "never emit (the documented outer-join tail caveat — on an "
+    "infinite stream they would emit as the watermark passes them). "
+    "Deterministic over the single-batch bounded replay, so the full "
+    "outer semantics, tail caveat included, are hash-checked.",
+)
+def stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    name = f"stream_ssouter_{uuid.uuid4().hex[:8]}"
+    ev = _read_events_stream(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .withColumnRenamed("ts", "click_ts")
+        .withWatermark("click_ts", "2 hours")
+        .alias("c")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumnRenamed("ts", "purchase_ts")
+        .withColumnRenamed("user_id", "p_user_id")
+        .withColumnRenamed("value", "purchase_value")
+        .withWatermark("purchase_ts", "2 hours")
+        .alias("p")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c.user_id") == F.col("p.p_user_id"))
+        & (F.col("p.purchase_ts") >= F.col("c.click_ts"))
+        & (
+            F.col("p.purchase_ts")
+            <= F.col("c.click_ts") + F.expr("INTERVAL 1 HOUR")
+        ),
+        "left_outer",
+    ).select("user_id", "click_ts", "purchase_ts", "purchase_value")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
 _ENRICH_ORACLE = f"""
 SELECT c.c_nationkey,
        count(*) AS n_events,
