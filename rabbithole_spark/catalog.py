@@ -106,6 +106,7 @@ _PRIORITY_ORDER = (
     "stream_stream_outer_join",
     "sql_recursive_gapfill_days",
     "join_lateral_topn",
+    "udf_cogrouped_asof",
     # oldest external rows (latest green is round 1) — refreshed
     # oldest-first with the slots that remain; the deferred round-1
     # tail (setops, distribution/nulls/unpivot/json scalars,
@@ -124,7 +125,6 @@ _PRIORITY_ORDER = (
     "agg_median_iqr",
     "window_rank_orders",
     "window_lag_lead",
-    "window_range_frame",
 )
 
 

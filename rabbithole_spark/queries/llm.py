@@ -2149,35 +2149,38 @@ FROM sh, z
     "is its token share raised to alpha=0.7 and renormalized — the "
     "standard flattening that up-weights small sources without "
     "letting any source dominate; epochs is the repeat factor at a "
-    "1M-token budget. Two grouped aggs plus two scalar (broadcast) "
-    "totals over source-cardinality rows — the corpus is scanned "
-    "once, everything downstream is tiny at any scale.",
+    "1M-token budget. The corpus is scanned ONCE into a source-"
+    "cardinality aggregate; the two normalization totals are global "
+    "windows over those few rows (not scalar-subquery branches, which "
+    "would re-execute the corpus aggregate per branch — NOTES.md "
+    "lesson 9), so the single-partition window holds O(sources) rows "
+    "at any corpus size.",
 )
 def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     d = table(spark, sf_dir, "documents")
     toks = d.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(token_count(F.col("text"))).cast("bigint").alias("n_tokens"),
     )
-    tot = toks.agg(F.sum("n_tokens").cast("bigint").alias("total_tokens"))
-    share = F.col("n_tokens").cast("double") / F.col("total_tokens")
-    sh = toks.crossJoin(F.broadcast(tot)).select(
+    w = Window.partitionBy()
+    share = F.col("n_tokens").cast("double") / F.sum("n_tokens").over(w)
+    sh = toks.select(
         "source",
         "n_docs",
         "n_tokens",
         share.alias("share"),
         F.pow(share, F.lit(_MIX_ALPHA)).alias("w_raw"),
     )
-    z = sh.agg(F.sum("w_raw").alias("z"))
-    return sh.crossJoin(F.broadcast(z)).select(
+    weight = F.col("w_raw") / F.sum("w_raw").over(w)
+    return sh.select(
         "source",
         "n_docs",
         "n_tokens",
         F.round(F.col("share"), 6).alias("raw_share"),
-        F.round(F.col("w_raw") / F.col("z"), 6).alias("weight"),
-        F.round(
-            F.col("w_raw") / F.col("z") * 1000000 / F.col("n_tokens"), 6
-        ).alias("epochs"),
+        F.round(weight, 6).alias("weight"),
+        F.round(weight * 1000000 / F.col("n_tokens"), 6).alias("epochs"),
     )
 
 

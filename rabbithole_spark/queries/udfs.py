@@ -164,3 +164,69 @@ def udf_udtf_lateral_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE p_partkey <= 100
         """
     )
+
+
+# --- cogrouped applyInPandas -------------------------------------------------
+
+_COGROUP_ASOF_ORACLE = """
+SELECT p.user_id,
+       p.ts AS purchase_ts,
+       (SELECT max(c.ts) FROM events c
+        WHERE c.event_type = 'click'
+          AND c.user_id = p.user_id
+          AND c.ts <= p.ts) AS last_click_ts
+FROM events p
+WHERE p.event_type = 'purchase'
+"""
+
+
+@register(
+    "udf_cogrouped_asof",
+    oracle=_COGROUP_ASOF_ORACLE,
+    doc="Cogrouped applyInPandas: clicks and purchases cogrouped per "
+    "user, pandas merge_asof inside each group attaching the most "
+    "recent click at-or-before every purchase. The cogroup API is the "
+    "two-input sibling of applyInPandas — both sides shuffle once on "
+    "the group key and arrive as per-key pandas frames, so arbitrary "
+    "two-table Python logic (asof, interval overlap, per-entity "
+    "reconciliation) runs without a JVM join; the repo's JVM-side "
+    "union-merge as-of (join_asof_events) is the built-in-operator "
+    "twin of the same semantics.",
+)
+def udf_cogrouped_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def asof(clicks: pd.DataFrame, purchases: pd.DataFrame) -> pd.DataFrame:
+        if purchases.empty:
+            return pd.DataFrame(
+                {"user_id": [], "purchase_ts": [], "last_click_ts": []}
+            )
+        purchases = purchases.sort_values("ts")
+        clicks = clicks.sort_values("ts")
+        merged = pd.merge_asof(
+            purchases[["user_id", "ts"]],
+            clicks[["ts"]].rename(columns={"ts": "click_ts"}),
+            left_on="ts",
+            right_on="click_ts",
+            direction="backward",
+        )
+        return pd.DataFrame(
+            {
+                "user_id": merged["user_id"],
+                "purchase_ts": merged["ts"],
+                "last_click_ts": merged["click_ts"],
+            }
+        )
+
+    e = table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts"
+    )
+    return (
+        clicks.groupBy("user_id")
+        .cogroup(purchases.groupBy("user_id"))
+        .applyInPandas(
+            asof,
+            schema="user_id bigint, purchase_ts timestamp, "
+            "last_click_ts timestamp",
+        )
+    )

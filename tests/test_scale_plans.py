@@ -274,6 +274,14 @@ SHUFFLE_BUDGETS = {
     "tpch_q3_shipping_priority": 1,  # dims broadcast; one fact shuffle
     "join_multiway_revenue": 2,      # fact-fact join + agg/sort
     "text_bm25_ranking": 3,          # per-doc agg, scoring agg, sort
+    # round-4 additions (measured optimal shapes)
+    "split_train_val_test": 1,       # row-local split + one rollup agg
+    "pack_padding_efficiency": 1,    # one grouped agg on the bucket key
+    "pack_sequences_by_source": 1,   # one (source, shard) window shuffle
+    "mixture_temperature_weights": 2,  # source agg + tiny global window
+    "join_lateral_topn": 1,          # decorrelated WindowGroupLimit rank
+    "udf_cogrouped_asof": 2,         # both cogroup sides shuffle on key
+    "sql_recursive_gapfill_days": 1,  # purchase-day agg; ladder is tiny
 }
 
 
