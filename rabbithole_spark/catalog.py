@@ -107,6 +107,10 @@ _PRIORITY_ORDER = (
     "sql_recursive_gapfill_days",
     "join_lateral_topn",
     "udf_cogrouped_asof",
+    # plan-only round-4 edits (localCheckpoint re-execution cuts) —
+    # value-identity shown locally, still re-verified externally
+    "funnel_conversion_stages",
+    "text_tfidf_top_terms",
     # oldest external rows (latest green is round 1) — refreshed
     # oldest-first with the slots that remain; the deferred round-1
     # tail (setops, distribution/nulls/unpivot/json scalars,
@@ -123,8 +127,6 @@ _PRIORITY_ORDER = (
     "agg_cube",
     "agg_having",
     "agg_median_iqr",
-    "window_rank_orders",
-    "window_lag_lead",
 )
 
 

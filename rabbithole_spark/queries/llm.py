@@ -1306,7 +1306,15 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word"),
     )
-    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    # localCheckpoint: dfreq and the scoring join both consume tf; an
+    # un-materialized tf would re-run scan+explode+agg per branch
+    # (NOTES.md lesson 9). Persisting the (doc, word, tf) relation is
+    # the standard TF-IDF trade at any scale.
+    tf = (
+        words.groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     ndocs = d.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
@@ -1917,10 +1925,18 @@ def pipeline_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = spread(table(spark, sf_dir, "documents"))
+    # one scoring pass emits quality AND the dedup digest, then
+    # localCheckpoints the compact (no-text) per-doc rows: the quality
+    # rollup branch and the filtered join both read the materialized
+    # result instead of re-scanning + re-scoring the corpus (broadcast
+    # subquery branches re-execute their upstream plan — NOTES.md
+    # lesson 9). Digesting dropped docs too is the price, far below a
+    # second full text scan.
     scored = d.select(
-        "doc_id", "source", "lang", "text",
+        "doc_id", "source", "lang",
         quality_score(F.col("text")).alias("quality"),
-    )
+        fingerprint(F.col("text")).alias("fp"),
+    ).localCheckpoint(eager=False)
     rolled = scored.groupBy("source").agg(
         F.round(F.avg("quality"), 6).alias("avg_quality")
     )
@@ -1952,7 +1968,7 @@ def pipeline_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.join(F.broadcast(kept_sources), "source")
         .join(nonrep, "doc_id")
         .filter(F.col("quality") >= 0.7)
-        .select("doc_id", "lang", fingerprint(F.col("text")).alias("fp"))
+        .select("doc_id", "lang", "fp")
     )
     survivors = filtered.groupBy("fp").agg(
         F.min_by("lang", "doc_id").alias("lang")

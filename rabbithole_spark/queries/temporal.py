@@ -290,10 +290,16 @@ SELECT stage, n_users FROM (
 )
 def funnel_conversion_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
+    # each stage's user set feeds BOTH the next stage's join and its
+    # own count branch; localCheckpoint materializes the compact
+    # (user, ts) frames once so the three count branches don't re-run
+    # the whole upstream chain (v would otherwise execute 3x — NOTES.md
+    # lesson 9), and gives AQE exact sizes for its join choice.
     v = (
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("view_ts"))
+        .localCheckpoint(eager=False)
     )
     c = (
         ev.filter(F.col("event_type") == "click")
@@ -304,6 +310,7 @@ def funnel_conversion_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("user_id")
         .agg(F.min("ts").alias("click_ts"))
+        .localCheckpoint(eager=False)
     )
     p = (
         ev.filter(F.col("event_type") == "purchase")
@@ -314,6 +321,7 @@ def funnel_conversion_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("user_id")
         .agg(F.min("ts").alias("purchase_ts"))
+        .localCheckpoint(eager=False)
     )
     counts = [
         v.agg(F.count(F.lit(1)).alias("n_users")).select(
