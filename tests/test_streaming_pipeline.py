@@ -216,3 +216,77 @@ def test_spool_relay_flow(spark, spool, tmp_path):
     assert all(r.exchange == "logs-clean" for r in relayed)
     bodies = sorted(json.loads(r.body)["message"] for r in relayed)
     assert bodies == [f"msg-{i}" for i in range(7)]
+
+
+def test_checkpoint_restart_processes_only_new_data(spark, tmp_path):
+    """Exactly-once across RESTARTS: a stopped streaming query resumed
+    with the same checkpoint must pick up only files that arrived
+    while it was down — batch-1 input is neither reprocessed nor
+    duplicated in the file sink (source progress lives in the
+    checkpoint's offset log; sink commits in _spark_metadata)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "src"
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+
+    def write_batch(name, lo, hi):
+        with open(src / name, "w") as fh:
+            for i in range(lo, hi):
+                fh.write(_json.dumps({"id": i}) + "\n")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("id bigint").format("json")
+            .load(str(src))
+            .withColumn("doubled", F.col("id") * 2)
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    write_batch("a.json", 0, 50)
+    run_once()
+    first = spark.read.parquet(out).collect()
+    assert sorted(r.id for r in first) == list(range(50))
+
+    write_batch("b.json", 50, 80)
+    run_once()
+    rows = spark.read.parquet(out).collect()
+    ids = sorted(r.id for r in rows)
+    assert ids == list(range(80)), f"dup or loss: {len(ids)} rows"
+    assert all(r.doubled == r.id * 2 for r in rows)
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Schema evolution across ingestion generations: a v2 writer adds
+    a column; mergeSchema reads both generations as one relation with
+    NULLs for the column v1 rows never had — the contract that lets a
+    100 TB corpus evolve in place instead of rewriting history."""
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path / "docs")
+    spark.range(5).select(
+        F.col("id").alias("doc_id"), F.lit("en").alias("lang")
+    ).write.parquet(base + "/gen=1")
+    spark.range(5, 8).select(
+        F.col("id").alias("doc_id"),
+        F.lit("de").alias("lang"),
+        F.lit(0.9).alias("quality"),
+    ).write.parquet(base + "/gen=2")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(base)
+    assert set(merged.columns) == {"doc_id", "lang", "quality", "gen"}
+    rows = {r.doc_id: (r.lang, r.quality) for r in merged.collect()}
+    assert len(rows) == 8
+    assert rows[0] == ("en", None)       # v1 rows: evolved column is NULL
+    assert rows[7] == ("de", 0.9)
