@@ -290,3 +290,28 @@ def test_schema_evolution_merge_read(spark, tmp_path):
     assert len(rows) == 8
     assert rows[0] == ("en", None)       # v1 rows: evolved column is NULL
     assert rows[7] == ("de", 0.9)
+
+
+def test_xml_source_and_from_xml_decode(spark, tmp_path):
+    """Format breadth beyond the reference's JSON-only ingest: Spark 4's
+    built-in XML source reads row-tagged documents, and from_xml
+    decodes an XML message body column in-plan — the XML sibling of
+    the pipeline's from_json decode step."""
+    from pyspark.sql import functions as F
+
+    d = tmp_path / "xml"
+    d.mkdir()
+    (d / "r.xml").write_text(
+        "<rows><row><id>1</id><name>a</name></row>"
+        "<row><id>2</id><name>b</name></row></rows>"
+    )
+    df = spark.read.format("xml").option("rowTag", "row").load(str(d))
+    assert sorted((r.id, r.name) for r in df.collect()) == [(1, "a"), (2, "b")]
+
+    msgs = spark.createDataFrame(
+        [("<m><seq>7</seq><text>hi</text></m>",)], ["body"]
+    )
+    decoded = msgs.select(
+        F.from_xml("body", "seq INT, text STRING").alias("m")
+    ).select("m.seq", "m.text")
+    assert decoded.collect()[0].asDict() == {"seq": 7, "text": "hi"}
