@@ -103,6 +103,7 @@ _PRIORITY_ORDER = (
     "dedup_canonical_survivors",
     "pack_padding_efficiency",
     "mixture_temperature_weights",
+    "dedup_jaccard_prefix_filter",
     "stream_stream_outer_join",
     "sql_recursive_gapfill_days",
     "join_lateral_topn",

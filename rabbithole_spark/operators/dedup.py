@@ -314,3 +314,88 @@ def simhash(
         .agg(*votes)
         .select(F.col(id_col), sig.alias("simhash"))
     )
+
+
+def prefix_filtered_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    t_num: int = 1,
+    t_den: int = 5,
+) -> DataFrame:
+    """Exact Jaccard similarity join via PREFIX FILTERING — the
+    published AllPairs/SSJoin technique (Bayardo et al., WWW'07;
+    Chaudhuri et al., ICDE'06): with tokens globally ordered
+    rarest-first, any pair with Jaccard >= t must share a token within
+    each set's first ``|S| - ceil(t*|S|) + 1`` tokens, so joining on
+    prefix tokens alone yields a candidate set that provably contains
+    every qualifying pair — no metadata blocking, no full quadratic,
+    and (unlike MinHash-LSH) no recall loss: the exact verify on
+    candidates returns exactly the pairs the naive O(n^2) join would.
+
+    The threshold is the RATIONAL t_num/t_den so the prefix length is
+    pure integer arithmetic — ceil(t*n) = (t_num*n + t_den - 1) div
+    t_den — identical in any engine (a float 0.2*n ceils to 4 at n=15
+    from representation error). Shuffle shape: token-frequency agg,
+    per-doc rank window, candidate join on prefix tokens (bounded by
+    token co-occurrence, concentrated on RARE tokens by construction),
+    then a candidate-pruned verify recomputing shingles only for
+    candidate docs (NOTES.md lesson 6). All linear except the
+    candidate join, whose size the rarest-first ordering minimizes.
+    """
+    from pyspark.sql import Window
+
+    shingled = df.select(
+        F.col(id_col).alias("doc_id"),
+        word_shingles(F.col(text_col), k).alias("shingles"),
+    )
+    # word_shingles output is provably non-empty -> explode_outer
+    # keeps the generator input above the exchange (NOTES.md lesson 2)
+    ds = shingled.select(
+        "doc_id", F.size("shingles").alias("n"),
+        F.explode_outer("shingles").alias("s"),
+    )
+    freq = ds.groupBy("s").agg(F.count(F.lit(1)).alias("f"))
+    w = Window.partitionBy("doc_id").orderBy("f", "s")
+    prefix = (
+        ds.join(freq, "s")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(
+            F.col("rn")
+            <= F.col("n")
+            - F.expr(f"(n * {t_num} + {t_den - 1}) div {t_den}")
+            + 1
+        )
+        .select("doc_id", "s")
+    )
+    cand = (
+        prefix.alias("pa")
+        .join(
+            prefix.alias("pb"),
+            (F.col("pa.s") == F.col("pb.s"))
+            & (F.col("pa.doc_id") < F.col("pb.doc_id")),
+        )
+        .select(
+            F.col("pa.doc_id").alias("id_a"),
+            F.col("pb.doc_id").alias("id_b"),
+        )
+        .distinct()
+        # tiny candidate set consumed by two semi-join branches below
+        .localCheckpoint(eager=False)
+    )
+    docs_a = shingled.select(
+        F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a")
+    )
+    docs_b = shingled.select(
+        F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b")
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    jac = F.round(inter.cast("double") / union.cast("double"), 6)
+    return (
+        cand.join(docs_a, "id_a")
+        .join(docs_b, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= t_num / t_den)
+    )

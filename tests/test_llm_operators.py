@@ -258,3 +258,76 @@ def test_decode_stub_and_fallback():
         assert (arr == [1, 2, 3]).all()
         same = multimodal.decode_or_fake(buf.getvalue(), "image/png", width=8, height=4)
         assert (same == arr).all()
+
+
+def test_prefix_filter_prunes_and_loses_nothing(spark):
+    """The prefix-filtered Jaccard join must (a) generate far fewer
+    candidate pairs than the n^2/2 a naive join compares, and (b) find
+    exactly the pairs the naive corpus-wide join finds — prefix
+    filtering is complete by construction (AllPairs lemma), unlike
+    LSH's probabilistic recall."""
+    from pyspark.sql import functions as F
+
+    from rabbithole_spark.operators.dedup import (
+        prefix_filtered_jaccard_pairs,
+        word_shingles,
+    )
+    from rabbithole_spark.session import table
+
+    sf = "/root/testdata/sf0.001"
+    d = table(spark, sf, "documents")
+    n = d.count()
+
+    got = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in prefix_filtered_jaccard_pairs(
+            d, "doc_id", "text", k=3, t_num=1, t_den=5
+        ).collect()
+    )
+
+    sh = d.select("doc_id", word_shingles(F.col("text"), 3).alias("sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    jac = F.round(
+        F.size(F.array_intersect("a.sh", "b.sh")).cast("double")
+        / F.size(F.array_union("a.sh", "b.sh")).cast("double"),
+        6,
+    )
+    naive = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.2)
+        .collect()
+    )
+    assert got == naive and got, (len(got), len(naive))
+
+    # candidate-set pruning: pairs sharing a prefix token << n^2/2
+    ds = sh.select(
+        "doc_id", F.size("sh").alias("n"), F.explode_outer("sh").alias("s")
+    )
+    freq = ds.groupBy("s").agg(F.count(F.lit(1)).alias("f"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("f", "s")
+    prefix = (
+        ds.join(freq, "s")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= F.col("n") - F.expr("(n + 4) div 5") + 1)
+        .select("doc_id", "s")
+    )
+    n_cand = (
+        prefix.alias("pa")
+        .join(
+            prefix.alias("pb"),
+            (F.col("pa.s") == F.col("pb.s"))
+            & (F.col("pa.doc_id") < F.col("pb.doc_id")),
+        )
+        .select("pa.doc_id", "pb.doc_id")
+        .distinct()
+        .count()
+    )
+    assert n_cand < n * (n - 1) / 2 / 4, (n_cand, n)
