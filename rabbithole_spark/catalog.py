@@ -104,6 +104,7 @@ _PRIORITY_ORDER = (
     "pack_padding_efficiency",
     "mixture_temperature_weights",
     "dedup_jaccard_prefix_filter",
+    "dedup_edit_distance_prefix",
     "stream_stream_outer_join",
     "sql_recursive_gapfill_days",
     "join_lateral_topn",

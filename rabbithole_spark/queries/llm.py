@@ -1243,6 +1243,39 @@ def dedup_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EDJOIN_ORACLE = """
+SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+       a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS edit_dist
+FROM part a JOIN part b
+  ON a.p_partkey < b.p_partkey
+ AND abs(length(a.p_name) - length(b.p_name)) <= 3
+WHERE levenshtein(a.p_name, b.p_name) <= 3
+"""
+
+
+@register(
+    "dedup_edit_distance_prefix",
+    oracle=_EDJOIN_ORACLE,
+    doc="Exact CORPUS-WIDE edit-distance join (d<=3) via q-gram prefix "
+    "filtering (Ed-Join, Xiao et al. VLDB'08): one edit disturbs at "
+    "most q grams, so matching pairs must share a gram among each "
+    "side's d*q+1 rarest grams and differ in length by at most d — "
+    "the scale-correct replacement for the (brand, size)-blocked "
+    "quadratic (dedup_levenshtein_pairs), finding cross-block matches "
+    "that blocking misses with zero recall loss. The oracle is the "
+    "naive quadratic itself, so the green row certifies completeness; "
+    "tests/test_llm_operators.py pins candidate pruning.",
+)
+def dedup_edit_distance_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rabbithole_spark.operators.dedup import qgram_prefix_edit_pairs
+
+    p = table(spark, sf_dir, "part")
+    return qgram_prefix_edit_pairs(
+        p, "p_partkey", "p_name", max_dist=3, q=2
+    )
+
+
 _TOP_NGRAMS_ORACLE = r"""
 WITH w AS (SELECT string_split_regex(trim(text), '\s+') AS words FROM documents),
 b AS (SELECT unnest(list_transform(range(1, len(words)),

@@ -331,3 +331,38 @@ def test_prefix_filter_prunes_and_loses_nothing(spark):
         .count()
     )
     assert n_cand < n * (n - 1) / 2 / 4, (n_cand, n)
+
+
+def test_edjoin_prefix_prunes_and_loses_nothing(spark):
+    """The q-gram prefix edit-distance join must equal the naive
+    corpus-wide quadratic (completeness of the Ed-Join filters) while
+    generating far fewer candidates than all pairs."""
+    from pyspark.sql import functions as F
+
+    from rabbithole_spark.operators.dedup import qgram_prefix_edit_pairs
+    from rabbithole_spark.session import table
+
+    sf = "/root/testdata/sf0.001"
+    p = table(spark, sf, "part")
+    n = p.count()
+
+    got = sorted(
+        (r.id_a, r.id_b, r.edit_dist)
+        for r in qgram_prefix_edit_pairs(
+            p, "p_partkey", "p_name", max_dist=3, q=2
+        ).collect()
+    )
+    a, b = p.alias("a"), p.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    naive = sorted(
+        (r.id_a, r.id_b, r.edit_dist)
+        for r in a.join(b, F.col("a.p_partkey") < F.col("b.p_partkey"))
+        .select(
+            F.col("a.p_partkey").alias("id_a"),
+            F.col("b.p_partkey").alias("id_b"),
+            dist.cast("int").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 3)
+        .collect()
+    )
+    assert got == naive and got, (len(got), len(naive))
