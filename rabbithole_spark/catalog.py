@@ -105,6 +105,7 @@ _PRIORITY_ORDER = (
     "mixture_temperature_weights",
     "dedup_jaccard_prefix_filter",
     "dedup_edit_distance_prefix",
+    "text_segment_dedup_rate",
     "stream_stream_outer_join",
     "sql_recursive_gapfill_days",
     "join_lateral_topn",

@@ -1243,6 +1243,75 @@ def dedup_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: words per segment for the segment-level dedup rate
+_SEG_WORDS = 8
+
+_SEG_DEDUP_ORACLE = f"""
+WITH segs AS (
+  SELECT doc_id, unnest(
+    list_transform(
+      range(1, CAST((len(w) + {_SEG_WORDS - 1}) // {_SEG_WORDS} AS BIGINT) + 1),
+      i -> array_to_string(list_slice(w, (i - 1) * {_SEG_WORDS} + 1, i * {_SEG_WORDS}), ' ')
+    )
+  ) AS seg
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents)
+), counted AS (
+  SELECT doc_id, seg, count(*) OVER (PARTITION BY seg) AS n_occ FROM segs
+)
+SELECT doc_id,
+       count(*) AS n_segments,
+       CAST(count_if(n_occ > 1) AS BIGINT) AS n_dup_segments,
+       ROUND(CAST(count_if(n_occ > 1) AS DOUBLE) / count(*), 6) AS dup_rate
+FROM counted
+GROUP BY doc_id
+"""
+
+
+@register(
+    "text_segment_dedup_rate",
+    oracle=_SEG_DEDUP_ORACLE,
+    doc="Segment-level duplication audit (the C4/RefinedWeb line-dedup "
+    "primitive on token windows): each document splits into fixed "
+    "8-word segments; a segment occurring more than once corpus-wide "
+    "is boilerplate, and each doc reports its duplicated-segment "
+    "count and rate. One shuffle partitions segments by content for "
+    "the occurrence count (window, no join-back), one more rolls up "
+    "per doc — linear at any scale, and the per-segment rows are "
+    "what a removal pass would act on.",
+)
+def text_segment_dedup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = spread(table(spark, sf_dir, "documents"))
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    nseg = F.expr(f"(size(split(trim(text), '\\\\s+')) + {_SEG_WORDS - 1}) div {_SEG_WORDS}")
+    segs = d.select(
+        "doc_id",
+        F.explode_outer(
+            F.transform(
+                F.sequence(F.lit(1), nseg),
+                lambda i: F.concat_ws(
+                    " ", F.slice(words, (i - 1) * _SEG_WORDS + 1, _SEG_WORDS)
+                ),
+            )
+        ).alias("seg"),
+    )
+    counted = segs.withColumn(
+        "n_occ", F.count(F.lit(1)).over(Window.partitionBy("seg"))
+    )
+    return counted.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum(F.when(F.col("n_occ") > 1, 1).otherwise(0)).alias(
+            "n_dup_segments"
+        ),
+        F.round(
+            F.sum(F.when(F.col("n_occ") > 1, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("dup_rate"),
+    )
+
+
 _EDJOIN_ORACLE = """
 SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
        a.p_name AS name_a, b.p_name AS name_b,
