@@ -106,6 +106,7 @@ _PRIORITY_ORDER = (
     "dedup_jaccard_prefix_filter",
     "dedup_edit_distance_prefix",
     "text_segment_dedup_rate",
+    "text_remove_boilerplate",
     "stream_stream_outer_join",
     "sql_recursive_gapfill_days",
     "join_lateral_topn",

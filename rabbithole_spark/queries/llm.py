@@ -1312,6 +1312,73 @@ def text_segment_dedup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BOILERPLATE_ORACLE = f"""
+WITH segs AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(list_slice(w, (i - 1) * {_SEG_WORDS} + 1, i * {_SEG_WORDS}), ' ') AS seg
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+       unnest(range(1, CAST((len(w) + {_SEG_WORDS - 1}) // {_SEG_WORDS} AS BIGINT) + 1)) AS t(i)
+), counted AS (
+  SELECT doc_id, pos, seg, count(*) OVER (PARTITION BY seg) AS n_occ FROM segs
+)
+SELECT doc_id,
+       COALESCE(array_to_string(list(seg ORDER BY pos) FILTER (n_occ = 1), ' '), '')
+         AS clean_text,
+       CAST(count_if(n_occ > 1) AS BIGINT) AS n_removed
+FROM counted
+GROUP BY doc_id
+"""
+
+
+@register(
+    "text_remove_boilerplate",
+    oracle=_BOILERPLATE_ORACLE,
+    doc="The removal half of the segment-dedup pair: rebuild each "
+    "document keeping only its globally-unique 8-word segments in "
+    "original order (corpus-wide boilerplate drops out, as C4 drops "
+    "repeated lines). Same two-shuffle shape as the audit — a "
+    "content-partitioned window for occurrence counts, then an "
+    "order-preserving per-doc reassembly via sort-by-position "
+    "collect — and the output is the cleaned corpus a training run "
+    "would actually consume.",
+)
+def text_remove_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = spread(table(spark, sf_dir, "documents"))
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    nseg = F.expr(
+        f"(size(split(trim(text), '\\\\s+')) + {_SEG_WORDS - 1}) div {_SEG_WORDS}"
+    )
+    segs = d.select(
+        "doc_id",
+        F.posexplode_outer(
+            F.transform(
+                F.sequence(F.lit(1), nseg),
+                lambda i: F.concat_ws(
+                    " ", F.slice(words, (i - 1) * _SEG_WORDS + 1, _SEG_WORDS)
+                ),
+            )
+        ).alias("pos", "seg"),
+    )
+    counted = segs.withColumn(
+        "n_occ", F.count(F.lit(1)).over(Window.partitionBy("seg"))
+    )
+    kept = F.array_sort(
+        F.collect_list(
+            F.when(
+                F.col("n_occ") == 1, F.struct("pos", "seg")
+            )
+        )
+    )
+    return counted.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ", F.transform(kept, lambda s: s.seg)
+        ).alias("clean_text"),
+        F.sum(F.when(F.col("n_occ") > 1, 1).otherwise(0)).alias("n_removed"),
+    )
+
+
 _EDJOIN_ORACLE = """
 SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
        a.p_name AS name_a, b.p_name AS name_b,

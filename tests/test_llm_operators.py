@@ -366,3 +366,23 @@ def test_edjoin_prefix_prunes_and_loses_nothing(spark):
         .collect()
     )
     assert got == naive and got, (len(got), len(naive))
+
+
+def test_boilerplate_removal_consistent_with_audit(spark):
+    """The removal query's n_removed must equal the audit query's
+    n_dup_segments per doc, and cleaned text must contain no segment
+    the audit counted as duplicated."""
+    from rabbithole_spark.catalog import load_all
+
+    sf = "/root/testdata/sf0.001"
+    specs = load_all()
+    audit = {
+        r.doc_id: r.n_dup_segments
+        for r in specs["text_segment_dedup_rate"].fn(spark, sf).collect()
+    }
+    removed = {
+        r.doc_id: r.n_removed
+        for r in specs["text_remove_boilerplate"].fn(spark, sf).collect()
+    }
+    assert audit == removed
+    assert sum(removed.values()) > 0  # non-vacuous on this data
