@@ -315,3 +315,33 @@ def test_xml_source_and_from_xml_decode(spark, tmp_path):
         F.from_xml("body", "seq INT, text STRING").alias("m")
     ).select("m.seq", "m.text")
     assert decoded.collect()[0].asDict() == {"seq": 7, "text": "hi"}
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    """ORC is the other columnar format Spark ships natively; a corpus
+    written as ORC must read back identically and still push filters
+    into the scan (PushedFilters), so parquet-first pipelines can
+    interoperate with ORC-standardized lakes without a conversion
+    step."""
+    import io
+    import contextlib
+
+    from pyspark.sql import functions as F
+
+    from rabbithole_spark.session import table
+
+    src = table(spark, "/root/testdata/sf0.001", "documents")
+    path = str(tmp_path / "docs_orc")
+    src.write.format("orc").save(path)
+    back = spark.read.format("orc").load(path)
+    assert back.count() == src.count()
+    assert sorted(back.columns) == sorted(src.columns)
+    q = back.filter(F.col("n_chars") > 500).select("doc_id", "lang")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        q.explain("formatted")
+    plan = buf.getvalue()
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("n_chars" in l for l in pushed), pushed
+    want = src.filter(F.col("n_chars") > 500).count()
+    assert q.count() == want
