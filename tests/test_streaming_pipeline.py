@@ -345,3 +345,26 @@ def test_orc_roundtrip_with_pushdown(spark, tmp_path):
     assert any("n_chars" in l for l in pushed), pushed
     want = src.filter(F.col("n_chars") > 500).count()
     assert q.count() == want
+
+
+def test_observation_metrics_in_one_pass(spark):
+    """DataFrame.observe attaches named metrics that materialize during
+    the SAME action as the query — the production data-quality hook
+    (row counts, null counts, value bounds) without a second scan of
+    a 100 TB input."""
+    from pyspark.sql import Observation, functions as F
+
+    from rabbithole_spark.session import table
+
+    obs = Observation("quality")
+    d = table(spark, "/root/testdata/sf0.001", "documents").observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("n_chars").isNull().cast("int")).alias("null_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+    out = d.filter(F.col("n_chars") > 0).groupBy("lang").count().collect()
+    assert out
+    got = obs.get
+    assert got["n_rows"] == 500 and got["null_chars"] == 0
+    assert got["max_chars"] > 0
