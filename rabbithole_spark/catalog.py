@@ -126,11 +126,6 @@ _PRIORITY_ORDER = (
     "join_semi_big_spenders",
     "join_anti_no_big_order",
     "join_cross_region_nation",
-    "join_asof_events",
-    "agg_distinct_pairs",
-    "agg_cube",
-    "agg_having",
-    "agg_median_iqr",
 )
 
 

@@ -384,20 +384,43 @@ def prefix_filtered_jaccard_pairs(
         # tiny candidate set consumed by two semi-join branches below
         .localCheckpoint(eager=False)
     )
-    docs_a = shingled.select(
+    # verify only candidate docs: broadcast-semi-join the (tiny)
+    # candidate id set BEFORE the shingle projection, so the re-shingle
+    # cost is O(candidates), not two more corpus passes (lesson 6)
+    cand_ids = (
+        cand.select(F.col("id_a").alias("cid"))
+        .union(cand.select(F.col("id_b").alias("cid")))
+        .distinct()
+    )
+    pruned = df.join(
+        F.broadcast(cand_ids), F.col(id_col) == F.col("cid"), "inner"
+    ).select(
+        F.col(id_col).alias("doc_id"),
+        word_shingles(F.col(text_col), k).alias("shingles"),
+    )
+    docs_a = pruned.select(
         F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a")
     )
-    docs_b = shingled.select(
+    docs_b = pruned.select(
         F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b")
     )
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
-    jac = F.round(inter.cast("double") / union.cast("double"), 6)
+    # filter on the UNROUNDED ratio: prefix-filter completeness is a
+    # guarantee about true Jaccard >= t, and a rounded 0.1999996 -> 0.2
+    # acceptance would reach outside it; output stays rounded
+    jac_true = inter.cast("double") / union.cast("double")
     return (
         cand.join(docs_a, "id_a")
         .join(docs_b, "id_b")
-        .select("id_a", "id_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= t_num / t_den)
+        .select(
+            "id_a",
+            "id_b",
+            F.round(jac_true, 6).alias("jaccard"),
+            jac_true.alias("__jt"),
+        )
+        .filter(F.col("__jt") >= t_num / t_den)
+        .drop("__jt")
     )
 
 

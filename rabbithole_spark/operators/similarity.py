@@ -346,9 +346,14 @@ def ivf_build_index(
     a JSON sidecar so queries never refit.
 
     The layout is PUBLISHED atomically: Spark writes into a fresh
-    ``<path>.build-*`` directory (sidecar included) which is renamed
-    into place, so a concurrent reader never observes a half-written
-    index (Spark's own overwrite mode is not atomic).
+    ``<path>.gen-*`` directory (sidecar included) and ``path`` is a
+    SYMLINK swapped onto it with ``os.replace`` — a single atomic
+    rename, so a concurrent reader never observes a half-written index
+    or a missing path (Spark's own overwrite mode is not atomic, and a
+    rename-away-then-rename-in dance leaves a no-index window). The
+    previous generation is kept until the next build so an in-flight
+    reader that already resolved the old link keeps its files; only
+    generations older than that are removed.
     """
     import json
     import os
@@ -363,8 +368,8 @@ def ivf_build_index(
     assigned = df.withColumn(
         "cell", _nearest_cell(F.col(embedding_col), cents)
     )
-    build = f"{path}.build-{uuid.uuid4().hex[:8]}"
-    assigned.write.mode("overwrite").partitionBy("cell").parquet(build)
+    gen = f"{path}.gen-{uuid.uuid4().hex[:8]}"
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(gen)
     meta = {
         "n": n,
         "n_centroids": n_centroids,
@@ -373,13 +378,31 @@ def ivf_build_index(
         "fingerprint": fingerprint,
         "centers": cents,
     }
-    with open(os.path.join(build, "_ivf_meta.json"), "w") as fh:
+    with open(os.path.join(gen, "_ivf_meta.json"), "w") as fh:
         json.dump(meta, fh)
-    trash = f"{path}.trash-{uuid.uuid4().hex[:8]}"
-    if os.path.exists(path):
-        os.rename(path, trash)
-    os.rename(build, path)
-    shutil.rmtree(trash, ignore_errors=True)
+    prev_target = (
+        os.path.realpath(path) if os.path.islink(path) else None
+    )
+    if os.path.exists(path) and not os.path.islink(path):
+        # legacy real-directory layout: move it aside once; from here
+        # on the path is a symlink and every publish is atomic
+        legacy = f"{path}.gen-legacy-{uuid.uuid4().hex[:8]}"
+        os.rename(path, legacy)
+        prev_target = os.path.abspath(legacy)
+    tmp_link = f"{path}.lnk-{uuid.uuid4().hex[:8]}"
+    os.symlink(os.path.abspath(gen), tmp_link)
+    os.replace(tmp_link, path)  # atomic: readers see old or new, never neither
+    # drop generations older than the one readers may still hold
+    base = os.path.basename(path)
+    parent = os.path.dirname(os.path.abspath(path)) or "."
+    keep = {os.path.abspath(gen), prev_target}
+    for entry in os.listdir(parent):
+        full = os.path.join(parent, entry)
+        if (
+            entry.startswith(f"{base}.gen-")
+            and os.path.abspath(full) not in keep
+        ):
+            shutil.rmtree(full, ignore_errors=True)
     return meta
 
 
@@ -416,8 +439,6 @@ def ivf_topk_persisted(
     import json
     import os
 
-    import numpy as np
-
     meta = None
     meta_path = os.path.join(index_path, "_ivf_meta.json")
     try:
@@ -446,16 +467,20 @@ def ivf_topk_persisted(
             fit_filter=fit_filter,
             fingerprint=fingerprint,
         )
-    centers = np.asarray(meta["centers"], dtype=np.float64)
-    qv = np.asarray(query_vec, dtype=np.float64)
-    # stable argsort: equidistant centroids probe in cell-id order,
-    # matching the oracle's (distance, cluster) ordering
+    # probe distances use the SAME sequential left-to-right squared-L2
+    # fold as the oracle's list_aggregate (numpy's pairwise-summed norm
+    # could rank near-tied centroids differently); stable sort keeps
+    # exact ties in cell-id order, matching (distance, cluster)
+    def _sq_l2(c: list[float]) -> float:
+        acc = 0.0
+        for x, y in zip(c, query_vec):
+            acc += (float(x) - float(y)) * (float(x) - float(y))
+        return acc
+
+    dists = [_sq_l2(c) for c in meta["centers"]]
     probes = [
-        int(i)
-        for i in np.argsort(np.linalg.norm(centers - qv, axis=1), kind="stable")[
-            :nprobe
-        ]
-    ]
+        int(i) for i in sorted(range(len(dists)), key=lambda i: (dists[i], i))
+    ][:nprobe]
     pruned = spark.read.parquet(index_path).filter(F.col("cell").isin(probes))
     return cosine_topk(pruned, embedding_col, query_vec, k, id_cols)
 

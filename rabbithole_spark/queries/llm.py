@@ -129,8 +129,8 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
              / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE), 6) AS jaccard
 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-WHERE round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-            / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE), 6) >= 0.2
+WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+      / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE) >= 0.2
 """
 
 
@@ -534,7 +534,12 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # file (path+size+mtime), zero corpus scans when it is unchanged
     src = os.path.join(sf_dir, "embeddings.parquet")
     st = os.stat(src)
-    fingerprint = f"{src}:{st.st_size}:{st.st_mtime_ns}"
+    # the fit predicate is a quantizer input: include it so editing the
+    # sample rule rebuilds the index instead of serving a stale layout
+    # the oracle no longer replays
+    fingerprint = (
+        f"{src}:{st.st_size}:{st.st_mtime_ns}:{_IVF_FIT_BUCKET_SQL}"
+    )
     return ivf_topk_persisted(
         spark,
         table(spark, sf_dir, "embeddings"),
@@ -970,7 +975,9 @@ WITH toks AS (
   SELECT CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
   FROM documents
 ), b AS (
-  SELECT n_tokens, CAST(n_tokens // {_PAD_BUCKET} AS BIGINT) AS bucket FROM toks
+  SELECT n_tokens,
+         CAST((greatest(n_tokens, 1) - 1) // {_PAD_BUCKET} AS BIGINT) AS bucket
+  FROM toks
 )
 SELECT bucket,
        count(*) AS n_docs,
@@ -997,7 +1004,11 @@ GROUP BY bucket
 def pack_padding_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     toks = d.select(token_count(F.col("text")).cast("bigint").alias("n_tokens"))
-    bucket = F.expr(f"n_tokens div {_PAD_BUCKET}").alias("bucket")
+    # exact multiples belong to the LOWER bucket: a 16-token doc pads
+    # to 16 with zero waste, not to 32 — hence (n-1) div grain
+    bucket = F.expr(
+        f"(greatest(n_tokens, 1) - 1) div {_PAD_BUCKET}"
+    ).alias("bucket")
     grouped = toks.groupBy(bucket).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),

@@ -264,25 +264,40 @@ def scalar_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Integer coercion mirrors Spark's from_json(Map<String,Integer>): only
-# strict integer literals cast; fractional/other numerics -> NULL
-# (DuckDB TRY_CAST('12.5' AS INTEGER) would round to 13 instead).
+# Coercion mirrors Spark's from_json(Map<String,Integer>) PERMISSIVE
+# semantics, measured: ONE value that is not a strict int32 literal
+# (fractional like 12.5, or outside int32) nulls the ENTIRE map — not
+# just that entry. The regex gates before any cast (DuckDB
+# TRY_CAST('12.5' AS INTEGER) would round to 13) and the range check
+# uses TRY_CAST to BIGINT so arbitrarily long digit strings can never
+# make the oracle itself raise.
 _MAP_ORACLE = """
+WITH checked AS (
+  SELECT event_id, props,
+         len(list_filter(json_keys(props), kk ->
+             NOT (regexp_full_match(
+                      json_extract_string(props, '$.' || kk), '-?[0-9]+')
+                  AND TRY_CAST(json_extract_string(props, '$.' || kk) AS BIGINT)
+                      BETWEEN -2147483648 AND 2147483647))) = 0 AS ok
+  FROM events
+)
 SELECT event_id,
-       array_to_string(list_sort(json_keys(props)), ',') AS prop_keys,
-       array_to_string(
-         list_transform(list_sort(json_keys(props)),
-                        kk -> CAST(CASE WHEN regexp_full_match(
-                                     json_extract_string(props, '$.' || kk),
-                                     '-?[0-9]+')
-                                   THEN CAST(json_extract_string(props, '$.' || kk)
-                                             AS INTEGER) END AS VARCHAR)),
-         ',') AS prop_values,
-       CAST(len(json_keys(props)) AS INTEGER) AS n_props,
-       CASE WHEN regexp_full_match(json_extract_string(props, '$.k'), '-?[0-9]+')
-            THEN CAST(json_extract_string(props, '$.k') AS INTEGER)
-       END AS k_value
-FROM events
+       CASE WHEN ok
+            THEN array_to_string(list_sort(json_keys(props)), ',') END
+         AS prop_keys,
+       CASE WHEN ok
+            THEN array_to_string(
+                   list_transform(list_sort(json_keys(props)),
+                     kk -> CAST(TRY_CAST(json_extract_string(props, '$.' || kk)
+                                         AS BIGINT) AS VARCHAR)),
+                   ',') END
+         AS prop_values,
+       CASE WHEN ok THEN CAST(len(json_keys(props)) AS INTEGER) END AS n_props,
+       CASE WHEN ok
+            THEN CAST(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+                      AS INTEGER) END
+         AS k_value
+FROM checked
 """
 
 

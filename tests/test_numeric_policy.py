@@ -1,11 +1,13 @@
-"""The dsum cross-engine policy's documented residual risk, tested:
-above ~2^53/10^scale the exact decimal sum no longer converts to
-double identically in one rounding on both engines (Spark does one
-correctly-rounded BigDecimal->double; DuckDB divides a hugeint by
-10^scale — two roundings), and the shared ROUND(…,6) is what
-re-quantizes both results onto the same grid (functions/numeric.py
-module doc). This synthesizes sums far above the 2^53 bound and
-asserts Spark dsum == DuckDB sql_dsum bit-for-bit after the ROUND."""
+"""Magnitude stress test for the dsum cross-engine policy
+(functions/numeric.py): each engine performs exactly ONE correctly-
+rounded decimal->double conversion — Spark via its BigDecimal cast,
+the DuckDB oracle via a VARCHAR hop (its direct decimal->double cast
+drifts 1 ulp near 2^53, and the earlier shared-ROUND(…,6) formulation
+broke even sooner because DuckDB's ROUND multiplies through x*1e6).
+Two correctly-rounded conversions of the same exact decimal are
+bit-identical at any magnitude; this synthesizes scaled sums far above
+2^53 — where the OLD formulation measurably diverged — and asserts
+Spark dsum == DuckDB sql_dsum bit-for-bit."""
 
 from __future__ import annotations
 
