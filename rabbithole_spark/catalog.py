@@ -107,6 +107,8 @@ _PRIORITY_ORDER = (
     "dedup_edit_distance_prefix",
     "text_segment_dedup_rate",
     "text_remove_boilerplate",
+    "corpus_snapshot_diff",
+    "sample_quality_weighted",
     "stream_stream_outer_join",
     "sql_recursive_gapfill_days",
     "join_lateral_topn",
@@ -124,8 +126,6 @@ _PRIORITY_ORDER = (
     "join_right_suppliers_nations",
     "join_full_outer_nation_counts",
     "join_semi_big_spenders",
-    "join_anti_no_big_order",
-    "join_cross_region_nation",
 )
 
 

@@ -2036,6 +2036,55 @@ def similarity_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: quality-weighted sampling bucket: a third independent odd multiplier
+#: (xxhash prime3) so acceptance is uncorrelated with both the uniform
+#: sample bucket and the split bucket. 2^31 * 3266489917 ~ 7.0e18 < 2^63.
+_QSAMPLE_BUCKET_SQL = "((doc_id % 2147483648) * 3266489917) % 4294967296 % 100"
+
+_QUALITY_CASE_SQL = """CAST(CASE WHEN length(text) BETWEEN 50 AND 10000 THEN 0.4 ELSE 0 END
+         + CASE WHEN CAST(length(regexp_replace(text, '[^\\.,;:!\\?''"]', '', 'g')) AS DOUBLE)
+                     / CAST(greatest(length(text), 1) AS DOUBLE) < 0.1 THEN 0.3 ELSE 0 END
+         + CASE WHEN CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                  t -> list_contains(['the','a','of','and','to','in','is','it'], t))) AS DOUBLE)
+                     / CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS DOUBLE) > 0.01
+                THEN 0.3 ELSE 0 END AS DOUBLE)"""
+
+_QUALITY_SAMPLE_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id, lang, {_QUALITY_CASE_SQL} AS quality
+  FROM documents
+)
+SELECT doc_id, lang, ROUND(quality, 6) AS quality
+FROM scored
+WHERE {_QSAMPLE_BUCKET_SQL} < CAST(floor(quality * 100) AS BIGINT)
+"""
+
+
+@register(
+    "sample_quality_weighted",
+    oracle=_QUALITY_SAMPLE_ORACLE,
+    doc="Importance sampling by quality: each document keeps with "
+    "probability equal to its quality score (P(keep) = quality, via "
+    "deterministic hash-bucket < floor(quality*100)) — high-quality "
+    "docs are retained, low-quality docs thinned proportionally, and "
+    "the whole selection is replayable byte-for-byte like the other "
+    "hash-mod samplers. Both engines evaluate the identical score "
+    "expression left-to-right, so the acceptance threshold is the "
+    "same double on both sides. Scan-local: no shuffle at all.",
+)
+def sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    q = quality_score(F.col("text"))
+    return (
+        d.withColumn("quality", q)
+        .filter(
+            F.expr(_QSAMPLE_BUCKET_SQL)
+            < F.floor(F.col("quality") * 100).cast("bigint")
+        )
+        .select("doc_id", "lang", F.round("quality", 6).alias("quality"))
+    )
+
+
 _SOURCE_QUALITY_ORACLE = """
 WITH scored AS (
   SELECT source,
@@ -2514,6 +2563,61 @@ SELECT i.content_hash, i.keep_id, i.n_copies
 FROM incoming i
 WHERE i.content_hash NOT IN (SELECT content_hash FROM corpus)
 """
+
+
+#: deterministic version membership for the snapshot-diff query: v1 =
+#: hash buckets 0-89, v2 = buckets 10-99, so ~80% of docs overlap and
+#: both added and removed sets are non-empty by construction
+_DIFF_V1_SQL = "((doc_id % 2147483648) * 2654435761) % 4294967296 % 100 < 90"
+_DIFF_V2_SQL = "((doc_id % 2147483648) * 2654435761) % 4294967296 % 100 >= 10"
+
+_CORPUS_DIFF_ORACLE = f"""
+WITH v1 AS (
+  SELECT sha256(text) AS h FROM documents WHERE {_DIFF_V1_SQL}
+), v2 AS (
+  SELECT sha256(text) AS h FROM documents WHERE {_DIFF_V2_SQL}
+)
+SELECT status, n_docs FROM (
+  SELECT 'added' AS status,
+         CAST((SELECT count(*) FROM v2 WHERE h NOT IN (SELECT h FROM v1))
+              AS BIGINT) AS n_docs
+  UNION ALL
+  SELECT 'removed',
+         CAST((SELECT count(*) FROM v1 WHERE h NOT IN (SELECT h FROM v2))
+              AS BIGINT)
+  UNION ALL
+  SELECT 'unchanged',
+         CAST((SELECT count(*) FROM v1 WHERE h IN (SELECT h FROM v2))
+              AS BIGINT)
+)
+"""
+
+
+@register(
+    "corpus_snapshot_diff",
+    oracle=_CORPUS_DIFF_ORACLE,
+    doc="Dataset-version diff by content digest: two corpus snapshots "
+    "(deterministic overlapping hash-splits standing in for v1/v2) "
+    "compare as added / removed / unchanged document counts via "
+    "digest anti- and semi-joins — the audit that gates a training-"
+    "data release against its predecessor. Only 32-byte digests move "
+    "through the shuffles; the text is scanned once per side.",
+)
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    sha = F.sha2(F.col("text").cast("binary"), 256)
+    v1 = d.filter(F.expr(_DIFF_V1_SQL)).select(sha.alias("h"))
+    v2 = d.filter(F.expr(_DIFF_V2_SQL)).select(sha.alias("h"))
+    added = v2.join(v1, "h", "left_anti").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    ).select(F.lit("added").alias("status"), "n_docs")
+    removed = v1.join(v2, "h", "left_anti").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    ).select(F.lit("removed").alias("status"), "n_docs")
+    unchanged = v1.join(v2, "h", "left_semi").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    ).select(F.lit("unchanged").alias("status"), "n_docs")
+    return added.unionByName(removed).unionByName(unchanged)
 
 
 @register(
