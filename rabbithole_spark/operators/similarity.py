@@ -388,20 +388,43 @@ def ivf_build_index(
         # on the path is a symlink and every publish is atomic
         legacy = f"{path}.gen-legacy-{uuid.uuid4().hex[:8]}"
         os.rename(path, legacy)
-        prev_target = os.path.abspath(legacy)
+        prev_target = os.path.realpath(legacy)
     tmp_link = f"{path}.lnk-{uuid.uuid4().hex[:8]}"
     os.symlink(os.path.abspath(gen), tmp_link)
     os.replace(tmp_link, path)  # atomic: readers see old or new, never neither
-    # drop generations older than the one readers may still hold
+    # drop stale generations and crash debris — with two guards: paths
+    # canonicalize via realpath on BOTH sides (a symlinked parent like
+    # /tmp -> /private/tmp must not defeat the keep-set), and anything
+    # modified inside the grace window survives (a CONCURRENT builder's
+    # not-yet-published generation looks like debris to this process).
+    import time as _time
+
+    grace_s = 3600.0
     base = os.path.basename(path)
     parent = os.path.dirname(os.path.abspath(path)) or "."
-    keep = {os.path.abspath(gen), prev_target}
+    keep = {os.path.realpath(gen), prev_target}
+    debris_prefixes = (
+        f"{base}.gen-", f"{base}.lnk-", f"{base}.build-", f"{base}.trash-"
+    )
+    now = _time.time()
     for entry in os.listdir(parent):
+        if not entry.startswith(debris_prefixes):
+            continue
         full = os.path.join(parent, entry)
-        if (
-            entry.startswith(f"{base}.gen-")
-            and os.path.abspath(full) not in keep
-        ):
+        if os.path.realpath(full) in keep:
+            continue
+        try:
+            age = now - os.lstat(full).st_mtime
+        except OSError:
+            continue
+        if age < grace_s:
+            continue
+        if os.path.islink(full) or os.path.isfile(full):
+            try:
+                os.remove(full)
+            except OSError:
+                pass
+        else:
             shutil.rmtree(full, ignore_errors=True)
     return meta
 
@@ -439,8 +462,13 @@ def ivf_topk_persisted(
     import json
     import os
 
+    # PIN one generation: resolve the symlink ONCE and use the resolved
+    # directory for both the sidecar read and the (lazy) parquet scan,
+    # so a concurrent rebuild swapping the link mid-query can never mix
+    # one generation's centers with another generation's cell layout.
+    resolved = os.path.realpath(index_path)
     meta = None
-    meta_path = os.path.join(index_path, "_ivf_meta.json")
+    meta_path = os.path.join(resolved, "_ivf_meta.json")
     try:
         with open(meta_path) as fh:
             meta = json.load(fh)
@@ -467,6 +495,7 @@ def ivf_topk_persisted(
             fit_filter=fit_filter,
             fingerprint=fingerprint,
         )
+        resolved = os.path.realpath(index_path)  # pin the fresh generation
     # probe distances use the SAME sequential left-to-right squared-L2
     # fold as the oracle's list_aggregate (numpy's pairwise-summed norm
     # could rank near-tied centroids differently); stable sort keeps
@@ -481,7 +510,7 @@ def ivf_topk_persisted(
     probes = [
         int(i) for i in sorted(range(len(dists)), key=lambda i: (dists[i], i))
     ][:nprobe]
-    pruned = spark.read.parquet(index_path).filter(F.col("cell").isin(probes))
+    pruned = spark.read.parquet(resolved).filter(F.col("cell").isin(probes))
     return cosine_topk(pruned, embedding_col, query_vec, k, id_cols)
 
 

@@ -640,7 +640,18 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_QUALITY_ORACLE = """
+#: the quality heuristic's DuckDB transliteration (quality_score's SQL
+#: twin) — defined ONCE and substituted into every oracle that scores
+#: quality, so a threshold tweak cannot diverge between queries
+_QUALITY_CASE_SQL = """CAST(CASE WHEN length(text) BETWEEN 50 AND 10000 THEN 0.4 ELSE 0 END
+         + CASE WHEN CAST(length(regexp_replace(text, '[^\\.,;:!\\?''"]', '', 'g')) AS DOUBLE)
+                     / CAST(greatest(length(text), 1) AS DOUBLE) < 0.1 THEN 0.3 ELSE 0 END
+         + CASE WHEN CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                  t -> list_contains(['the','a','of','and','to','in','is','it'], t))) AS DOUBLE)
+                     / CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS DOUBLE) > 0.01
+                THEN 0.3 ELSE 0 END AS DOUBLE)"""
+
+_QUALITY_ORACLE = f"""
 SELECT doc_id,
        CAST(length(text) AS INTEGER) AS text_len,
        round(CAST(length(regexp_replace(text, '[^\\.,;:!\\?''"]', '', 'g')) AS DOUBLE)
@@ -648,13 +659,7 @@ SELECT doc_id,
        round(CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
                 t -> list_contains(['the','a','of','and','to','in','is','it'], t))) AS DOUBLE)
              / CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS DOUBLE), 6) AS stopword_ratio,
-       round(CAST(CASE WHEN length(text) BETWEEN 50 AND 10000 THEN 0.4 ELSE 0 END
-             + CASE WHEN CAST(length(regexp_replace(text, '[^\\.,;:!\\?''"]', '', 'g')) AS DOUBLE)
-                         / CAST(greatest(length(text), 1) AS DOUBLE) < 0.1 THEN 0.3 ELSE 0 END
-             + CASE WHEN CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
-                      t -> list_contains(['the','a','of','and','to','in','is','it'], t))) AS DOUBLE)
-                         / CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS DOUBLE) > 0.01
-                    THEN 0.3 ELSE 0 END AS DOUBLE), 6) AS quality
+       round({_QUALITY_CASE_SQL}, 6) AS quality
 FROM documents
 """
 
@@ -2041,14 +2046,6 @@ def similarity_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: sample bucket and the split bucket. 2^31 * 3266489917 ~ 7.0e18 < 2^63.
 _QSAMPLE_BUCKET_SQL = "((doc_id % 2147483648) * 3266489917) % 4294967296 % 100"
 
-_QUALITY_CASE_SQL = """CAST(CASE WHEN length(text) BETWEEN 50 AND 10000 THEN 0.4 ELSE 0 END
-         + CASE WHEN CAST(length(regexp_replace(text, '[^\\.,;:!\\?''"]', '', 'g')) AS DOUBLE)
-                     / CAST(greatest(length(text), 1) AS DOUBLE) < 0.1 THEN 0.3 ELSE 0 END
-         + CASE WHEN CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
-                  t -> list_contains(['the','a','of','and','to','in','is','it'], t))) AS DOUBLE)
-                     / CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS DOUBLE) > 0.01
-                THEN 0.3 ELSE 0 END AS DOUBLE)"""
-
 _QUALITY_SAMPLE_ORACLE = f"""
 WITH scored AS (
   SELECT doc_id, lang, {_QUALITY_CASE_SQL} AS quality
@@ -2085,16 +2082,10 @@ def sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SOURCE_QUALITY_ORACLE = """
+_SOURCE_QUALITY_ORACLE = f"""
 WITH scored AS (
   SELECT source,
-         CAST(CASE WHEN length(text) BETWEEN 50 AND 10000 THEN 0.4 ELSE 0 END
-         + CASE WHEN CAST(length(regexp_replace(text, '[^\\.,;:!\\?''"]', '', 'g')) AS DOUBLE)
-                     / CAST(greatest(length(text), 1) AS DOUBLE) < 0.1 THEN 0.3 ELSE 0 END
-         + CASE WHEN CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
-                  t -> list_contains(['the','a','of','and','to','in','is','it'], t))) AS DOUBLE)
-                     / CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS DOUBLE) > 0.01
-                THEN 0.3 ELSE 0 END AS DOUBLE) AS quality
+         {_QUALITY_CASE_SQL} AS quality
   FROM documents
 ), rolled AS (
   SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
@@ -2138,16 +2129,10 @@ def source_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CURATION_ORACLE = """
+_CURATION_ORACLE = f"""
 WITH scored AS (
   SELECT doc_id, source, lang, text,
-         CAST(CASE WHEN length(text) BETWEEN 50 AND 10000 THEN 0.4 ELSE 0 END
-         + CASE WHEN CAST(length(regexp_replace(text, '[^\\.,;:!\\?''"]', '', 'g')) AS DOUBLE)
-                     / CAST(greatest(length(text), 1) AS DOUBLE) < 0.1 THEN 0.3 ELSE 0 END
-         + CASE WHEN CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
-                  t -> list_contains(['the','a','of','and','to','in','is','it'], t))) AS DOUBLE)
-                     / CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS DOUBLE) > 0.01
-                THEN 0.3 ELSE 0 END AS DOUBLE) AS quality
+         {_QUALITY_CASE_SQL} AS quality
   FROM documents
 ), rolled AS (
   SELECT source, ROUND(AVG(quality), 6) AS avg_quality
@@ -2473,17 +2458,11 @@ def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CURRICULUM_ORACLE = """
+_CURRICULUM_ORACLE = f"""
 WITH scored AS (
   SELECT doc_id,
          CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
-         CAST(CASE WHEN length(text) BETWEEN 50 AND 10000 THEN 0.4 ELSE 0 END
-         + CASE WHEN CAST(length(regexp_replace(text, '[^\\.,;:!\\?''"]', '', 'g')) AS DOUBLE)
-                     / CAST(greatest(length(text), 1) AS DOUBLE) < 0.1 THEN 0.3 ELSE 0 END
-         + CASE WHEN CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
-                  t -> list_contains(['the','a','of','and','to','in','is','it'], t))) AS DOUBLE)
-                     / CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS DOUBLE) > 0.01
-                THEN 0.3 ELSE 0 END AS DOUBLE) AS quality
+         {_QUALITY_CASE_SQL} AS quality
   FROM documents
 ), phased AS (
   SELECT CASE WHEN quality >= 0.7 THEN 0

@@ -265,20 +265,23 @@ def scalar_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Coercion mirrors Spark's from_json(Map<String,Integer>) PERMISSIVE
-# semantics, measured: ONE value that is not a strict int32 literal
-# (fractional like 12.5, or outside int32) nulls the ENTIRE map — not
-# just that entry. The regex gates before any cast (DuckDB
-# TRY_CAST('12.5' AS INTEGER) would round to 13) and the range check
-# uses TRY_CAST to BIGINT so arbitrarily long digit strings can never
-# make the oracle itself raise.
+# semantics, measured: ONE value that is not a JSON integer token in
+# int32 range nulls the ENTIRE map — fractional (12.5), quoted ("5"),
+# boolean, and out-of-range integers all trip it; a JSON null value is
+# fine (the map keeps the key with a NULL value). The gate uses
+# json_type, which sees the raw token kind (json_extract_string would
+# strip the quotes off "5" and wrongly admit it), plus a TRY_CAST
+# range check that can never make the oracle itself raise.
 _MAP_ORACLE = """
 WITH checked AS (
   SELECT event_id, props,
          len(list_filter(json_keys(props), kk ->
-             NOT (regexp_full_match(
-                      json_extract_string(props, '$.' || kk), '-?[0-9]+')
-                  AND TRY_CAST(json_extract_string(props, '$.' || kk) AS BIGINT)
-                      BETWEEN -2147483648 AND 2147483647))) = 0 AS ok
+             NOT (json_type(json_extract(props, '$.' || kk)) IS NULL
+                  OR (json_type(json_extract(props, '$.' || kk))
+                          IN ('UBIGINT', 'BIGINT')
+                      AND TRY_CAST(json_extract_string(props, '$.' || kk)
+                                   AS BIGINT)
+                          BETWEEN -2147483648 AND 2147483647)))) = 0 AS ok
   FROM events
 )
 SELECT event_id,

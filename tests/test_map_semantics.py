@@ -1,8 +1,11 @@
 """Differential pin for scalar_map_funcs' coercion model: Spark's
 from_json(Map<String,Integer>) nulls the ENTIRE map when any value is
-not a strict int32 literal (measured: {"k":12.5} and
-{"k":99999999999} both yield a NULL map), and the DuckDB oracle must
-reproduce exactly that on payloads the generator never emits."""
+not a JSON integer token in int32 range (measured: 12.5, "5", true,
+and 99999999999 all null the whole map; a JSON null value keeps the
+key with a NULL value) — and the DuckDB oracle must reproduce exactly
+that on payloads the generator never emits. The Spark side runs the
+REGISTERED query against a temp parquet events table, so drift in the
+real query body is caught, not just drift in a private re-statement."""
 
 from __future__ import annotations
 
@@ -18,35 +21,24 @@ _PAYLOADS = [
     (4, '{"k": -5}'),                   # negative ok
     (5, '{"j": 2}'),                    # k missing -> k_value NULL only
     (6, '{"k": 12345678901234567890123456}'),  # huge -> whole map NULL
+    (7, '{"k": "5"}'),                  # QUOTED int -> whole map NULL
+    (8, '{"k": true}'),                 # boolean -> whole map NULL
+    (9, '{"k": null, "j": 4}'),         # null value -> map kept
 ]
 
 
-def test_map_funcs_oracle_matches_spark_on_edge_payloads(spark):
+def test_map_funcs_oracle_matches_spark_on_edge_payloads(spark, tmp_path):
     spec = load_all()["scalar_map_funcs"]
 
-    sdf = spark.createDataFrame(_PAYLOADS, ["event_id", "props"])
-    sdf.createOrReplaceTempView("events_edge")
-    # run the registered query body against the crafted payloads by
-    # substituting the events table: re-express via the same exprs
-    from pyspark.sql import functions as F
-    from pyspark.sql.types import IntegerType, MapType, StringType
-
-    m = F.from_json("props", MapType(StringType(), IntegerType()))
-    sorted_keys = F.array_sort(F.map_keys(m))
+    # materialize the payloads as the events table the registered
+    # query reads, so spec.fn itself is under test
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(_PAYLOADS, ["event_id", "props"]).write.parquet(
+        f"{sf_dir}/events.parquet"
+    )
     got = {
         r.event_id: (r.prop_keys, r.prop_values, r.n_props, r.k_value)
-        for r in sdf.select(
-            "event_id",
-            F.array_join(sorted_keys, ",").alias("prop_keys"),
-            F.array_join(
-                F.transform(
-                    sorted_keys, lambda k: F.element_at(m, k).cast("string")
-                ),
-                ",",
-            ).alias("prop_values"),
-            F.size(F.map_keys(m)).alias("n_props"),
-            F.element_at(m, "k").alias("k_value"),
-        ).collect()
+        for r in spec.fn(spark, sf_dir).collect()
     }
 
     con = duckdb.connect()
@@ -57,15 +49,15 @@ def test_map_funcs_oracle_matches_spark_on_edge_payloads(spark):
         r[0]: (r[1], r[2], r[3], r[4])
         for r in con.execute(spec.oracle).fetchall()
     }
-    # normalize pandas NaN-ish to None
-    def norm(t):
+
+    def norm(t):  # pandas NaN-ish -> None
         return tuple(None if v is None or v != v else v for v in t)
 
     assert {k: norm(v) for k, v in got.items()} == {
         k: norm(v) for k, v in want.items()
     }
-    # and the edge rows really exercise the whole-map-null path
-    assert got[2] == (None, None, None, None)
-    assert got[3] == (None, None, None, None)
-    assert got[6] == (None, None, None, None)
+    # the edge rows really exercise each path
+    for eid in (2, 3, 6, 7, 8):
+        assert got[eid] == (None, None, None, None), (eid, got[eid])
     assert got[5][3] is None and got[5][0] == "j"
+    assert got[9][0] == "j,k" and got[9][3] is None
