@@ -383,14 +383,20 @@ def ivf_build_index(
     prev_target = (
         os.path.realpath(path) if os.path.islink(path) else None
     )
+    tmp_link = f"{path}.lnk-{uuid.uuid4().hex[:8]}"
+    os.symlink(os.path.abspath(gen), tmp_link)
     if os.path.exists(path) and not os.path.islink(path):
         # legacy real-directory layout: move it aside once; from here
-        # on the path is a symlink and every publish is atomic
+        # on the path is a symlink and every publish is atomic. A
+        # directory cannot be atomically replaced by a symlink on
+        # POSIX, so the migration window is irreducible — but with the
+        # new-generation link pre-created above it shrinks to the two
+        # adjacent syscalls below, happens at most once per index
+        # lifetime, and a reader landing inside it merely sees a
+        # missing sidecar and falls back to the stale/rebuild path.
         legacy = f"{path}.gen-legacy-{uuid.uuid4().hex[:8]}"
         os.rename(path, legacy)
         prev_target = os.path.realpath(legacy)
-    tmp_link = f"{path}.lnk-{uuid.uuid4().hex[:8]}"
-    os.symlink(os.path.abspath(gen), tmp_link)
     os.replace(tmp_link, path)  # atomic: readers see old or new, never neither
     # drop stale generations and crash debris — with two guards: paths
     # canonicalize via realpath on BOTH sides (a symlinked parent like
@@ -426,7 +432,12 @@ def ivf_build_index(
                 pass
         else:
             shutil.rmtree(full, ignore_errors=True)
-    return meta
+    # hand the caller the exact generation this build published, so it
+    # can pin reads to it directly instead of re-resolving the symlink
+    # (a concurrent builder with a DIFFERENT fingerprint could have
+    # re-swapped the link between our os.replace and that re-resolve,
+    # mixing our centers with its cell layout)
+    return {**meta, "gen_dir": os.path.realpath(gen)}
 
 
 def ivf_topk_persisted(
@@ -472,6 +483,11 @@ def ivf_topk_persisted(
     try:
         with open(meta_path) as fh:
             meta = json.load(fh)
+        # refresh the pinned generation's mtime: the builder's cleanup
+        # ages debris by mtime, so a generation two builds old that is
+        # still being read must not look reapable — last-USE time, not
+        # creation time, is what the grace window should measure
+        os.utime(resolved)
     except (OSError, ValueError):
         meta = None
     stale = (
@@ -495,7 +511,9 @@ def ivf_topk_persisted(
             fit_filter=fit_filter,
             fingerprint=fingerprint,
         )
-        resolved = os.path.realpath(index_path)  # pin the fresh generation
+        # pin the exact generation THIS build wrote (not a re-resolve of
+        # the symlink, which a concurrent builder may have re-swapped)
+        resolved = meta["gen_dir"]
     # probe distances use the SAME sequential left-to-right squared-L2
     # fold as the oracle's list_aggregate (numpy's pairwise-summed norm
     # could rank near-tied centroids differently); stable sort keeps

@@ -2529,14 +2529,14 @@ def curriculum_phase_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _INCREMENTAL_DEDUP_ORACLE = """
 WITH corpus AS (
-  SELECT DISTINCT sha256(text) AS content_hash
+  SELECT DISTINCT sha256(coalesce(text, '')) AS content_hash
   FROM documents WHERE source = 'src0'
 ), incoming AS (
-  SELECT sha256(text) AS content_hash,
+  SELECT sha256(coalesce(text, '')) AS content_hash,
          CAST(min(doc_id) AS BIGINT) AS keep_id,
          CAST(count(*) AS BIGINT) AS n_copies
   FROM documents WHERE source <> 'src0'
-  GROUP BY sha256(text)
+  GROUP BY sha256(coalesce(text, ''))
 )
 SELECT i.content_hash, i.keep_id, i.n_copies
 FROM incoming i
@@ -2552,9 +2552,11 @@ _DIFF_V2_SQL = "((doc_id % 2147483648) * 2654435761) % 4294967296 % 100 >= 10"
 
 _CORPUS_DIFF_ORACLE = f"""
 WITH v1 AS (
-  SELECT sha256(text) AS h FROM documents WHERE {_DIFF_V1_SQL}
+  SELECT sha256(coalesce(text, '')) AS h
+  FROM documents WHERE {_DIFF_V1_SQL}
 ), v2 AS (
-  SELECT sha256(text) AS h FROM documents WHERE {_DIFF_V2_SQL}
+  SELECT sha256(coalesce(text, '')) AS h
+  FROM documents WHERE {_DIFF_V2_SQL}
 )
 SELECT status, n_docs FROM (
   SELECT 'added' AS status,
@@ -2584,7 +2586,12 @@ SELECT status, n_docs FROM (
 )
 def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
-    sha = F.sha2(F.col("text").cast("binary"), 256)
+    # coalesce BEFORE hashing: a NULL text would yield a NULL digest,
+    # which left_anti KEEPS (null keys never match) while the oracle's
+    # NOT IN drops — and one NULL in the v1 subquery would make NOT IN
+    # reject every v2 row. Hashing '' keeps both engines agreeing for
+    # any input, not just the non-null synthetic corpus.
+    sha = F.sha2(F.coalesce(F.col("text"), F.lit("")).cast("binary"), 256)
     v1 = d.filter(F.expr(_DIFF_V1_SQL)).select(sha.alias("h"))
     v2 = d.filter(F.expr(_DIFF_V2_SQL)).select(sha.alias("h"))
     added = v2.join(v1, "h", "left_anti").agg(
@@ -2612,7 +2619,9 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
-    sha = F.sha2(F.col("text").cast("binary"), 256)
+    # coalesce before hashing — same NULL-digest vs NOT-IN divergence
+    # guard as corpus_snapshot_diff
+    sha = F.sha2(F.coalesce(F.col("text"), F.lit("")).cast("binary"), 256)
     corpus = d.filter(F.col("source") == "src0").select(
         sha.alias("content_hash")
     ).distinct()

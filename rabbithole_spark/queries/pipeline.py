@@ -421,8 +421,12 @@ WITH c AS (
   SELECT user_id, ts AS purchase_ts, value AS purchase_value
   FROM events WHERE event_type = 'purchase'
 ), wm AS (
-  SELECT least((SELECT max(click_ts) FROM c),
-               (SELECT max(purchase_ts) FROM p)) - INTERVAL 2 HOUR AS w
+  -- Spark tracks event-time stats in whole milliseconds (truncating),
+  -- so the global watermark is the ms-floor of the bounded max
+  SELECT date_trunc('milliseconds',
+           least((SELECT max(click_ts) FROM c),
+                 (SELECT max(purchase_ts) FROM p)))
+         - INTERVAL 2 HOUR AS w
 ), matched AS (
   SELECT c.user_id, c.click_ts, p.purchase_ts, p.purchase_value
   FROM c JOIN p
@@ -439,7 +443,15 @@ WITH c AS (
           WHERE p.user_id = c.user_id
             AND p.purchase_ts >= c.click_ts
             AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR)
-    AND c.click_ts + INTERVAL 1 HOUR < wm.w
+    -- BOUNDARY (pinned by test_outer_join_watermark_boundary_eviction,
+    -- which sweeps clicks whose window close lands 0 / -999us / -1ms
+    -- around the exact watermark): Spark's StreamingJoinHelper derives
+    -- the join-state value watermark with an explicit 1 ms rounding
+    -- margin, so a click is evicted (and null-extends) iff
+    --   click_ts + 1h + 1ms <= watermark
+    -- — clicks inside the final 1 ms band stay buffered forever on a
+    -- bounded run, exactly like clicks past the watermark itself.
+    AND c.click_ts + INTERVAL 1 HOUR + INTERVAL 1 MILLISECOND <= wm.w
 )
 SELECT * FROM matched UNION ALL SELECT * FROM unmatched
 """

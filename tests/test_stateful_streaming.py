@@ -267,3 +267,65 @@ def test_stream_static_enrich_matches_batch_twin(spark):
         .collect()
     }
     assert got == expected
+
+
+def test_outer_join_watermark_boundary_eviction(spark, tmp_path):
+    """Pin Spark's outer-join state-eviction inequality at the exact
+    watermark boundary (ADVICE r4). Measured behavior (probe sweep):
+    a click null-extends iff click_ts + 1h + 1ms <= final watermark —
+    StreamingJoinHelper subtracts a 1 ms rounding margin when deriving
+    the join-state value watermark. Three boundary clicks: window close
+    exactly ON the watermark (buffered), 999 us before it (still inside
+    the 1 ms margin -> buffered), and exactly 1 ms before it (evicted,
+    null-extends); plus one matched click."""
+    import datetime as dt
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rabbithole_spark.catalog import load_all
+    from rabbithole_spark.queries.pipeline import _OUTER_JOIN_ORACLE
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    us = dt.timedelta(microseconds=1)
+    rows = [
+        # window close == watermark (01:00:00) exactly -> buffered
+        (1, t0, 101, "click", 1.0, "{}"),
+        # close 999 us before the watermark: inside the 1 ms margin
+        (2, t0 - 999 * us, 102, "click", 1.0, "{}"),
+        # close exactly 1 ms before the watermark: evicted, null-extends
+        (3, t0 - 1000 * us, 103, "click", 1.0, "{}"),
+        # matched click + purchase pin max(click_ts) = max(purchase_ts)
+        # = 03:00:00, so the final watermark is exactly 01:00:00
+        (4, t0 + dt.timedelta(hours=3), 2, "click", 1.0, "{}"),
+        (5, t0 + dt.timedelta(hours=3), 2, "purchase", 5.0, "{}"),
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+
+    got = sorted(
+        (r.user_id, r.click_ts, r.purchase_ts, r.purchase_value)
+        for r in load_all()["stream_stream_outer_join"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet')"
+    )
+    want = sorted(map(tuple, con.execute(_OUTER_JOIN_ORACLE).fetchall()))
+    con.close()
+    assert got == want, (got, want)
+    emitted_users = {g[0] for g in got}
+    assert emitted_users == {2, 103}, emitted_users
