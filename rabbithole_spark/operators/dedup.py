@@ -245,9 +245,13 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs within blocking groups.
 
-    The blocked self-join bounds the quadratic blowup; at scale the
-    blocks come from LSH buckets (lsh_candidate_pairs) instead of
-    metadata columns.
+    VERIFIER TIER — not registered as a query since round 5: the
+    blocked self-join is quadratic inside each block and misses
+    cross-block pairs, so the registered surface uses
+    :func:`prefix_filtered_jaccard_pairs` (exact, corpus-wide, linear
+    candidate generation) instead. This stays as the small-scale
+    verification fixture: tests pin that its blocked result is a
+    strict subset of the prefix join's corpus-wide result.
     """
     shingled = df.select(
         F.col(id_col).alias("doc_id"),

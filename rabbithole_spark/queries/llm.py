@@ -13,7 +13,6 @@ from rabbithole_spark.operators.dedup import (
     exact_dedup,
     lsh_candidate_pairs,
     minhash_signatures,
-    ngram_jaccard_pairs,
     simhash,
     spread,
     word_shingles,
@@ -78,42 +77,6 @@ def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
 
 
-_JACCARD_ORACLE = """
-WITH sh AS (
-  SELECT doc_id, lang, CAST(floor(n_chars / 100) AS INTEGER) AS len_band,
-         list_distinct(
-           list_transform(
-             range(1, greatest(len(string_split_regex(trim(text), '\\s+')) - 2, 1) + 1),
-             i -> array_to_string(list_slice(string_split_regex(trim(text), '\\s+'), i, i + 2), ' ')
-           )
-         ) AS shingles
-  FROM documents
-)
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-             / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE), 6) AS jaccard
-FROM sh a JOIN sh b
-  ON a.doc_id < b.doc_id AND a.lang = b.lang AND a.len_band = b.len_band
-WHERE round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-            / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE), 6) >= 0.2
-"""
-
-
-@register(
-    "dedup_ngram_jaccard",
-    oracle=_JACCARD_ORACLE,
-    doc="Exact 3-gram Jaccard near-dup pairs within (lang, length-band) "
-    "blocks; at scale the blocks come from LSH buckets instead.",
-)
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = spread(table(spark, sf_dir, "documents")).withColumn(
-        "len_band", F.floor(F.col("n_chars") / 100).cast("int")
-    )
-    return ngram_jaccard_pairs(
-        d, "doc_id", "text", block_cols=["lang", "len_band"], k=3, threshold=0.2
-    )
-
-
 _PREFIX_JACCARD_ORACLE = """
 WITH sh AS (
   SELECT doc_id,
@@ -141,9 +104,10 @@ WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
     "(AllPairs/SSJoin, Bayardo WWW'07): candidates are pairs sharing "
     "a token in their rarest-first prefix of length n - ceil(n/5) + 1, "
     "which provably contains every pair with Jaccard >= 0.2 — the "
-    "scale-correct replacement for both the metadata-blocked "
-    "quadratic (dedup_ngram_jaccard, which misses cross-block pairs) "
-    "and a full O(n^2) join, with zero recall loss unlike LSH. The "
+    "scale-correct replacement for both metadata blocking (which "
+    "misses cross-block pairs; the old verifier-tier quadratic was "
+    "retired in round 5) and a full O(n^2) join, with zero recall "
+    "loss unlike LSH. The "
     "oracle is the naive unblocked quadratic, so the green row "
     "certifies completeness, not just self-consistency; "
     "tests/test_llm_operators.py additionally asserts the candidate "
@@ -160,7 +124,7 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _COMPONENTS_ORACLE = """
 WITH RECURSIVE sh AS (
-  SELECT doc_id, lang, CAST(floor(n_chars / 100) AS INTEGER) AS len_band,
+  SELECT doc_id,
          list_distinct(
            list_transform(
              range(1, greatest(len(string_split_regex(trim(text), '\\s+')) - 2, 1) + 1),
@@ -171,10 +135,9 @@ WITH RECURSIVE sh AS (
 ),
 pairs AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM sh a JOIN sh b
-    ON a.doc_id < b.doc_id AND a.lang = b.lang AND a.len_band = b.len_band
-  WHERE round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-              / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE), 6) >= 0.2
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE) >= 0.2
 ),
 edges AS (
   SELECT id_a AS a, id_b AS b FROM pairs
@@ -195,16 +158,20 @@ SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src
     doc="Near-dup pairs -> dedup GROUPS: iterative min-label propagation "
     "(driver loop over join+groupBy rounds, localCheckpoint per round) "
     "oracle-checked against a DuckDB recursive-CTE transitive closure — "
-    "the iterative-algorithm shape (GraphX-style) on plain DataFrames.",
+    "the iterative-algorithm shape (GraphX-style) on plain DataFrames. "
+    "Pairs come from the prefix-filtered EXACT Jaccard join (round 5; "
+    "previously the (lang, len_band)-blocked quadratic), so the whole "
+    "pairs -> groups chain is the plan you'd run at 100 TB.",
 )
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rabbithole_spark.operators.dedup import connected_components
-
-    d = spread(table(spark, sf_dir, "documents")).withColumn(
-        "len_band", F.floor(F.col("n_chars") / 100).cast("int")
+    from rabbithole_spark.operators.dedup import (
+        connected_components,
+        prefix_filtered_jaccard_pairs,
     )
-    pairs = ngram_jaccard_pairs(
-        d, "doc_id", "text", block_cols=["lang", "len_band"], k=3, threshold=0.2
+
+    d = spread(table(spark, sf_dir, "documents"))
+    pairs = prefix_filtered_jaccard_pairs(
+        d, "doc_id", "text", k=3, t_num=1, t_den=5
     )
     return connected_components(pairs)
 
@@ -948,18 +915,20 @@ WHERE comp.doc_id IS NULL OR comp.component = comp.doc_id
     "unpaired document. An anti-join of the corpus against the "
     "non-canonical member set — digest-sized rows through the "
     "shuffle, the corpus itself never re-partitions. Pair-source-"
-    "agnostic: at 100 TB the pairs come from the LSH candidates "
-    "(dedup_minhash_lsh); wired here to the blocked n-gram pairs so "
-    "the whole closure is oracle-replayable in SQL.",
+    "agnostic: wired here to the prefix-filtered EXACT Jaccard join "
+    "(round 5; previously the blocked n-gram quadratic) so the whole "
+    "closure is scale-correct AND oracle-replayable in SQL; at 100 TB "
+    "the LSH candidates (dedup_minhash_lsh) slot in identically.",
 )
 def dedup_canonical_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rabbithole_spark.operators.dedup import connected_components
-
-    d = spread(table(spark, sf_dir, "documents")).withColumn(
-        "len_band", F.floor(F.col("n_chars") / 100).cast("int")
+    from rabbithole_spark.operators.dedup import (
+        connected_components,
+        prefix_filtered_jaccard_pairs,
     )
-    pairs = ngram_jaccard_pairs(
-        d, "doc_id", "text", block_cols=["lang", "len_band"], k=3, threshold=0.2
+
+    d = spread(table(spark, sf_dir, "documents"))
+    pairs = prefix_filtered_jaccard_pairs(
+        d, "doc_id", "text", k=3, t_num=1, t_den=5
     )
     comps = connected_components(pairs)
     losers = comps.filter(F.col("component") != F.col("doc_id")).select("doc_id")
@@ -1219,46 +1188,6 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(media, frame_size=256, every_k=4, id_col="doc_id")
 
 
-_LEV_ORACLE = """
-SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
-       a.p_name AS name_a, b.p_name AS name_b,
-       CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS edit_dist
-FROM part a JOIN part b
-  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
- AND a.p_partkey < b.p_partkey
- AND levenshtein(a.p_name, b.p_name) <= 3
-"""
-
-
-@register(
-    "dedup_levenshtein_pairs",
-    oracle=_LEV_ORACLE,
-    doc="Edit-distance fuzzy matching within (brand, size) blocks — the "
-    "entity-resolution tier of dedup; blocking bounds the quadratic "
-    "compare exactly like the Jaccard path.",
-)
-def dedup_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = table(spark, sf_dir, "part")
-    a, b = p.alias("a"), p.alias("b")
-    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
-    return (
-        a.join(
-            b,
-            (F.col("a.p_brand") == F.col("b.p_brand"))
-            & (F.col("a.p_size") == F.col("b.p_size"))
-            & (F.col("a.p_partkey") < F.col("b.p_partkey"))
-            & (dist <= 3),
-        )
-        .select(
-            F.col("a.p_partkey").alias("id_a"),
-            F.col("b.p_partkey").alias("id_b"),
-            F.col("a.p_name").alias("name_a"),
-            F.col("b.p_name").alias("name_b"),
-            dist.cast("int").alias("edit_dist"),
-        )
-    )
-
-
 #: words per segment for the segment-level dedup rate
 _SEG_WORDS = 8
 
@@ -1413,9 +1342,9 @@ WHERE levenshtein(a.p_name, b.p_name) <= 3
     "filtering (Ed-Join, Xiao et al. VLDB'08): one edit disturbs at "
     "most q grams, so matching pairs must share a gram among each "
     "side's d*q+1 rarest grams and differ in length by at most d — "
-    "the scale-correct replacement for the (brand, size)-blocked "
-    "quadratic (dedup_levenshtein_pairs), finding cross-block matches "
-    "that blocking misses with zero recall loss. The oracle is the "
+    "the scale-correct replacement for (brand, size) blocking (the "
+    "old verifier-tier quadratic, retired in round 5), finding cross-"
+    "block matches that blocking misses with zero recall loss. The "
     "naive quadratic itself, so the green row certifies completeness; "
     "tests/test_llm_operators.py pins candidate pruning.",
 )

@@ -386,3 +386,37 @@ def test_boilerplate_removal_consistent_with_audit(spark):
     }
     assert audit == removed
     assert sum(removed.values()) > 0  # non-vacuous on this data
+
+
+def test_blocked_jaccard_is_subset_of_prefix_join(spark):
+    """The retired verifier-tier blocked quadratic finds a subset of
+    the prefix-filtered corpus-wide join's pairs (blocking can only
+    LOSE cross-block pairs, never invent ones) — the containment that
+    justified replacing it as the registered query."""
+    from pyspark.sql import functions as F
+
+    from rabbithole_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_filtered_jaccard_pairs,
+    )
+    from rabbithole_spark.session import table
+
+    sf = "/root/testdata/sf0.001"
+    d = table(spark, sf, "documents").withColumn(
+        "len_band", F.floor(F.col("n_chars") / 100).cast("int")
+    )
+    blocked = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(
+            d, "doc_id", "text", block_cols=["lang", "len_band"],
+            k=3, threshold=0.2,
+        ).collect()
+    }
+    corpus_wide = {
+        (r.id_a, r.id_b)
+        for r in prefix_filtered_jaccard_pairs(
+            d, "doc_id", "text", k=3, t_num=1, t_den=5
+        ).collect()
+    }
+    assert blocked <= corpus_wide
+    assert corpus_wide  # non-degenerate on the synthetic corpus
