@@ -29,6 +29,7 @@ __all__ = [
     "ivf_topk",
     "ivf_build_index",
     "ivf_topk_persisted",
+    "ivf_topk_persisted_batch",
     "lloyd_init_first_k",
     "lloyd_iterate",
     "quantize_unit_int8",
@@ -440,28 +441,22 @@ def ivf_build_index(
     return {**meta, "gen_dir": os.path.realpath(gen)}
 
 
-def ivf_topk_persisted(
-    spark,
+def _ivf_ensure_index(
     df: DataFrame,
     embedding_col: str,
-    query_vec: list[float],
     index_path: str,
-    n_centroids: int = 16,
-    nprobe: int = 4,
-    k: int = 10,
-    id_cols: list[str] | None = None,
-    iters: int = 2,
-    fit_filter: Column | None = None,
-    fingerprint: str | None = None,
-) -> DataFrame:
-    """IVF search against the prebuilt cell-partitioned layout.
+    n_centroids: int,
+    iters: int,
+    fit_filter: Column | None,
+    fingerprint: str | None,
+) -> tuple[str, dict]:
+    """Resolve (and if stale, rebuild) the persisted IVF layout; return
+    ``(generation_dir, meta)`` pinned to ONE generation.
 
-    Builds (or rebuilds, when the source data or quantizer config
-    changed) the index via :func:`ivf_build_index`, then searches it:
-    nearest ``nprobe`` centroids come from the JSON sidecar (driver-side
-    k x dim math, ties to the lowest cell id), and the scan of the
-    layout carries ``cell IN (probes)`` — PartitionFilters in the plan,
-    so only nprobe/n_centroids of the corpus is read.
+    PIN one generation: resolve the symlink ONCE and use the resolved
+    directory for both the sidecar read and the (lazy) parquet scan,
+    so a concurrent rebuild swapping the link mid-query can never mix
+    one generation's centers with another generation's cell layout.
 
     Staleness: pass ``fingerprint`` (any string identifying the source
     data version — e.g. source-file path+size+mtime) and the probe is a
@@ -473,10 +468,6 @@ def ivf_topk_persisted(
     import json
     import os
 
-    # PIN one generation: resolve the symlink ONCE and use the resolved
-    # directory for both the sidecar read and the (lazy) parquet scan,
-    # so a concurrent rebuild swapping the link mid-query can never mix
-    # one generation's centers with another generation's cell layout.
     resolved = os.path.realpath(index_path)
     meta = None
     meta_path = os.path.join(resolved, "_ivf_meta.json")
@@ -514,22 +505,130 @@ def ivf_topk_persisted(
         # pin the exact generation THIS build wrote (not a re-resolve of
         # the symlink, which a concurrent builder may have re-swapped)
         resolved = meta["gen_dir"]
-    # probe distances use the SAME sequential left-to-right squared-L2
-    # fold as the oracle's list_aggregate (numpy's pairwise-summed norm
-    # could rank near-tied centroids differently); stable sort keeps
-    # exact ties in cell-id order, matching (distance, cluster)
+    return resolved, meta
+
+
+def _probe_cells(
+    centers: list[list[float]], query_vec: list[float], nprobe: int
+) -> list[int]:
+    """The ``nprobe`` nearest cells to a query vector, driver-side.
+
+    Probe distances use the SAME sequential left-to-right squared-L2
+    fold as the oracle's list_aggregate (numpy's pairwise-summed norm
+    could rank near-tied centroids differently); stable sort keeps
+    exact ties in cell-id order, matching (distance, cluster).
+    """
+
     def _sq_l2(c: list[float]) -> float:
         acc = 0.0
         for x, y in zip(c, query_vec):
             acc += (float(x) - float(y)) * (float(x) - float(y))
         return acc
 
-    dists = [_sq_l2(c) for c in meta["centers"]]
-    probes = [
+    dists = [_sq_l2(c) for c in centers]
+    return [
         int(i) for i in sorted(range(len(dists)), key=lambda i: (dists[i], i))
     ][:nprobe]
+
+
+def ivf_topk_persisted(
+    spark,
+    df: DataFrame,
+    embedding_col: str,
+    query_vec: list[float],
+    index_path: str,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    k: int = 10,
+    id_cols: list[str] | None = None,
+    iters: int = 2,
+    fit_filter: Column | None = None,
+    fingerprint: str | None = None,
+) -> DataFrame:
+    """IVF search against the prebuilt cell-partitioned layout.
+
+    Builds (or rebuilds, when the source data or quantizer config
+    changed) the index via :func:`ivf_build_index`, then searches it:
+    nearest ``nprobe`` centroids come from the JSON sidecar (driver-side
+    k x dim math, ties to the lowest cell id), and the scan of the
+    layout carries ``cell IN (probes)`` — PartitionFilters in the plan,
+    so only nprobe/n_centroids of the corpus is read.
+    """
+    resolved, meta = _ivf_ensure_index(
+        df, embedding_col, index_path, n_centroids, iters, fit_filter,
+        fingerprint,
+    )
+    probes = _probe_cells(meta["centers"], query_vec, nprobe)
     pruned = spark.read.parquet(resolved).filter(F.col("cell").isin(probes))
     return cosine_topk(pruned, embedding_col, query_vec, k, id_cols)
+
+
+def ivf_topk_persisted_batch(
+    spark,
+    df: DataFrame,
+    embedding_col: str,
+    query_vecs: list[tuple[int, list[float]]],
+    index_path: str,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    k: int = 10,
+    id_cols: list[str] | None = None,
+    iters: int = 2,
+    fit_filter: Column | None = None,
+    fingerprint: str | None = None,
+) -> DataFrame:
+    """BATCH IVF search: N query vectors, ONE partition-pruned scan.
+
+    The retrieval-pipeline shape at scale: per-query probes are k x dim
+    driver math against the sidecar centers, the scan carries the
+    probe-UNION as a single ``cell IN (...)`` PartitionFilter (the
+    index is read once, not once per query), each corpus row joins only
+    the queries probing its cell via a broadcast of the tiny
+    (query_id, qvec, probes) table with an ``array_contains`` residual,
+    and per-query top-k is one window over (query_id). Returns
+    (query_id, *id_cols, cosine_sim); ranking ties resolve by id_cols,
+    identical to :func:`cosine_topk`.
+    """
+    from pyspark.sql import Window
+
+    resolved, meta = _ivf_ensure_index(
+        df, embedding_col, index_path, n_centroids, iters, fit_filter,
+        fingerprint,
+    )
+    union_probes: set[int] = set()
+    probe_rows = []
+    for qid, qv in query_vecs:
+        probes = _probe_cells(meta["centers"], qv, nprobe)
+        union_probes.update(probes)
+        probe_rows.append(
+            (int(qid), [float(x) for x in qv], [int(p) for p in probes])
+        )
+    qdf = spark.createDataFrame(
+        probe_rows, "query_id long, qvec array<double>, probes array<int>"
+    )
+    pruned = spark.read.parquet(resolved).filter(
+        F.col("cell").isin(sorted(union_probes))
+    )
+    id_cols = id_cols or [
+        c
+        for c in df.columns
+        if c != embedding_col
+    ]
+    joined = pruned.join(
+        F.broadcast(qdf), F.array_contains(F.col("probes"), F.col("cell"))
+    )
+    sim = F.round(
+        cosine(F.col(embedding_col), F.col("qvec")), 6
+    ).alias("cosine_sim")
+    scored = joined.select("query_id", *id_cols, sim)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), *[F.col(c) for c in id_cols]
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
 
 
 def kmeans_fit_assign(

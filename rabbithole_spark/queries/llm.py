@@ -523,6 +523,120 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: query vec_ids for the batch IVF probe — deterministic, spread across
+#: the id space so the probe sets (and hence the pruned cells) differ
+_IVF_BATCH_QUERY_IDS = (0, 7, 19)
+
+
+def _ann_ivf_batch_oracle() -> str:
+    """DuckDB twin of the BATCH persisted-IVF search: the same Lloyd
+    replay as _ann_ivf_oracle, then per-query probes (row_number over
+    the query partition) and per-query exact cosine top-10 within the
+    probed cells."""
+    k, iters, nprobe = _IVF_N_CENTROIDS, _IVF_ITERS, _IVF_NPROBE
+    ids = ", ".join(str(i) for i in _IVF_BATCH_QUERY_IDS)
+    lloyd, prev = _lloyd_replay_ctes(k, iters, _IVF_FIT_BUCKET_SQL)
+    ctes = [
+        f"q AS (SELECT vec_id AS query_id,\n"
+        f"  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe\n"
+        f"  FROM embeddings WHERE vec_id IN ({ids}))",
+        *lloyd,
+    ]
+    ctes.append(
+        f"probes AS (SELECT query_id, cluster FROM (\n"
+        f"  SELECT q.query_id, c.cluster,\n"
+        f"         row_number() OVER (PARTITION BY q.query_id ORDER BY\n"
+        f"           {_sq_l2_sql('q.qe', 'c.c')}, c.cluster) AS rn\n"
+        f"  FROM {prev} c, q) WHERE rn <= {nprobe})"
+    )
+    ctes.append(
+        f"cells AS (SELECT vec_id, label, embedding, cluster FROM (\n"
+        f"  SELECT v.vec_id, v.label, v.embedding, c.cluster,\n"
+        f"         row_number() OVER (PARTITION BY v.vec_id ORDER BY\n"
+        f"           {_sq_l2_sql('v.embedding', 'c.c')}, c.cluster) AS rn\n"
+        f"  FROM embeddings v CROSS JOIN {prev} c) WHERE rn = 1)"
+    )
+    ctes.append(
+        "scored AS (\n"
+        "  SELECT q.query_id, b.vec_id, b.label,\n"
+        "         round(\n"
+        "           list_aggregate(list_transform(range(1, len(b.embedding) + 1),\n"
+        "             i -> CAST(b.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)), 'sum')\n"
+        "           / (sqrt(list_aggregate(list_transform(range(1, len(b.embedding) + 1),\n"
+        "                i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum'))\n"
+        "              * sqrt(list_aggregate(list_transform(range(1, len(q.qe) + 1),\n"
+        "                  i -> CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)), 'sum'))),\n"
+        "           6) AS cosine_sim\n"
+        "  FROM cells b JOIN probes p ON b.cluster = p.cluster\n"
+        "  JOIN q ON q.query_id = p.query_id)"
+    )
+    with_sql = "WITH " + ",\n".join(ctes)
+    return f"""{with_sql}
+SELECT query_id, vec_id, label, cosine_sim FROM (
+  SELECT query_id, vec_id, label, cosine_sim,
+         row_number() OVER (PARTITION BY query_id
+           ORDER BY cosine_sim DESC, vec_id, label) AS rn
+  FROM scored) WHERE rn <= 10
+"""
+
+
+@register(
+    "similarity_ann_ivf_batch",
+    oracle=_ann_ivf_batch_oracle(),
+    doc="BATCH IVF ANN — the shape a retrieval pipeline actually runs "
+    "at 100 TB: N query vectors resolve their nprobe cells driver-side "
+    "(k x dim sidecar math), the persisted cell-partitioned layout is "
+    "scanned ONCE with the probe-union as PartitionFilters, each row "
+    "joins only the queries probing its cell (broadcast of the tiny "
+    "query table, array_contains residual), and per-query top-10 is a "
+    "single window over query_id. Plan-tested: one pruned scan for "
+    "all N queries (tests/test_scale_plans.py). Same deterministic "
+    "quantizer as similarity_ann_ivf, so the whole batch probe is "
+    "oracle-replayed.",
+)
+def similarity_ann_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+
+    from rabbithole_spark.operators.similarity import ivf_topk_persisted_batch
+
+    rows = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id").isin(list(_IVF_BATCH_QUERY_IDS)))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    qvecs = sorted(
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in rows
+    )
+    base = os.path.join(os.path.expanduser("~"), ".cache", "rabbithole_spark")
+    os.makedirs(base, mode=0o700, exist_ok=True)
+    os.chmod(base, 0o700)
+    cache_root = os.path.join(base, "ivf")
+    os.makedirs(cache_root, exist_ok=True)
+    key = hashlib.sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:16]
+    index_path = os.path.join(cache_root, key)
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    fingerprint = (
+        f"{src}:{st.st_size}:{st.st_mtime_ns}:{_IVF_FIT_BUCKET_SQL}"
+    )
+    return ivf_topk_persisted_batch(
+        spark,
+        table(spark, sf_dir, "embeddings"),
+        "embedding",
+        qvecs,
+        index_path,
+        n_centroids=_IVF_N_CENTROIDS,
+        nprobe=_IVF_NPROBE,
+        k=10,
+        id_cols=["vec_id", "label"],
+        iters=_IVF_ITERS,
+        fit_filter=F.expr(_IVF_FIT_BUCKET_SQL),
+        fingerprint=fingerprint,
+    )
+
+
 def _near_dup_oracle() -> str:
     """DuckDB twin of the LSH-bucket-blocked near-dup query: identical
     plane literals, bucket-equality blocking, cosine threshold."""
@@ -1354,6 +1468,41 @@ def dedup_edit_distance_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = table(spark, sf_dir, "part")
     return qgram_prefix_edit_pairs(
         p, "p_partkey", "p_name", max_dist=3, q=2
+    )
+
+
+_EDJOIN_SPARSE_ORACLE = """
+SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+       a.s_name AS name_a, b.s_name AS name_b,
+       CAST(levenshtein(a.s_name, b.s_name) AS INTEGER) AS edit_dist
+FROM supplier a JOIN supplier b
+  ON a.s_suppkey < b.s_suppkey
+ AND abs(length(a.s_name) - length(b.s_name)) <= 2
+WHERE levenshtein(a.s_name, b.s_name) <= 2
+"""
+
+
+@register(
+    "dedup_edit_distance_prefix_sparse",
+    oracle=_EDJOIN_SPARSE_ORACLE,
+    doc="Ed-Join on a SPARSE key (supplier names, d<=2): the same "
+    "q-gram prefix filter as dedup_edit_distance_prefix, but on a key "
+    "whose true match set is small relative to n^2 (each name has a "
+    "bounded digit-neighborhood), so the naive-quadratic ORACLE is "
+    "cheap at every SF and the exact-join family is oracle-green at "
+    "sf0.001/0.01/0.1 alike — the part-name variant's oracle is "
+    "output-bound at sf0.1 because TPC-H p_name makes the true d<=3 "
+    "result quadratic-dense (NOTES.md), which is a property of that "
+    "key's distribution, not of the operator.",
+)
+def dedup_edit_distance_prefix_sparse(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from rabbithole_spark.operators.dedup import qgram_prefix_edit_pairs
+
+    s = table(spark, sf_dir, "supplier")
+    return qgram_prefix_edit_pairs(
+        s, "s_suppkey", "s_name", max_dist=2, q=2
     )
 
 

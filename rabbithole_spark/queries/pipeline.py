@@ -299,6 +299,73 @@ def stream_count_or_time_batcher(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+_BATCHER_SIZES_ORACLE = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST((count(*) // 10) * 10 AS BIGINT) AS n_size_flushed,
+       CAST(count(*) % 10 AS BIGINT) AS n_time_flushed,
+       CAST(sum(event_id) AS BIGINT) AS sum_event_id
+FROM events
+GROUP BY event_type
+"""
+
+
+@register(
+    "stream_count_or_time_sizes",
+    oracle=_BATCHER_SIZES_ORACLE,
+    doc="The count-dimension of the count-or-time batcher, hash-checked: "
+    "runs the SAME stateful operator as stream_count_or_time_batcher "
+    "(applyInPandasWithState, size_limit=10), then aggregates the "
+    "tag-stripped output per flow key. Over a single-batch bounded "
+    "replay the flush arithmetic is deterministic even though each "
+    "row's flush TAG carries processing time: every key's rows arrive "
+    "in one invocation, so exactly (n div 10)*10 rows size-flush and "
+    "n mod 10 rows time-flush, and conservation (n_rows and the "
+    "sum-of-event-ids checksum per key) pins that every input row "
+    "exits exactly once, unduplicated. The oracle replays that "
+    "arithmetic from the raw input — flipping the batcher family from "
+    "rows-only to oracle-green on its SQL-expressible dimension.",
+)
+def stream_count_or_time_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rabbithole_spark.streaming.stateful import (
+        await_state_drained,
+        count_or_time_batcher_v1,
+    )
+
+    name = f"stream_batchsz_{uuid.uuid4().hex[:8]}"
+    stream = _read_events_stream(spark, sf_dir).select(
+        "event_type", "event_id", "user_id"
+    )
+    batched = count_or_time_batcher_v1(
+        stream.groupBy("event_type"),
+        "event_type string, event_id long, user_id long",
+        size_limit=10,
+        time_limit_s=5.0,
+    )
+    q = (
+        batched.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_state_drained(q)
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.when(F.col("flush_reason") == "size", 1).otherwise(0)
+            ).alias("n_size_flushed"),
+            F.sum(
+                F.when(F.col("flush_reason") == "time", 1).otherwise(0)
+            ).alias("n_time_flushed"),
+            F.sum("event_id").alias("sum_event_id"),
+        )
+    )
+
+
 @register(
     "stream_dedup_watermark",
     oracle=_DISTINCT_KEYS_ORACLE,

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import io
 import contextlib
+import re
 import uuid
 
 import pytest
@@ -402,3 +403,47 @@ def test_pack_sequences_shard_key_bounds_window_partitions(spark):
     assert window_args and all(
         "source" in l and "shard" in l for l in window_args
     ), window_args
+
+
+def test_ivf_batch_one_pruned_scan_for_all_queries(spark, tmp_path):
+    """The batch IVF path reads the persisted layout EXACTLY ONCE for
+    all N query vectors — one parquet scan carrying the probe-union as
+    PartitionFilters on cell — and joins the query table broadcast, so
+    adding queries adds zero scans. Per-query results must equal N
+    independent single-query probes (same index, same params)."""
+    from rabbithole_spark.operators.similarity import (
+        ivf_topk_persisted,
+        ivf_topk_persisted_batch,
+    )
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qids = [0, 3, 9]
+    rows = e.filter(F.col("vec_id").isin(qids)).collect()
+    qvecs = sorted(
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in rows
+    )
+    idx = str(tmp_path / "ivf_batch_index")
+    out = ivf_topk_persisted_batch(
+        spark, e, "embedding", qvecs, idx,
+        n_centroids=8, nprobe=3, k=5, id_cols=["vec_id"])
+    plan = _plan(out)
+    # the query table is a broadcast local relation, so the ONLY parquet
+    # scan node in the whole plan is the index read — exactly one
+    scan_nodes = re.findall(r"\(\d+\) Scan parquet", plan)
+    assert len(scan_nodes) == 1, plan[:2000]
+    pf_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert any("cell" in l for l in pf_lines), plan[:2000]
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    got = out.collect()
+    by_query = {}
+    for r in got:
+        by_query.setdefault(r.query_id, []).append((r.vec_id, r.cosine_sim))
+    for qid, qv in qvecs:
+        single = [
+            (r.vec_id, r.cosine_sim)
+            for r in ivf_topk_persisted(
+                spark, e, "embedding", qv, idx,
+                n_centroids=8, nprobe=3, k=5, id_cols=["vec_id"]
+            ).collect()
+        ]
+        assert by_query[qid] == single, qid
