@@ -263,39 +263,28 @@ def test_runtime_bloom_filter_injected_on_shuffle_join(spark):
     assert li.join(orders, li.l_orderkey == orders.o_orderkey).count() == n_filtered
 
 
-SHUFFLE_BUDGETS = {
-    # query -> max non-broadcast Exchanges allowed in the initial plan.
-    # These are the measured optimal shapes (sf0.001, AQE initial plan);
-    # a future edit that adds a shuffle should have to justify itself.
-    "pricing_summary": 2,            # agg + final sort
-    "topk_per_group": 1,             # window partition only
-    "join_asof_events": 1,           # union-merge as-of: ONE shuffle
-    "dedup_exact_documents": 1,      # hash groupBy
-    "agg_rollup": 1,                 # expand + agg share one exchange
-    "tpch_q3_shipping_priority": 1,  # dims broadcast; one fact shuffle
-    "join_multiway_revenue": 2,      # fact-fact join + agg/sort
-    "text_bm25_ranking": 3,          # per-doc agg, scoring agg, sort
-    # round-4 additions (measured optimal shapes)
-    "split_train_val_test": 1,       # row-local split + one rollup agg
-    "pack_padding_efficiency": 1,    # one grouped agg on the bucket key
-    "pack_sequences_by_source": 1,   # one (source, shard) window shuffle
-    "mixture_temperature_weights": 2,  # source agg + tiny global window
-    "join_lateral_topn": 1,          # decorrelated WindowGroupLimit rank
-    "udf_cogrouped_asof": 2,         # both cogroup sides shuffle on key
-    "sql_recursive_gapfill_days": 1,  # purchase-day agg; ladder is tiny
-}
+from tests.shuffle_budgets import SHUFFLE_BUDGETS  # noqa: E402
 
 
-def test_headline_shuffle_budgets(spark):
-    """Shuffle-count regression guard: each headline query's plan must
-    not exceed its measured-optimal number of shuffle Exchanges
-    (broadcast and reused exchanges excluded — those are the cheap
-    kind we *want*)."""
+def test_all_registered_queries_hold_shuffle_budgets(spark):
+    """Shuffle-count regression guard over the WHOLE registry: every
+    plan-expressible (non-streaming) registered query must have a
+    pinned budget, and its plan must not exceed it (broadcast and
+    reused exchanges excluded — those are the cheap kind we *want*).
+    A new query without a measured budget fails here by design."""
     from rabbithole_spark.catalog import load_all
 
     specs = load_all()
+    plan_expressible = {
+        n for n in specs if not n.startswith("stream_")
+    }
+    missing = plan_expressible - set(SHUFFLE_BUDGETS)
+    stale = set(SHUFFLE_BUDGETS) - plan_expressible
+    assert not missing, f"queries without a shuffle budget: {sorted(missing)}"
+    assert not stale, f"budgets for unregistered queries: {sorted(stale)}"
     over = {}
-    for name, budget in SHUFFLE_BUDGETS.items():
+    for name in sorted(plan_expressible):
+        budget = SHUFFLE_BUDGETS[name]
         plan = (
             specs[name].fn(spark, SF)._jdf.queryExecution()
             .executedPlan().toString()
