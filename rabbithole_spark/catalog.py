@@ -43,89 +43,73 @@ _QUERY_MODULES = (
 
 #: Registry emission order. External harnesses verify a bounded
 #: 50-query prefix of the registry per round, so queries needing
-#: external verification go FIRST: (a) the round-3 verdict's named
-#: verification debt (the 4 dsum-touched temporal queries that ceded
-#: slots on a value-identity argument), (b) EVERY query whose
-#: semantics this round's diff touches (the IVF deterministic
-#: quantizer + new oracle, the quality_score empty-doc guard and its
-#: users, the quantized-ANN rounding fix, the map-funcs oracle
-#:coercion fix, the six bounded-stream oracle flips, the
-#: shard-keyed sequence packing), then (c) the queries whose latest
-#: external row is OLDEST (round 1), so no green row ages past two
-#: rounds. Names absent from this list follow in registration order;
-#: names listed but not registered are ignored.
+#: external verification go FIRST: (a) every query added or
+#: semantics-touched in round 5 (the three new queries; the
+#: coalesce-hash NULL guards; dedup_components/_canonical_survivors
+#: switching to prefix-filtered pairs; the outer-join oracle's
+#: measured eviction boundary; the IVF ensure-index generation
+#: pinning), then (b) the round-4 verdict's named staleness backlog —
+#: ALL 35 queries whose latest external row was round 1 (32
+#: hash-green + the 3 rows-only sketches), then (c) the oldest
+#: remaining round-2 rows with the slots left. Exactly 50 names:
+#: after this round no query's latest external row predates round 2.
+#: Names absent from this list follow in registration order; names
+#: listed but not registered are ignored.
 _PRIORITY_ORDER = (
-    # round-3 verdict item 1: the dsum-touched temporal queries whose
-    # current code never got an external row
-    "temporal_parts",
-    "temporal_trunc_daily",
-    "temporal_arithmetic",
-    "window_tumbling_hourly",
-    # modified in round 4: deterministic-quantizer IVF (new oracle),
-    # the six bounded-stream oracle flips, shard-keyed packing
-    "similarity_ann_ivf",
-    "stream_tumbling_counts",
-    "stream_session_window",
-    "stream_static_enrich",
-    "stream_dedup_watermark",
-    "stream_dedup_within_watermark",
-    "stream_stream_interval_join",
-    "stream_stateful_running_totals",
-    "pack_sequences_by_source",
-    # modified in round 4: quality_score empty-doc guard users,
-    # quantized-ANN query rounding, kmeans Lloyd refactor, map-funcs
-    # oracle coercion
-    "text_quality_stats",
-    "source_quality_rollup",
-    "pipeline_curation_full",
-    "curriculum_phase_stats",
-    "similarity_ann_quantized",
-    "similarity_kmeans_clusters",
-    "scalar_map_funcs",
-    # modified in round 4: EVERY remaining dsum/sql_dsum user — the
-    # exact-sum conversion switched from shared-ROUND to a single
-    # correctly-rounded conversion per engine (functions/numeric.py;
-    # value-identity at driver SFs, but the whole touched surface goes
-    # inside the verified prefix this time, unlike round 3)
-    "pricing_summary",
-    "join_multiway_revenue",
-    "join_range_quantity_bands",
-    "agg_event_stats",
-    "agg_rollup",
-    "agg_conditional",
-    "subquery_in",
-    "tpch_q3_shipping_priority",
-    "tpch_q10_returned_items",
-    "tpch_q18_large_volume",
-    # new in round 4 (local parity green at sf0.001/0.01, several also
-    # at 0.1) — need a first external row
-    "split_train_val_test",
-    "dedup_canonical_survivors",
-    "pack_padding_efficiency",
-    "mixture_temperature_weights",
-    "dedup_jaccard_prefix_filter",
-    "dedup_edit_distance_prefix",
-    "text_segment_dedup_rate",
-    "text_remove_boilerplate",
-    "corpus_snapshot_diff",
-    "sample_quality_weighted",
-    "stream_stream_outer_join",
-    "sql_recursive_gapfill_days",
-    "join_lateral_topn",
-    "udf_cogrouped_asof",
-    # plan-only round-4 edits (localCheckpoint re-execution cuts) —
-    # value-identity shown locally, still re-verified externally
-    "funnel_conversion_stages",
-    "text_tfidf_top_terms",
-    # oldest external rows (latest green is round 1) — refreshed
-    # oldest-first with the slots that remain; the deferred round-1
-    # tail (setops, distribution/nulls/unpivot/json scalars,
-    # subquery_scalar, and the 3 rows-only sketch queries whose
-    # status cannot change) leads the round-5 refresh
-    "join_inner_enriched_orders",
-    "join_right_suppliers_nations",
-    "join_full_outer_nation_counts",
-    "join_semi_big_spenders",
+    # -- (a) new in round 5: first external row needed
+    "similarity_ann_ivf_batch",
+    "stream_count_or_time_sizes",
+    "dedup_edit_distance_prefix_sparse",
+    # -- (a) semantics touched in round 5
+    "corpus_snapshot_diff",        # coalesce(text,'') digest NULL guard
+    "dedup_incremental_new_docs",  # same NULL guard
+    "dedup_components",            # pairs now prefix-filtered corpus-wide
+    "dedup_canonical_survivors",   # same pair-source switch
+    "stream_stream_outer_join",    # oracle: measured eviction boundary
+    "similarity_ann_ivf",          # ensure-index generation pinning
+    # -- (b) the round-1 staleness backlog, drained in full
+    "agg_cube",
+    "agg_distinct_pairs",
+    "agg_having",
+    "agg_median_iqr",
+    "join_anti_no_big_order",
+    "join_asof_events",
+    "join_cross_region_nation",
+    "pivot_event_counts",
+    "scalar_array_funcs",
+    "scalar_array_hof",
+    "scalar_conditional",
+    "scalar_json_funcs",
+    "scalar_math_funcs",
+    "scalar_null_semantics",
+    "scalar_string_funcs",
+    "scalar_variant_json",
+    "setop_except",
+    "setop_except_all",
+    "setop_intersect",
+    "setop_intersect_all",
+    "setop_union_all",
+    "setop_union_distinct",
+    "sort_limit_top_orders",
+    "sort_nulls_first",
+    "subquery_correlated",
+    "subquery_scalar",
+    "topk_per_group",
+    "unpivot_customer_metrics",
+    "window_distribution",
+    "window_lag_lead",
+    "window_range_frame",
+    "window_rank_orders",
+    "agg_approx_count_distinct",   # rows-only sketch, last executed r1
+    "agg_hll_sketch_union",        # rows-only sketch, last executed r1
+    "agg_kll_quantile_sketch",     # rows-only sketch, last executed r1
+    # -- (c) oldest round-2 rows with the remaining slots
+    "dedup_minhash_lsh",           # rows-only, last executed r2
+    "dedup_simhash",               # rows-only, last executed r2
+    "agg_corr_regression",
+    "agg_percentiles",
+    "agg_stats_moments",
+    "contamination_ngram_overlap",
 )
 
 

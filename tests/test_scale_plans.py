@@ -436,3 +436,63 @@ def test_ivf_batch_one_pruned_scan_for_all_queries(spark, tmp_path):
             ).collect()
         ]
         assert by_query[qid] == single, qid
+
+
+def test_ivf_publish_pins_own_generation_and_protects_readers(
+    spark, tmp_path
+):
+    """Regression pins for the round-5 index-publish hardening:
+    (a) ivf_build_index returns the generation dir it wrote (callers
+    pin THAT, not a re-resolve of a symlink a concurrent builder may
+    have re-swapped); (b) a generation's mtime refreshes on read, so
+    the age-based cleanup measures last USE and cannot reap a pinned
+    generation that is still being queried; (c) migrating a legacy
+    real-directory layout to the symlink scheme keeps prior data
+    readable and publishes atomically."""
+    import json
+    import os
+    import time
+
+    from rabbithole_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_topk_persisted,
+    )
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    idx = str(tmp_path / "ivf_pin")
+
+    # (a) the returned gen_dir IS the published generation
+    meta = ivf_build_index(e, "embedding", idx, n_centroids=4, iters=1)
+    assert os.path.islink(idx)
+    assert meta["gen_dir"] == os.path.realpath(idx)
+    sidecar = json.load(open(os.path.join(meta["gen_dir"], "_ivf_meta.json")))
+    assert sidecar["centers"] == meta["centers"]
+
+    # (b) a query refreshes the pinned generation's mtime
+    gen = meta["gen_dir"]
+    old = time.time() - 7200
+    os.utime(gen, (old, old))
+    qv = [float(x) for x in
+          e.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    ivf_topk_persisted(
+        spark, e, "embedding", qv, idx,
+        n_centroids=4, nprobe=2, k=5, id_cols=["vec_id"], iters=1,
+    ).collect()
+    assert os.stat(gen).st_mtime > old + 3600
+
+    # (c) legacy real-directory migration: same path keeps serving
+    legacy = str(tmp_path / "ivf_legacy")
+    m1 = ivf_build_index(e, "embedding", legacy, n_centroids=4, iters=1)
+    # simulate the pre-symlink layout: a REAL directory at the path
+    real = str(tmp_path / "ivf_legacy_real")
+    os.rename(m1["gen_dir"], real)
+    os.remove(legacy)
+    os.rename(real, legacy)
+    assert os.path.isdir(legacy) and not os.path.islink(legacy)
+    m2 = ivf_build_index(e, "embedding", legacy, n_centroids=4, iters=1)
+    assert os.path.islink(legacy)
+    assert m2["gen_dir"] == os.path.realpath(legacy)
+    # the moved-aside legacy generation still exists on disk (grace)
+    aside = [p for p in os.listdir(tmp_path)
+             if p.startswith("ivf_legacy.gen-legacy-")]
+    assert aside
