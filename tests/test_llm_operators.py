@@ -420,3 +420,49 @@ def test_blocked_jaccard_is_subset_of_prefix_join(spark):
     }
     assert blocked <= corpus_wide
     assert corpus_wide  # non-degenerate on the synthetic corpus
+
+
+def test_snapshot_diff_null_text_matches_oracle(spark, tmp_path):
+    """Differential edge-payload test for the round-5 NULL guard: with
+    NULL text rows present, the registered corpus_snapshot_diff and
+    its DuckDB oracle must still agree — before the coalesce fix,
+    Spark's left_anti KEPT null-hash rows while the oracle's NOT IN
+    dropped them (and one v1 NULL made NOT IN reject everything)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rabbithole_spark.catalog import load_all
+
+    # doc_ids chosen so NULL-text docs land in v1-only, v2-only and
+    # the overlap of the hash-split version membership
+    rows = []
+    for doc_id in range(40):
+        text = None if doc_id % 7 == 0 else f"doc body {doc_id % 11}"
+        rows.append((doc_id, text, "en", "src0", 20))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[2] for r in rows], pa.string()),
+            "source": pa.array([r[3] for r in rows], pa.string()),
+            "n_chars": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    spec = load_all()["corpus_snapshot_diff"]
+    got = sorted(
+        (r.status, r.n_docs)
+        for r in spec.fn(spark, str(tmp_path)).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = sorted(map(tuple, con.execute(spec.oracle).fetchall()))
+    con.close()
+    assert got == want, (got, want)
+    # non-degenerate: the NULL docs actually exercised both branches
+    assert sum(n for _, n in got) > 0
