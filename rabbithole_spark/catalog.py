@@ -60,6 +60,8 @@ _PRIORITY_ORDER = (
     "similarity_ann_ivf_batch",
     "stream_count_or_time_sizes",
     "dedup_edit_distance_prefix_sparse",
+    "source_overlap_matrix",
+    "shard_shuffle_assignment",
     # -- (a) semantics touched in round 5
     "corpus_snapshot_diff",        # coalesce(text,'') digest NULL guard
     "dedup_incremental_new_docs",  # same NULL guard
@@ -108,8 +110,6 @@ _PRIORITY_ORDER = (
     "dedup_simhash",               # rows-only, last executed r2
     "agg_corr_regression",
     "agg_percentiles",
-    "agg_stats_moments",
-    "contamination_ngram_overlap",
 )
 
 

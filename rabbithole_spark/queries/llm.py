@@ -1371,6 +1371,127 @@ def text_segment_dedup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SOURCE_OVERLAP_ORACLE = f"""
+WITH segs AS (
+  SELECT source, unnest(
+    list_transform(
+      range(1, CAST((len(w) + {_SEG_WORDS - 1}) // {_SEG_WORDS} AS BIGINT) + 1),
+      i -> array_to_string(list_slice(w, (i - 1) * {_SEG_WORDS} + 1, i * {_SEG_WORDS}), ' ')
+    )
+  ) AS seg
+  FROM (SELECT source, string_split_regex(trim(text), '\\s+') AS w FROM documents)
+), ds AS (SELECT DISTINCT seg, source FROM segs)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(count(*) AS BIGINT) AS n_shared_segments
+FROM ds a JOIN ds b ON a.seg = b.seg AND a.source < b.source
+GROUP BY a.source, b.source
+"""
+
+
+@register(
+    "source_overlap_matrix",
+    oracle=_SOURCE_OVERLAP_ORACLE,
+    doc="Cross-source contamination matrix: for every source pair, the "
+    "number of distinct 8-word segments both contain verbatim — the "
+    "audit that catches one crawl replicating another (or shared "
+    "boilerplate) BEFORE mixture weights treat them as independent. "
+    "TWO shuffles total: one groupBy(segment) collects each segment's "
+    "distinct source set (map-side partial agg; sources-per-segment "
+    "is bounded by the source count, so the row stays tiny), the "
+    "source pairs expand ROW-LOCALLY from that sorted set (no "
+    "self-join — a seg-keyed self-join would re-shuffle both sides), "
+    "and one rollup on the ~|sources|^2-bounded pair key. Linear at "
+    "any corpus size.",
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(table(spark, sf_dir, "documents"))
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    nseg = F.expr(
+        f"(size(split(trim(text), '\\\\s+')) + {_SEG_WORDS - 1}) "
+        f"div {_SEG_WORDS}"
+    )
+    segs = d.select(
+        "source",
+        F.explode_outer(
+            F.transform(
+                F.sequence(F.lit(1), nseg),
+                lambda i: F.concat_ws(
+                    " ", F.slice(words, (i - 1) * _SEG_WORDS + 1, _SEG_WORDS)
+                ),
+            )
+        ).alias("seg"),
+    )
+    per_seg = segs.groupBy("seg").agg(
+        F.array_sort(F.collect_set("source")).alias("srcs")
+    )
+    srcs = F.col("srcs")
+    pairs = F.flatten(
+        F.transform(
+            srcs,
+            lambda x, i: F.transform(
+                F.slice(srcs, i + F.lit(2), F.size(srcs)),
+                lambda y: F.struct(
+                    x.alias("source_a"), y.alias("source_b")
+                ),
+            ),
+        )
+    )
+    return (
+        per_seg.select(F.explode(pairs).alias("p"))
+        .groupBy(
+            F.col("p.source_a").alias("source_a"),
+            F.col("p.source_b").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_segments"))
+    )
+
+
+#: shard count for the deterministic training-shuffle assignment; a
+#: production corpus picks this so each shard is loader-file sized
+#: (e.g. ~1 GB), which also bounds the per-shard ordering window at
+#: any corpus size — shard count, not corpus size, is the knob
+_SHUFFLE_SHARDS = 64
+
+_SHARD_HASH_SQL = "((doc_id % 2147483648) * 2654435761 + 97) % 4294967296"
+
+_SHARD_SHUFFLE_ORACLE = f"""
+SELECT doc_id,
+       CAST({_SHARD_HASH_SQL} % {_SHUFFLE_SHARDS} AS BIGINT) AS shard,
+       CAST(row_number() OVER (
+         PARTITION BY {_SHARD_HASH_SQL} % {_SHUFFLE_SHARDS}
+         ORDER BY {_SHARD_HASH_SQL}, doc_id) AS BIGINT) AS position
+FROM documents
+"""
+
+
+@register(
+    "shard_shuffle_assignment",
+    oracle=_SHARD_SHUFFLE_ORACLE,
+    doc="Deterministic global training shuffle: every document gets a "
+    "(shard, position) from a multiplicative hash of its id — the "
+    "reproducible corpus permutation a data loader consumes, "
+    "re-materializable byte-identically on any engine (same contract "
+    "as split_train_val_test; the +97 offset decorrelates it from the "
+    "split/sample hash buckets). Row-local shard assignment, then ONE "
+    "shuffle for the within-shard ordering window; the shard count is "
+    "chosen so a shard is loader-file sized, which bounds the window "
+    "partition at any corpus scale (same argument as the packing "
+    "shard key).",
+)
+def shard_shuffle_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    h = F.expr(_SHARD_HASH_SQL)
+    shard = (h % _SHUFFLE_SHARDS).cast("bigint")
+    w = Window.partitionBy(shard).orderBy(h, F.col("doc_id"))
+    return d.select(
+        "doc_id",
+        shard.alias("shard"),
+        F.row_number().over(w).cast("bigint").alias("position"),
+    )
+
+
 _BOILERPLATE_ORACLE = f"""
 WITH segs AS (
   SELECT doc_id, i AS pos,
