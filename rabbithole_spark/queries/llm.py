@@ -123,7 +123,7 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _COMPONENTS_ORACLE = """
-WITH RECURSIVE sh AS (
+WITH RECURSIVE sh AS MATERIALIZED (
   SELECT doc_id,
          list_distinct(
            list_transform(
@@ -133,13 +133,17 @@ WITH RECURSIVE sh AS (
          ) AS shingles
   FROM documents
 ),
-pairs AS (
+-- MATERIALIZED: DuckDB inlines CTEs by default, and the recursive
+-- closure below references edges in every iteration — without
+-- materialization the quadratic pair computation re-runs per
+-- iteration (observed: minutes -> hours at sf0.1)
+pairs AS MATERIALIZED (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b
   FROM sh a JOIN sh b ON a.doc_id < b.doc_id
   WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
         / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE) >= 0.2
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT id_a AS a, id_b AS b FROM pairs
   UNION SELECT id_b, id_a FROM pairs
 ),
