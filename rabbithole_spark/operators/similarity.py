@@ -474,15 +474,34 @@ def _ivf_ensure_index(
     try:
         with open(meta_path) as fh:
             meta = json.load(fh)
+    except (OSError, ValueError):
+        meta = None
+    if meta is not None:
         # refresh the pinned generation's mtime: the builder's cleanup
         # ages debris by mtime, so a generation two builds old that is
         # still being read must not look reapable — last-USE time, not
-        # creation time, is what the grace window should measure
-        os.utime(resolved)
-    except (OSError, ValueError):
-        meta = None
+        # creation time, is what the grace window should measure.
+        # Best-effort ONLY: a failed utime (foreign-uid cache dir,
+        # read-only fs) must not discard a successfully loaded meta
+        # and trigger a spurious full rebuild.
+        try:
+            os.utime(resolved)
+        except OSError:
+            pass
+    # A LEGACY real-directory layout cannot be generation-pinned: the
+    # path itself is the data, so a concurrent builder migrating it to
+    # the symlink scheme would swap new parquet under our old centers
+    # when the lazy scan finally runs. Force the rebuild path once —
+    # it publishes the symlink layout and returns a pinned gen_dir;
+    # every subsequent read is race-free.
+    legacy_unpinnable = (
+        meta is not None
+        and os.path.isdir(index_path)
+        and not os.path.islink(index_path)
+    )
     stale = (
         meta is None
+        or legacy_unpinnable
         or meta.get("n_centroids") != n_centroids
         or meta.get("iters") != iters
         or meta.get("quantizer") != _IVF_QUANTIZER
@@ -560,6 +579,10 @@ def ivf_topk_persisted(
     )
     probes = _probe_cells(meta["centers"], query_vec, nprobe)
     pruned = spark.read.parquet(resolved).filter(F.col("cell").isin(probes))
+    # default id_cols from the SOURCE df (excluding the layout's cell
+    # column), identically to the batch path — so batch and single
+    # probes agree on schema and tie ordering for any call style
+    id_cols = id_cols or [c for c in df.columns if c != embedding_col]
     return cosine_topk(pruned, embedding_col, query_vec, k, id_cols)
 
 

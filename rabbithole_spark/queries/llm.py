@@ -428,6 +428,35 @@ def _lloyd_replay_ctes(k: int, iters: int, fit_where: str | None) -> tuple[list[
     return ctes, prev
 
 
+def _ivf_cache_path_and_fingerprint(sf_dir: str) -> tuple[str, str]:
+    """Shared by the single-query and batch IVF queries — they MUST
+    agree byte-for-byte on both values or they stop sharing one index
+    and thrash each other's cache on every alternation.
+
+    Per-user private cache, keyed by a hash of the FULL dataset path
+    (no cross-user predictable /tmp dir, no basename collisions); the
+    fingerprint stamps the source parquet (path+size+mtime) plus the
+    fit predicate, so editing the sample rule rebuilds the index
+    instead of serving a stale layout the oracle no longer replays.
+    """
+    import hashlib
+    import os
+
+    base = os.path.join(os.path.expanduser("~"), ".cache", "rabbithole_spark")
+    os.makedirs(base, mode=0o700, exist_ok=True)
+    os.chmod(base, 0o700)
+    cache_root = os.path.join(base, "ivf")
+    os.makedirs(cache_root, exist_ok=True)
+    key = hashlib.sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:16]
+    index_path = os.path.join(cache_root, key)
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    fingerprint = (
+        f"{src}:{st.st_size}:{st.st_mtime_ns}:{_IVF_FIT_BUCKET_SQL}"
+    )
+    return index_path, fingerprint
+
+
 def _ann_ivf_oracle() -> str:
     """DuckDB twin of the persisted-IVF search: replays the
     deterministic quantizer exactly (see _lloyd_replay_ctes), then the
@@ -486,31 +515,10 @@ LIMIT 10
     "oracle-checked rather than rows-counted.",
 )
 def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
-    import os
-
     from rabbithole_spark.operators.similarity import ivf_topk_persisted
 
     qv = _query_vector(spark, sf_dir)
-    # per-user private cache, keyed by a hash of the FULL dataset path:
-    # no cross-user predictable /tmp dir, no basename collisions
-    base = os.path.join(os.path.expanduser("~"), ".cache", "rabbithole_spark")
-    os.makedirs(base, mode=0o700, exist_ok=True)
-    os.chmod(base, 0o700)
-    cache_root = os.path.join(base, "ivf")
-    os.makedirs(cache_root, exist_ok=True)
-    key = hashlib.sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:16]
-    index_path = os.path.join(cache_root, key)
-    # source-data version stamp: rebuild on any change to the parquet
-    # file (path+size+mtime), zero corpus scans when it is unchanged
-    src = os.path.join(sf_dir, "embeddings.parquet")
-    st = os.stat(src)
-    # the fit predicate is a quantizer input: include it so editing the
-    # sample rule rebuilds the index instead of serving a stale layout
-    # the oracle no longer replays
-    fingerprint = (
-        f"{src}:{st.st_size}:{st.st_mtime_ns}:{_IVF_FIT_BUCKET_SQL}"
-    )
+    index_path, fingerprint = _ivf_cache_path_and_fingerprint(sf_dir)
     return ivf_topk_persisted(
         spark,
         table(spark, sf_dir, "embeddings"),
@@ -599,9 +607,6 @@ SELECT query_id, vec_id, label, cosine_sim FROM (
     "oracle-replayed.",
 )
 def similarity_ann_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
-    import os
-
     from rabbithole_spark.operators.similarity import ivf_topk_persisted_batch
 
     rows = (
@@ -613,18 +618,7 @@ def similarity_ann_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     qvecs = sorted(
         (int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in rows
     )
-    base = os.path.join(os.path.expanduser("~"), ".cache", "rabbithole_spark")
-    os.makedirs(base, mode=0o700, exist_ok=True)
-    os.chmod(base, 0o700)
-    cache_root = os.path.join(base, "ivf")
-    os.makedirs(cache_root, exist_ok=True)
-    key = hashlib.sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:16]
-    index_path = os.path.join(cache_root, key)
-    src = os.path.join(sf_dir, "embeddings.parquet")
-    st = os.stat(src)
-    fingerprint = (
-        f"{src}:{st.st_size}:{st.st_mtime_ns}:{_IVF_FIT_BUCKET_SQL}"
-    )
+    index_path, fingerprint = _ivf_cache_path_and_fingerprint(sf_dir)
     return ivf_topk_persisted_batch(
         spark,
         table(spark, sf_dir, "embeddings"),
@@ -1408,7 +1402,12 @@ GROUP BY a.source, b.source
     "any corpus size.",
 )
 def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = spread(table(spark, sf_dir, "documents"))
+    # NULL-text guard on BOTH sides: Spark's explode_outer would keep a
+    # segment row for a NULL-text doc while the oracle's unnest emits
+    # none — the same divergence class fixed in corpus_snapshot_diff
+    d = spread(table(spark, sf_dir, "documents")).filter(
+        F.col("text").isNotNull()
+    )
     words = F.split(F.trim(F.col("text")), r"\s+")
     nseg = F.expr(
         f"(size(split(trim(text), '\\\\s+')) + {_SEG_WORDS - 1}) "
@@ -1456,7 +1455,7 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: any corpus size — shard count, not corpus size, is the knob
 _SHUFFLE_SHARDS = 64
 
-_SHARD_HASH_SQL = "((doc_id % 2147483648) * 2654435761 + 97) % 4294967296"
+_SHARD_HASH_SQL = "((doc_id % 2147483648) * 3266489917) % 4294967296"
 
 _SHARD_SHUFFLE_ORACLE = f"""
 SELECT doc_id,
@@ -1475,8 +1474,10 @@ FROM documents
     "(shard, position) from a multiplicative hash of its id — the "
     "reproducible corpus permutation a data loader consumes, "
     "re-materializable byte-identically on any engine (same contract "
-    "as split_train_val_test; the +97 offset decorrelates it from the "
-    "split/sample hash buckets). Row-local shard assignment, then ONE "
+    "as split_train_val_test; its own odd multiplier — not an additive "
+    "offset, which would preserve residue correlations — keeps shard "
+    "choice independent of the split/sample hash buckets). Row-local "
+    "shard assignment, then ONE "
     "shuffle for the within-shard ordering window; the shard count is "
     "chosen so a shard is loader-file sized, which bounds the window "
     "partition at any corpus scale (same argument as the packing "

@@ -466,3 +466,47 @@ def test_snapshot_diff_null_text_matches_oracle(spark, tmp_path):
     assert got == want, (got, want)
     # non-degenerate: the NULL docs actually exercised both branches
     assert sum(n for _, n in got) > 0
+
+
+def test_source_overlap_matrix_null_text_matches_oracle(spark, tmp_path):
+    """NULL-text guard pin (round-5 review): docs with NULL text must
+    contribute NO segments on either engine — Spark's explode_outer
+    would otherwise keep a row for them while the oracle's unnest
+    emits none, inventing spurious cross-source overlaps."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rabbithole_spark.catalog import load_all
+
+    rows = []
+    for doc_id in range(24):
+        src = f"src{doc_id % 3}"
+        # every third doc NULL; shared boilerplate across sources
+        text = None if doc_id % 3 == 0 else "one two three four five six seven eight shared tail"
+        rows.append((doc_id, text, "en", src, 20))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[2] for r in rows], pa.string()),
+            "source": pa.array([r[3] for r in rows], pa.string()),
+            "n_chars": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    spec = load_all()["source_overlap_matrix"]
+    got = sorted(
+        (r.source_a, r.source_b, r.n_shared_segments)
+        for r in spec.fn(spark, str(tmp_path)).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = sorted(map(tuple, con.execute(spec.oracle).fetchall()))
+    con.close()
+    assert got == want, (got, want)
+    assert got  # the non-null docs DO share segments across sources
