@@ -62,6 +62,7 @@ _PRIORITY_ORDER = (
     "dedup_edit_distance_prefix_sparse",
     "source_overlap_matrix",
     "shard_shuffle_assignment",
+    "stream_ingest_dedup_against_corpus",
     # -- (a) semantics touched in round 5
     "corpus_snapshot_diff",        # coalesce(text,'') digest NULL guard
     "dedup_incremental_new_docs",  # same NULL guard
@@ -109,7 +110,6 @@ _PRIORITY_ORDER = (
     "dedup_minhash_lsh",           # rows-only, last executed r2
     "dedup_simhash",               # rows-only, last executed r2
     "agg_corr_regression",
-    "agg_percentiles",
 )
 
 

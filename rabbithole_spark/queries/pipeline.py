@@ -587,6 +587,69 @@ GROUP BY c.c_nationkey
 """
 
 
+_STREAM_INGEST_DEDUP_ORACLE = """
+SELECT d.doc_id, d.lang
+FROM documents d
+WHERE d.source <> 'src0'
+  AND sha256(coalesce(d.text, '')) NOT IN (
+        SELECT DISTINCT sha256(coalesce(text, ''))
+        FROM documents WHERE source = 'src0')
+"""
+
+
+@register(
+    "stream_ingest_dedup_against_corpus",
+    oracle=_STREAM_INGEST_DEDUP_ORACLE,
+    doc="STREAMING ingestion dedup against a static corpus: incoming "
+    "documents (source <> src0) stream through a stream-static LEFT "
+    "ANTI join on the content digest vs the already-ingested corpus "
+    "(src0) — the crawl-ingest gate of dedup_incremental_new_docs as "
+    "a continuous pipeline stage. The static digest set broadcasts "
+    "(32-byte keys only; at 100 TB swap in a Bloom-filter pre-pass or "
+    "a shuffled anti join, same plan surgery as the batch twin), the "
+    "stream side never re-shuffles, and append mode needs no state: "
+    "each admitted doc emits exactly once. In-batch duplicates pass "
+    "intentionally — within-stream dedup is stream_dedup_watermark's "
+    "job; this stage only gates against the historical corpus. "
+    "Digests hash coalesce(text,'') so NULL text cannot diverge the "
+    "anti-join from the oracle's NOT IN.",
+)
+def stream_ingest_dedup_against_corpus(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from rabbithole_spark.session import table as _table
+
+    name = f"stream_ingdedup_{uuid.uuid4().hex[:8]}"
+    sha = F.sha2(F.coalesce(F.col("text"), F.lit("")).cast("binary"), 256)
+    corpus = (
+        _table(spark, sf_dir, "documents")
+        .filter(F.col("source") == "src0")
+        .select(sha.alias("content_hash"))
+        .distinct()
+    )
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    incoming = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+        .filter(F.col("source") != "src0")
+        .withColumn("content_hash", sha)
+    )
+    admitted = incoming.join(
+        F.broadcast(corpus), "content_hash", "left_anti"
+    ).select("doc_id", "lang")
+    q = (
+        admitted.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
 @register(
     "stream_static_enrich",
     oracle=_ENRICH_ORACLE,
