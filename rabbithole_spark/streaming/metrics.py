@@ -9,6 +9,7 @@ driver and must stay cheap; aggregation is in-memory per query id.
 
 from __future__ import annotations
 
+from collections import deque
 from dataclasses import dataclass, field
 
 from pyspark.sql import SparkSession
@@ -23,7 +24,12 @@ class FlowMetrics:
     last_batch_rows: int = 0
     last_duration_ms: int = 0
     last_watermark: str = ""
-    per_batch_rows: list[int] = field(default_factory=list)
+    #: bounded history — a 1 s trigger appends ~86k entries/day, so an
+    #: unbounded list would be a steady driver memory leak on a
+    #: long-running flow; running totals live in the fields above
+    per_batch_rows: deque[int] = field(
+        default_factory=lambda: deque(maxlen=1000)
+    )
 
 
 class FlowMetricsListener(StreamingQueryListener):
@@ -34,9 +40,11 @@ class FlowMetricsListener(StreamingQueryListener):
 
     # -- StreamingQueryListener interface ---------------------------------
     def onQueryStarted(self, event) -> None:
-        self.flows.setdefault(
-            event.name or event.id, FlowMetrics(name=event.name or str(event.id))
-        )
+        # str(event.id): PySpark 4 returns uuid.UUID here while the
+        # progress event's p.id stringifies — mixed key types would
+        # give every unnamed query a phantom zero-metric second entry
+        key = event.name or str(event.id)
+        self.flows.setdefault(key, FlowMetrics(name=key))
 
     def onQueryProgress(self, event) -> None:
         p = event.progress

@@ -79,15 +79,25 @@ def sql_sink(
     Error policy = reference sql.py:99-105: log the query and the
     error, drop the batch, keep the stream alive.
 
-    Supported URLs: ``sqlite:///<path>`` (stdlib sqlite3; also
-    ``sqlite:///:memory:`` for tests). For server databases use
-    jdbc_table_sink — per-partition JDBC appends, the scale path.
+    Supported URLs: ``sqlite:///<path>`` (stdlib sqlite3, FILE paths
+    only). ``sqlite:///:memory:`` is rejected: each micro-batch opens
+    a fresh connection, so an in-memory database would be born empty
+    every batch — executemany would fail on the missing table and the
+    error policy would silently drop 100% of the data. For server
+    databases use jdbc_table_sink — per-partition JDBC appends, the
+    scale path.
     """
     policy = policy or BatchPolicy()
 
     if not url.startswith("sqlite:///"):
         raise ValueError(f"sql_sink supports sqlite:/// URLs, got {url!r}")
     db_path = url[len("sqlite:///") :]
+    if db_path == ":memory:":
+        raise ValueError(
+            "sqlite:///:memory: cannot work with per-batch connections "
+            "(every micro-batch would see a brand-new empty database "
+            "and silently drop its rows) — use a file path"
+        )
 
     def callback(batch_df: DataFrame, batch_id: int) -> None:
         import sqlite3
@@ -251,13 +261,26 @@ def cdc_compact(
 ) -> int:
     """Fold the delta log into one resolved snapshot (batch id 0).
 
-    Writes the current state to a sibling directory, then atomically
-    swaps it in (local-FS rename; an object store would commit a new
-    manifest instead). Returns the number of rows in the snapshot.
+    Writes the current state to a sibling directory, then swaps it in
+    with two adjacent renames (old -> trash, snapshot -> path) and
+    removes the old log only after the swap — so a crash at any point
+    leaves either the full old log or the full snapshot recoverable
+    on disk, never neither (plain rmtree-then-rename would delete the
+    only copy first). Returns the number of rows in the snapshot.
     Read cost returns to a plain scan until new deltas accumulate.
+
+    QUIESCE THE WRITER FIRST: compaction folds a point-in-time
+    snapshot, so deltas appended by a concurrently running
+    cdc_upsert_sink between the snapshot read and the swap would be
+    dropped from the table (their checkpoint entries will not
+    replay). Run it between micro-batches or with the stream stopped
+    — the same contract as table-format compaction without a
+    transaction log. An object store would commit a new manifest
+    instead of renaming.
     """
     import os
     import shutil
+    import uuid
 
     state = cdc_current_state(spark, path, key_cols, seq_cols, op_col)
     if op_col is not None:
@@ -266,8 +289,10 @@ def cdc_compact(
     tmp = path.rstrip("/") + "__compact_tmp"
     compacted.write.mode("overwrite").parquet(tmp)
     n = spark.read.parquet(tmp).count()
-    shutil.rmtree(path)
+    trash = path.rstrip("/") + f"__compact_old_{uuid.uuid4().hex[:8]}"
+    os.rename(path, trash)
     os.replace(tmp, path)
+    shutil.rmtree(trash, ignore_errors=True)
     return n
 
 
@@ -291,26 +316,17 @@ def partitioned_overwrite_sink(
     """
 
     def callback(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        prev = spark.conf.get(
-            "spark.sql.sources.partitionOverwriteMode", None
+        # per-WRITER option, not the session conf: mutating the global
+        # partitionOverwriteMode races concurrent queries in the same
+        # session (another callback's restore could flip this write to
+        # STATIC overwrite, deleting every previously committed
+        # partition) and leaks the mode to unrelated writes
+        (
+            batch_df.withColumn(partition_col, F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(partition_col)
+            .parquet(path)
         )
-        spark.conf.set(
-            "spark.sql.sources.partitionOverwriteMode", "dynamic"
-        )
-        try:
-            (
-                batch_df.withColumn(partition_col, F.lit(batch_id))
-                .write.mode("overwrite")
-                .partitionBy(partition_col)
-                .parquet(path)
-            )
-        finally:
-            if prev is not None:
-                spark.conf.set(
-                    "spark.sql.sources.partitionOverwriteMode", prev
-                )
-            else:
-                spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
 
     return callback

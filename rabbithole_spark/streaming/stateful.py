@@ -163,7 +163,10 @@ def count_or_time_batcher(
     columns. Requires the RocksDB state store provider
     (:func:`rabbithole_spark.streaming.metrics.use_rocksdb_state`).
     """
-    fields = [f.strip().split()[0] for f in row_schema.split(",")]
+    # parse field names via the real DDL parser (like the v1 twin) —
+    # a naive split(',') would shear parameterized types like
+    # decimal(10,2) or map<string,int> into phantom fields
+    fields = [f.name for f in T.StructType.fromDDL(row_schema).fields]
     time_limit_ms = int(time_limit_s * 1000)
 
     class _Batcher(StatefulProcessor):
@@ -202,7 +205,14 @@ def count_or_time_batcher(
                         flushes.append(out)
                         buffered = []
                         self._cancel_timer()
-            self.buf.put(buffered)
+            if buffered:
+                self.buf.put(buffered)
+            else:
+                # ListState.put([]) is rejected by the state store
+                # (ILLEGAL_STATE_STORE_VALUE.EMPTY_LIST_VALUE) — a key
+                # whose rows end exactly on a size-flush boundary must
+                # clear instead
+                self.buf.clear()
             return iter(flushes)
 
         def handleExpiredTimer(

@@ -274,3 +274,10 @@ def test_amqp_source_against_real_broker(spark):
         assert got == list(range(7))
     finally:
         q.stop()
+
+
+def test_exchanges_option_strips_whitespace():
+    """'logs, metrics' must bind the AMQP exchange 'metrics', not the
+    distinct entity ' metrics'."""
+    r = AmqpStreamReader({"exchanges": "logs, metrics , "})
+    assert r.exchanges == ["logs", "metrics"]

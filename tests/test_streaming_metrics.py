@@ -83,3 +83,56 @@ def test_rocksdb_state_store_runs_stateful_query(spark, tmp_path):
             )
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_listener_keys_unnamed_queries_consistently():
+    """PySpark 4's QueryStartedEvent.id is a uuid.UUID while progress
+    events stringify — both callbacks must normalize to str or every
+    unnamed query grows a phantom zero-metric second entry."""
+    import uuid as _uuid
+
+    from rabbithole_spark.streaming.metrics import FlowMetricsListener
+
+    qid = _uuid.uuid4()
+
+    class Started:
+        name = None
+        id = qid
+
+    class Progress:
+        name = None
+        id = qid
+        numInputRows = 7
+        durationMs = {"triggerExecution": 3}
+        eventTime = {}
+
+    class ProgressEvent:
+        progress = Progress()
+
+    listener = FlowMetricsListener()
+    listener.onQueryStarted(Started())
+    listener.onQueryProgress(ProgressEvent())
+    assert len(listener.flows) == 1, listener.flows
+    (m,) = listener.flows.values()
+    assert m.batches == 1 and m.total_rows == 7
+
+
+def test_per_batch_rows_history_is_bounded():
+    from rabbithole_spark.streaming.metrics import FlowMetricsListener
+
+    class Progress:
+        name = "f"
+        id = "x"
+        numInputRows = 1
+        durationMs = {}
+        eventTime = {}
+
+    class Event:
+        progress = Progress()
+
+    listener = FlowMetricsListener()
+    for _ in range(5000):
+        listener.onQueryProgress(Event())
+    m = listener.flows["f"]
+    assert m.total_rows == 5000  # running totals keep full history
+    assert len(m.per_batch_rows) == 1000  # raw history stays bounded

@@ -368,3 +368,57 @@ def test_observation_metrics_in_one_pass(spark):
     got = obs.get
     assert got["n_rows"] == 500 and got["null_chars"] == 0
     assert got["max_chars"] > 0
+
+
+def test_sql_sink_rejects_in_memory_sqlite():
+    """Per-batch connections would see a fresh empty :memory: database
+    every micro-batch and silently drop all rows under the
+    error-swallow policy — reject it loudly instead."""
+    import pytest as _pytest
+
+    from rabbithole_spark.streaming.sinks import sql_sink
+
+    with _pytest.raises(ValueError, match="memory"):
+        sql_sink("sqlite:///:memory:", "INSERT INTO t VALUES (:a)")
+
+
+def test_write_spool_messages_publishes_atomically(tmp_path):
+    """The spool helper must leave no temp debris and publish the full
+    file under its final name only (the directory is watched by a
+    streaming file source, so partial files would be ingested and
+    marked done)."""
+    import os
+
+    from rabbithole_spark.streaming.sources import write_spool_messages
+
+    p = str(tmp_path / "spool")
+    target = write_spool_messages(
+        p, [{"k": 1}, {"k": 2}], "batch1.jsonl"
+    )
+    assert os.path.basename(target) == "batch1.jsonl"
+    assert sorted(os.listdir(p)) == ["batch1.jsonl"]  # no .tmp leftovers
+    assert len(open(target).readlines()) == 2
+
+
+def test_spool_writer_sweeps_orphaned_staging(tmp_path):
+    """Commit messages only cover succeeded tasks — a staged file from
+    a dead or losing speculative attempt must be swept when the batch
+    resolves, not accumulate forever."""
+    import os
+
+    from rabbithole_spark.streaming.sources import (
+        SpoolCommitMessage,
+        SpoolStreamWriter,
+    )
+
+    path = str(tmp_path / "out")
+    writer = SpoolStreamWriter({"path": path})
+    os.makedirs(writer.stage, exist_ok=True)
+    committed = os.path.join(writer.stage, "part-00000-aaaa.jsonl")
+    orphan = os.path.join(writer.stage, "part-00001-dead.jsonl")
+    open(committed, "w").write('{"a": 1}\n')
+    open(orphan, "w").write('{"a": 2}\n')
+    writer.commit([SpoolCommitMessage(staged=committed, rows=1)], 3)
+    assert os.path.exists(os.path.join(path, "batch-0000000003-00000.jsonl"))
+    assert not os.path.exists(orphan)  # swept
+    assert os.listdir(writer.stage) == []
