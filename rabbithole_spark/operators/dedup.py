@@ -29,6 +29,8 @@ __all__ = [
     "minhash_signatures",
     "lsh_candidate_pairs",
     "ngram_jaccard_pairs",
+    "prefix_filtered_jaccard_pairs",
+    "qgram_prefix_edit_pairs",
     "simhash",
     "connected_components",
 ]
@@ -63,6 +65,7 @@ def connected_components(
         .distinct()
         .withColumn("component", F.col("node"))
     )
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.b == labels.node)
@@ -89,7 +92,18 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # silent truncation would report one long near-dup chain as
+        # two+ components — wrong dedup groups with no signal; fail
+        # loudly so the caller raises max_iterations (rounds needed =
+        # component diameter, so 20 covers all but degenerate chains)
+        raise RuntimeError(
+            "connected_components did not converge within "
+            f"{max_iterations} iterations — a component's diameter "
+            "exceeds it; raise max_iterations"
+        )
     return labels.select(F.col("node").alias("doc_id"), "component")
 
 
@@ -199,7 +213,19 @@ def lsh_candidate_pairs(
     Explodes to one row per (doc, band), buckets by (band, band_hash)
     — a linear shuffle — then self-joins within buckets and dedups the
     pair list. Returns (id_a, id_b) with id_a < id_b.
+
+    Validates ``bands * rows_per_band <= len(signature)`` against the
+    first row: bands sliced past the signature end would all hash the
+    empty string, silently making EVERY doc pair a candidate — the
+    full O(n^2) blowup LSH exists to avoid.
     """
+    first = df.select(F.size(F.col(signature_col)).alias("n")).first()
+    if first is not None and first["n"] < bands * rows_per_band:
+        raise ValueError(
+            f"bands*rows_per_band = {bands * rows_per_band} exceeds "
+            f"signature length {first['n']} — bands beyond the end "
+            "would hash identically for every doc"
+        )
     band_arr = F.array(
         *[
             F.xxhash64(
@@ -320,6 +346,50 @@ def simhash(
     )
 
 
+def _prefix_candidate_pairs(
+    tokens: DataFrame,
+    prefix_len: Column,
+    extra_join_pred: Column | None = None,
+) -> DataFrame:
+    """Shared candidate stage of the prefix-filter join family
+    (AllPairs Jaccard and q-gram Ed-Join use byte-identical
+    scaffolding; keeping one copy keeps the checkpoint strategy and
+    rarest-first tie order from silently diverging).
+
+    ``tokens`` has columns ``(id, token, ...carry)`` — one row per
+    (record, candidate token), carry columns available to
+    ``prefix_len`` (evaluated per row after the rank join, e.g. a
+    set-size column) and to ``extra_join_pred`` (a predicate over the
+    ``pa``/``pb`` aliases, e.g. a length filter). Pipeline: global
+    token-frequency agg, per-record rarest-first rank window, keep
+    ranks <= prefix_len, self-join on shared prefix tokens (id_a <
+    id_b), distinct, localCheckpoint (the tiny candidate set feeds
+    multiple verify branches — NOTES.md lesson 9).
+    """
+    from pyspark.sql import Window
+
+    freq = tokens.groupBy("token").agg(F.count(F.lit(1)).alias("f"))
+    w = Window.partitionBy("id").orderBy("f", "token")
+    prefix = (
+        tokens.join(freq, "token")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= prefix_len)
+        .drop("rn", "f")
+    )
+    cond = (F.col("pa.token") == F.col("pb.token")) & (
+        F.col("pa.id") < F.col("pb.id")
+    )
+    if extra_join_pred is not None:
+        cond = cond & extra_join_pred
+    return (
+        prefix.alias("pa")
+        .join(prefix.alias("pb"), cond)
+        .select(F.col("pa.id").alias("id_a"), F.col("pb.id").alias("id_b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+
 def prefix_filtered_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -348,45 +418,23 @@ def prefix_filtered_jaccard_pairs(
     candidate docs (NOTES.md lesson 6). All linear except the
     candidate join, whose size the rarest-first ordering minimizes.
     """
-    from pyspark.sql import Window
-
     shingled = df.select(
         F.col(id_col).alias("doc_id"),
         word_shingles(F.col(text_col), k).alias("shingles"),
     )
     # word_shingles output is provably non-empty -> explode_outer
     # keeps the generator input above the exchange (NOTES.md lesson 2)
-    ds = shingled.select(
-        "doc_id", F.size("shingles").alias("n"),
-        F.explode_outer("shingles").alias("s"),
+    tokens = shingled.select(
+        F.col("doc_id").alias("id"),
+        F.size("shingles").alias("n"),
+        F.explode_outer("shingles").alias("token"),
     )
-    freq = ds.groupBy("s").agg(F.count(F.lit(1)).alias("f"))
-    w = Window.partitionBy("doc_id").orderBy("f", "s")
-    prefix = (
-        ds.join(freq, "s")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(
-            F.col("rn")
-            <= F.col("n")
-            - F.expr(f"(n * {t_num} + {t_den - 1}) div {t_den}")
-            + 1
-        )
-        .select("doc_id", "s")
-    )
-    cand = (
-        prefix.alias("pa")
-        .join(
-            prefix.alias("pb"),
-            (F.col("pa.s") == F.col("pb.s"))
-            & (F.col("pa.doc_id") < F.col("pb.doc_id")),
-        )
-        .select(
-            F.col("pa.doc_id").alias("id_a"),
-            F.col("pb.doc_id").alias("id_b"),
-        )
-        .distinct()
-        # tiny candidate set consumed by two semi-join branches below
-        .localCheckpoint(eager=False)
+    # prefix length |S| - ceil(t*|S|) + 1, rational integer arithmetic
+    cand = _prefix_candidate_pairs(
+        tokens,
+        F.col("n")
+        - F.expr(f"(n * {t_num} + {t_den - 1}) div {t_den}")
+        + 1,
     )
     # verify only candidate docs: broadcast-semi-join the (tiny)
     # candidate id set BEFORE the shingle projection, so the re-shingle
@@ -450,16 +498,14 @@ def qgram_prefix_edit_pairs(
     frequency agg, per-string rank window, candidate join concentrated
     on rare grams, candidate-pruned verify.
     """
-    from pyspark.sql import Window
-
     p = max_dist * q + 1
     strs = df.select(
         F.col(id_col).alias("sid"),
         F.col(text_col).alias("txt"),
         F.length(text_col).alias("slen"),
     )
-    grams = strs.select(
-        "sid",
+    tokens = strs.select(
+        F.col("sid").alias("id"),
         "slen",
         F.explode_outer(
             F.array_distinct(
@@ -470,31 +516,14 @@ def qgram_prefix_edit_pairs(
                     lambda i: F.substring(F.col("txt"), i, q),
                 )
             )
-        ).alias("g"),
+        ).alias("token"),
     )
-    freq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("f"))
-    w = Window.partitionBy("sid").orderBy("f", "g")
-    prefix = (
-        grams.join(freq, "g")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= p)
-        .select("sid", "slen", "g")
-    )
-    cand = (
-        prefix.alias("pa")
-        .join(
-            prefix.alias("pb"),
-            (F.col("pa.g") == F.col("pb.g"))
-            & (F.col("pa.sid") < F.col("pb.sid"))
-            & (
-                F.abs(F.col("pa.slen") - F.col("pb.slen")) <= max_dist
-            ),
-        )
-        .select(
-            F.col("pa.sid").alias("id_a"), F.col("pb.sid").alias("id_b")
-        )
-        .distinct()
-        .localCheckpoint(eager=False)
+    cand = _prefix_candidate_pairs(
+        tokens,
+        F.lit(p),
+        extra_join_pred=(
+            F.abs(F.col("pa.slen") - F.col("pb.slen")) <= max_dist
+        ),
     )
     names_a = strs.select(
         F.col("sid").alias("id_a"), F.col("txt").alias("name_a")

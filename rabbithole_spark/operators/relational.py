@@ -35,11 +35,22 @@ def asof_join(
     by (ts, side) with right rows first on ties, and carry the latest
     right payload forward with ``last(..., ignorenulls=True)`` over an
     unbounded-preceding window — a single shuffle, no row explosion.
+
+    NULL ``right_ts`` rows are dropped (they can never satisfy
+    ``right_ts <= left_ts`` — DuckDB ASOF and merge_asof agree);
+    without the filter Spark's NULLS-FIRST sort would carry a
+    null-timestamp payload into every left row before the first real
+    right timestamp. Multiple right rows sharing (key, right_ts)
+    resolve deterministically to the GREATEST payload struct (the
+    window also orders by the payload, and last() takes the sort-max)
+    — a total order, where pandas' "last in input order" is
+    position-dependent and meaningless on a distributed engine.
     """
     keys = [on] if isinstance(on, str) else list(on)
     right_cols = right_cols or [
         c for c in right.columns if c not in keys and c != right_ts
     ]
+    right = right.filter(F.col(right_ts).isNotNull())
 
     payload = F.struct(
         F.col(right_ts).alias("__rts"), *[F.col(c) for c in right_cols]
@@ -61,7 +72,9 @@ def asof_join(
 
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .orderBy(
+            F.col("__ts").asc(), F.col("__side").asc(), F.col("__rpay").asc()
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     merged = r_tagged.unionByName(l_tagged).withColumn(
@@ -83,11 +96,15 @@ def range_join(
     hi: str,
     broadcast_bands: bool = True,
 ) -> DataFrame:
-    """Join rows to (lo, hi] interval bands: ``lo <= value AND value <= hi``.
+    """Join rows to CLOSED interval bands: ``lo <= value AND value <= hi``.
 
-    Bands are a small dimension — broadcast them so the physical plan is
-    a BroadcastNestedLoopJoin over the scan, never a shuffle of the fact
-    side. For large band tables, bucketize the value instead.
+    Both endpoints are inclusive — a value equal to one band's ``hi``
+    and the next band's ``lo`` joins BOTH rows; callers wanting
+    half-open adjacency should encode bands as (lo, next_lo - epsilon)
+    or pre-shift the bounds. Bands are a small dimension — broadcast
+    them so the physical plan is a BroadcastNestedLoopJoin over the
+    scan, never a shuffle of the fact side. For large band tables,
+    bucketize the value instead.
     """
     b = F.broadcast(bands) if broadcast_bands else bands
     cond = (F.col(value) >= F.col(lo)) & (F.col(value) <= F.col(hi))

@@ -249,7 +249,11 @@ def ivf_topk(
 #: Version tag of the deterministic quantizer baked into persisted IVF
 #: layouts; bump on any change to the fit algorithm so stale caches
 #: rebuild instead of silently serving a different cell geometry.
-_IVF_QUANTIZER = "lloyd-det-v1"
+#: bumped to v2 when the centroid mean switched from F.avg (partial-
+#: aggregate merge order is nondeterministic for doubles) to a sorted
+#: sequential fold — cached v1 layouts must rebuild, not serve centers
+#: the new oracle replay cannot reproduce
+_IVF_QUANTIZER = "lloyd-det-v2"
 
 
 def _centroid_dists(vec_col: Column, cents: list[list[float]]) -> Column:
@@ -295,7 +299,15 @@ def lloyd_iterate(
     to the lowest id) and recomputes per-position means; empty clusters
     keep their previous centroid. Only the k x dim centroid update
     shuffles; its result collects to the driver and folds into the next
-    step's plan as literals, so lineage stays O(1) per iteration."""
+    step's plan as literals, so lineage stays O(1) per iteration.
+
+    The per-position mean is a SORTED sequential fold, not F.avg:
+    distributed double addition is non-associative and partial-
+    aggregate merge order is arrival-dependent, so avg() could differ
+    in the low bits between runs (and vs the DuckDB replay, whose
+    list_sort+list_aggregate mirrors this fold exactly) — enough to
+    flip a near-equidistant cell assignment. Sorting the values first
+    makes the sum a pure function of the multiset."""
     cents = [list(c) for c in centroids]
     for _ in range(iters):
         assigned = df.select(
@@ -305,7 +317,17 @@ def lloyd_iterate(
         new = (
             assigned.select("cluster", F.posexplode("__v").alias("pos", "val"))
             .groupBy("cluster", "pos")
-            .agg(F.avg("val").alias("avg_val"))
+            .agg(F.array_sort(F.collect_list("val")).alias("__vals"))
+            .select(
+                "cluster",
+                "pos",
+                (
+                    F.aggregate(
+                        "__vals", F.lit(0.0), lambda acc, x: acc + x
+                    )
+                    / F.size("__vals")
+                ).alias("avg_val"),
+            )
             .groupBy("cluster")
             .agg(
                 F.array_sort(
@@ -362,7 +384,10 @@ def ivf_build_index(
     import uuid
 
     order_cols = list(order_cols or ["vec_id"])
-    n = df.count()
+    # n backs the NO-fingerprint staleness fallback only — computing it
+    # when a fingerprint is supplied would charge every build an extra
+    # full corpus pass for a value nothing reads
+    n = df.count() if fingerprint is None else None
     fit_df = df.filter(fit_filter) if fit_filter is not None else df
     cents = lloyd_init_first_k(fit_df, embedding_col, order_cols, n_centroids)
     cents = lloyd_iterate(fit_df, embedding_col, cents, iters)
@@ -377,6 +402,10 @@ def ivf_build_index(
         "iters": iters,
         "quantizer": _IVF_QUANTIZER,
         "fingerprint": fingerprint,
+        # the fit predicate is a quantizer input: an index built from a
+        # different fit sample is a different index even when the data
+        # fingerprint matches
+        "fit_expr": str(fit_filter) if fit_filter is not None else None,
         "centers": cents,
     }
     with open(os.path.join(gen, "_ivf_meta.json"), "w") as fh:
@@ -505,6 +534,8 @@ def _ivf_ensure_index(
         or meta.get("n_centroids") != n_centroids
         or meta.get("iters") != iters
         or meta.get("quantizer") != _IVF_QUANTIZER
+        or meta.get("fit_expr")
+        != (str(fit_filter) if fit_filter is not None else None)
         or (
             meta.get("fingerprint") != fingerprint
             if fingerprint is not None

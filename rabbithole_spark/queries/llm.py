@@ -415,7 +415,11 @@ def _lloyd_replay_ctes(k: int, iters: int, fit_where: str | None) -> tuple[list[
             f"  FROM fit f CROSS JOIN {prev} c) WHERE rn = 1)"
         )
         ctes.append(
-            f"m{it} AS (SELECT cluster, pos, avg(e[pos]) AS v FROM (\n"
+            # sorted sequential fold, mirroring lloyd_iterate's
+            # array_sort+aggregate — plain avg() is merge-order-
+            # dependent for doubles on both engines
+            f"m{it} AS (SELECT cluster, pos,\n"
+            f"  list_aggregate(list_sort(list(e[pos])), 'sum') / count(*) AS v FROM (\n"
             f"  SELECT cluster, e, unnest(generate_series(1, len(e))) AS pos FROM a{it})\n"
             f"  GROUP BY cluster, pos)"
         )
