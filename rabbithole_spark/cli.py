@@ -8,9 +8,10 @@ errors, run until interrupted.
 from __future__ import annotations
 
 import argparse
+import hashlib
 import logging
+import os
 import sys
-import tempfile
 
 from rabbithole_spark.plans.spec import PipelineError, PipelineSpec, compile_pipeline
 from rabbithole_spark.session import get_spark
@@ -47,17 +48,35 @@ def configure_logging(level: str, log_file: str | None) -> None:
     )
 
 
+def _default_checkpoint_dir(config_path: str) -> str:
+    """STABLE default checkpoint dir, keyed by the config file's
+    absolute path: a fresh mkdtemp per run would forget all source
+    offsets, so every CLI restart against the same spool would replay
+    the entire history into the sink (duplicating every row — the
+    reference broker never redelivers consumed messages). Same-config
+    reruns resume; pass --checkpoint-dir to isolate runs on purpose."""
+    key = hashlib.sha256(os.path.abspath(config_path).encode()).hexdigest()[:16]
+    base = os.path.join(
+        os.path.expanduser("~"), ".cache", "rabbithole_spark", "checkpoints"
+    )
+    os.makedirs(base, exist_ok=True)
+    return os.path.join(base, key)
+
+
 def main(argv: list[str] | None = None) -> int:
     args = parse_arguments(argv)
     configure_logging(args.log_level, args.log_file)
     try:
         spec = PipelineSpec.from_yaml(args.config)
-    except (PipelineError, OSError, Exception) as exc:
+    except (PipelineError, OSError, ValueError) as exc:
+        # narrow on purpose: a bare Exception here would relabel
+        # genuine code bugs in the spec layer as "invalid config"
+        # and hide their tracebacks behind exit 1
         logging.error("Invalid pipeline config: %s", exc)
         return 1
 
     spark = get_spark(app_name="rabbithole-spark-pipeline")
-    checkpoint = args.checkpoint_dir or tempfile.mkdtemp(prefix="rh_ckpt_")
+    checkpoint = args.checkpoint_dir or _default_checkpoint_dir(args.config)
     try:
         runners = compile_pipeline(
             spark, spec, checkpoint, dead_letter_dir=args.dead_letter_dir

@@ -92,6 +92,12 @@ def _norm_arrow_type(at) -> str:
     }.get(str(at), str(at))
 
 
+def _is_row(value: Any) -> bool:
+    from pyspark.sql import Row
+
+    return isinstance(value, Row)
+
+
 def _canon(value: Any) -> tuple:
     """Canonicalize one cell to a uniformly sortable (typecode, payload)
     tuple — NULLs, mixed types, and nested lists all order totally."""
@@ -104,6 +110,10 @@ def _canon(value: Any) -> tuple:
     if isinstance(value, float):
         if math.isnan(value):
             return ("f", "nan")
+        if value == 0.0:
+            # fold signed zeros: Spark's BigDecimal round can yield
+            # +0.0 where DuckDB computes -0.0 for the same value
+            return ("f", "0")
         # floats that survive our stability policy agree to ~1e-12;
         # canonicalize at 9 significant-ish digits.
         return ("f", f"{value:.9g}")
@@ -115,12 +125,21 @@ def _canon(value: Any) -> tuple:
         return ("ts", value.isoformat())
     if isinstance(value, datetime.date):
         return ("d", value.isoformat())
+    if _is_row(value):
+        # Spark struct cells arrive as Row (a tuple subclass) while
+        # DuckDB/pyarrow structs arrive as dicts — canonicalize both
+        # to the map form or struct columns always falsely mismatch
+        return (
+            "map",
+            tuple(sorted((k, _canon(v)) for k, v in value.asDict().items())),
+        )
     if isinstance(value, (list, tuple)):
         return ("list", tuple(_canon(v) for v in value))
     if isinstance(value, dict):
         return ("map", tuple(sorted((k, _canon(v)) for k, v in value.items())))
-    if isinstance(value, bytes):
-        return ("bin", value.hex())
+    if isinstance(value, (bytes, bytearray)):
+        # PySpark returns bytearray for BinaryType, DuckDB bytes
+        return ("bin", bytes(value).hex())
     if isinstance(value, str):
         return ("s", value)
     return ("other", repr(value))

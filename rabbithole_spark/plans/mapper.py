@@ -63,10 +63,13 @@ class ParametersMapper:
     def __init__(self, parameters: list[str] | dict[str, str] | None):
         if parameters is None:
             self.items: list[tuple[str, str]] | None = None
+            self._positional = False
         elif isinstance(parameters, list):
             self.items = [(f"param_{i}", p) for i, p in enumerate(parameters)]
+            self._positional = True
         elif isinstance(parameters, dict):
             self.items = list(parameters.items())
+            self._positional = False
         else:
             raise ValueError(
                 f"Unexpected parameters type: {type(parameters).__name__!r}"
@@ -103,6 +106,9 @@ class ParametersMapper:
 
     @property
     def positional(self) -> bool:
-        return self.items is not None and all(
-            n.startswith("param_") for n, _ in self.items
-        )
+        # recorded at construction from the declaration FORM (list vs
+        # dict) — inferring it from a name prefix would misclassify a
+        # dict whose keys all happen to start with "param_" (binding
+        # tuples against its named placeholders, which the sql sink's
+        # error policy would then silently swallow batch after batch)
+        return self._positional

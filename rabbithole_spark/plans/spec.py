@@ -109,6 +109,18 @@ class PipelineSpec:
         return cls.from_dict(cfg)
 
 
+def _require(kwargs: dict, key: str, block: str) -> Any:
+    """Required block kwarg — a missing key is a CONFIG error and must
+    surface as PipelineError (the CLI's documented clean exit-1 path),
+    not a raw KeyError traceback."""
+    try:
+        return kwargs[key]
+    except KeyError:
+        raise PipelineError(
+            f"Block {block!r} is missing required kwarg {key!r}"
+        ) from None
+
+
 @dataclass
 class FlowRunner:
     """One compiled flow = one StreamingQuery (SURVEY.md §1.1 Flow)."""
@@ -161,10 +173,15 @@ def compile_pipeline(
             # Source admission control: the count half of the reference's
             # count-or-time batcher (SURVEY.md §4.3.2). The block-level
             # knob overrides the global size_limit so one slow flow can
-            # be throttled without capping every other flow.
+            # be throttled without capping every other flow. NOTE the
+            # granularity: maxFilesPerTrigger counts FILES, so a spool
+            # file holding N messages admits N messages per unit — the
+            # exact per-message cap lives in the AMQP reader
+            # (max_messages_per_batch) and the sink-side chunking; for
+            # strict parity write one message per spool file.
             env = read_spool_stream(
                 spark,
-                src.kwargs["path"],
+                _require(src.kwargs, "path", src.name),
                 exchange=src_ref.kwargs.get("exchange"),
                 max_files_per_trigger=int(
                     src.kwargs.get(
@@ -177,7 +194,6 @@ def compile_pipeline(
                 raise PipelineError("AMQP source needs the Python DataSource API")
             reader = (
                 spark.readStream.format("rabbithole-amqp")
-                .option("url", src.kwargs.get("url", ""))
                 .option("exchanges", src_ref.kwargs.get("exchange", ""))
                 .option(
                     "max_messages_per_batch",
@@ -188,6 +204,11 @@ def compile_pipeline(
                     ),
                 )
             )
+            # only pass url when configured: an unconditional
+            # option("url", "") would shadow the reader's documented
+            # localhost default with an unparseable empty string
+            if src.kwargs.get("url"):
+                reader = reader.option("url", src.kwargs["url"])
             env = reader.load()
             exchange = src_ref.kwargs.get("exchange")
             if exchange:
@@ -217,12 +238,17 @@ def compile_pipeline(
         mapped = mapper.apply(good, payload_col="payload")
 
         # --- sink ----------------------------------------------------------
+        # the time half of the count-or-time policy applies to every
+        # sink type (batcher.py's documented trigger mapping), reusing
+        # BatchPolicy.trigger instead of hand-building the string here
+        trigger_kwargs = spec.policy.trigger
+
         if dst.type == "sql":
             query = dst_ref.kwargs.get("query")
             if not query:
                 raise PipelineError(f"sql output {dst.name!r} needs a query")
             callback = sql_sink(
-                dst.kwargs["url"],
+                _require(dst.kwargs, "url", dst.name),
                 query,
                 policy=spec.policy,
                 positional=mapper.positional,
@@ -230,13 +256,19 @@ def compile_pipeline(
 
             def writer_factory(df: DataFrame, _cb=callback):
                 return df.writeStream.foreachBatch(_cb).trigger(
-                    processingTime=f"{spec.policy.time_limit} seconds"
+                    **trigger_kwargs
                 )
 
         elif dst.type == "parquet":
 
-            def writer_factory(df: DataFrame, _path=dst.kwargs["path"]):
-                return df.writeStream.format("parquet").option("path", _path)
+            def writer_factory(
+                df: DataFrame, _path=_require(dst.kwargs, "path", dst.name)
+            ):
+                return (
+                    df.writeStream.format("parquet")
+                    .option("path", _path)
+                    .trigger(**trigger_kwargs)
+                )
 
         elif dst.type == "memory":
 
@@ -257,7 +289,9 @@ def compile_pipeline(
             out_exchange = dst_ref.kwargs.get("exchange", "relay")
 
             def writer_factory(
-                df: DataFrame, _path=dst.kwargs["path"], _ex=out_exchange
+                df: DataFrame,
+                _path=_require(dst.kwargs, "path", dst.name),
+                _ex=out_exchange,
             ):
                 from pyspark.sql import functions as F
 
@@ -266,8 +300,10 @@ def compile_pipeline(
                     F.lit("application/json").alias("content_type"),
                     F.to_json(F.struct(*df.columns)).alias("body"),
                 )
-                return env_df.writeStream.format("rabbithole-spool").option(
-                    "path", _path
+                return (
+                    env_df.writeStream.format("rabbithole-spool")
+                    .option("path", _path)
+                    .trigger(**trigger_kwargs)
                 )
 
         else:

@@ -71,3 +71,43 @@ def test_cli_end_to_end(spark, tmp_path):
     con.close()
     assert len(rows) == 4
     assert rows[0] == ("2024-01-01T00:00:00", "m0")
+
+
+def test_default_checkpoint_dir_is_stable_per_config():
+    """A fresh mkdtemp per run would forget all source offsets and
+    replay the whole spool into the sink on every restart — the
+    default must be a pure function of the config path."""
+    from rabbithole_spark.cli import _default_checkpoint_dir
+
+    a1 = _default_checkpoint_dir("/some/conf.yml")
+    a2 = _default_checkpoint_dir("/some/conf.yml")
+    b = _default_checkpoint_dir("/other/conf.yml")
+    assert a1 == a2
+    assert a1 != b
+
+
+def test_missing_required_block_kwarg_is_pipeline_error(spark, tmp_path):
+    """A spool block without 'path' is a CONFIG error: PipelineError
+    (the CLI's clean exit-1 path), never a raw KeyError traceback."""
+    import pytest as _pytest
+
+    from rabbithole_spark.plans.spec import (
+        PipelineError,
+        PipelineSpec,
+        compile_pipeline,
+    )
+
+    cfg = """
+blocks:
+  - name: in_spool
+    type: spool
+    kwargs: {}
+  - name: out_mem
+    type: memory
+flows:
+  - - name: in_spool
+    - name: out_mem
+"""
+    spec = PipelineSpec.from_yaml(cfg)
+    with _pytest.raises(PipelineError, match="path"):
+        compile_pipeline(spark, spec, str(tmp_path / "ckpt"))

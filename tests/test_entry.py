@@ -40,3 +40,18 @@ def test_no_compound_output_columns(spark):
             if isinstance(f.dataType, (ArrayType, MapType, BinaryType, StructType)):
                 offenders.append((name, f.name, f.dataType.simpleString()))
     assert not offenders, offenders
+
+
+def test_canon_handles_struct_binary_and_signed_zero():
+    """Cross-engine cell canonicalization: Spark Rows (structs) vs
+    DuckDB dicts, bytearray vs bytes, and +0.0 vs -0.0 must all
+    canonicalize identically or struct/binary/zero-valued results
+    falsely mismatch."""
+    from pyspark.sql import Row
+
+    from rabbithole_spark.oracle import _canon
+
+    assert _canon(Row(a=1, b="x")) == _canon({"a": 1, "b": "x"})
+    assert _canon(bytearray(b"ab")) == _canon(b"ab")
+    assert _canon(-0.0) == _canon(0.0)
+    assert _canon(float("nan")) == ("f", "nan")

@@ -97,3 +97,15 @@ def test_invalid_parameters_type_raises():
     # Reference: ValueError on unexpected type (tests/test_sql.py:137-146).
     with pytest.raises(ValueError):
         ParametersMapper("not-a-list-or-dict")  # type: ignore[arg-type]
+
+
+def test_positional_tracks_declaration_form_not_name_prefix():
+    """A dict whose keys all start with 'param_' must stay NAMED —
+    inferring positional from the name prefix would make sql_sink bind
+    tuples against named placeholders and silently drop every batch."""
+    from rabbithole_spark.plans.mapper import ParametersMapper
+
+    assert ParametersMapper(["a.b", "c"]).positional is True
+    assert ParametersMapper({"param_id": "id", "param_ts": "ts"}).positional is False
+    assert ParametersMapper({}).positional is False
+    assert ParametersMapper(None).positional is False
