@@ -39,24 +39,32 @@ _QUERY_MODULES = (
     "rabbithole_spark.queries.sortlimit",
     "rabbithole_spark.queries.scalars",
     "rabbithole_spark.queries.sqlsurface",
+    "rabbithole_spark.queries.layout",
 )
 
 #: Registry emission order. External harnesses verify a bounded
 #: 50-query prefix of the registry per round, so queries needing
 #: external verification go FIRST: (a) every query added or
-#: semantics-touched in round 5 (the three new queries; the
-#: coalesce-hash NULL guards; dedup_components/_canonical_survivors
-#: switching to prefix-filtered pairs; the outer-join oracle's
-#: measured eviction boundary; the IVF ensure-index generation
-#: pinning), then (b) the round-4 verdict's named staleness backlog —
-#: ALL 35 queries whose latest external row was round 1 (32
-#: hash-green + the 3 rows-only sketches), then (c) the oldest
-#: remaining round-2 rows with the slots left. Exactly 50 names:
-#: after this round no query's latest external row predates round 2.
+#: semantics-touched in round 5 (nine new queries — winnowing
+#: fingerprints, z-order layout audit, sketch-tolerance audit, batch
+#: IVF, batcher-sizes twin, sparse Ed-Join, shard shuffle, source
+#: overlap, streaming ingest dedup — plus the coalesce-hash NULL
+#: guards; dedup_components/_canonical_survivors switching to
+#: prefix-filtered pairs; the outer-join oracle's measured eviction
+#: boundary; the IVF ensure-index generation pinning), then (b) the
+#: round-4 verdict's named staleness backlog — ALL 35 queries whose
+#: latest external row was round 1 (32 hash-green + the 3 rows-only
+#: sketches). The three late new queries took the last three slots
+#: (previously the oldest r2 rows: minhash/simhash/corr — they lead
+#: the round-6 refresh instead). Exactly 50 names: after this round
+#: no query's latest external row predates round 2.
 #: Names absent from this list follow in registration order; names
 #: listed but not registered are ignored.
 _PRIORITY_ORDER = (
     # -- (a) new in round 5: first external row needed
+    "text_winnow_fingerprints",
+    "layout_zorder_clustering",
+    "sketch_tolerance_audit",
     "similarity_ann_ivf_batch",
     "stream_count_or_time_sizes",
     "dedup_edit_distance_prefix_sparse",
@@ -106,10 +114,6 @@ _PRIORITY_ORDER = (
     "agg_approx_count_distinct",   # rows-only sketch, last executed r1
     "agg_hll_sketch_union",        # rows-only sketch, last executed r1
     "agg_kll_quantile_sketch",     # rows-only sketch, last executed r1
-    # -- (c) oldest round-2 rows with the remaining slots
-    "dedup_minhash_lsh",           # rows-only, last executed r2
-    "dedup_simhash",               # rows-only, last executed r2
-    "agg_corr_regression",
 )
 
 

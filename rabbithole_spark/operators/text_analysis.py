@@ -8,8 +8,16 @@ stages in a 100 TB curation pipeline.
 
 from __future__ import annotations
 
+import re
+
+import pandas as pd
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+#: Whitespace-run pattern for winnowing canonicalization — matches the
+#: oracle's regexp_replace(lower(text), '\s+', ' ', 'g') on ASCII text.
+_WS_RUN = re.compile(r"\s+")
 
 __all__ = [
     "tokens",
@@ -145,3 +153,68 @@ def scrub_pii(text: Column) -> Column:
     for pattern, token in PII_PATTERNS:
         out = F.regexp_replace(out, pattern, token)
     return out
+
+
+def winnow_fingerprints(
+    df,
+    text_col: str = "text",
+    keep: tuple[str, ...] = ("doc_id",),
+    k: int = 8,
+    w: int = 4,
+    base: int = 257,
+    mod: int = 1_000_000_007,
+):
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting",
+    SIGMOD 2003): hash every ``k``-char gram of the canonicalized text
+    with a polynomial rolling hash mod a prime, then keep the minimum
+    hash of each window of ``w`` consecutive grams. The selected set is
+    position-robust — any shared substring of length >= k + w - 1
+    guarantees a shared fingerprint — which is what makes it the
+    standard plagiarism/near-dup *localization* primitive (MinHash says
+    "these docs overlap"; winnowing says "at these spots").
+
+    Returns ``keep`` columns + an ``fps`` array<bigint> column.
+
+    Implementation is a vectorized Arrow pandas UDF, NOT column HOFs,
+    on measurement: Spark's HigherOrderFunction family (transform /
+    aggregate) is CodegenFallback, so the nested hash-then-window
+    pipeline evaluates interpreted at ~6 ms/doc (189 s for 20 docs
+    one-expression; ~250 ms/doc staged) — the numpy kernel does the
+    same arithmetic in 8 vectorized ops per doc. The kernel is
+    row-local (scalar UDF, no grouping), so the operator stays
+    ZERO-shuffle and embarrassingly parallel at any scale; Arrow
+    batches bound the Python-boundary cost.
+
+    Engine-portable by construction: canonicalization is
+    lower -> collapse \\s+ -> trim, the hash is
+    (acc*257 + codepoint) % 1e9+7 in int64 (every intermediate
+    < 2^63), so a DuckDB oracle replays the selection exactly
+    (unlike xxhash64-based MinHash, which is rows-only for that
+    reason). Docs shorter than ``k`` canonical chars yield an empty
+    set; with fewer than ``w`` grams the single window covers all
+    grams.
+    """
+    import numpy as np
+
+    @F.pandas_udf("array<long>")
+    def _winnow(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            canon = _WS_RUN.sub(" ", (t or "").lower()).strip(" ")
+            n = len(canon) - k + 1
+            if n < 1:
+                out.append([])
+                continue
+            codes = np.fromiter(map(ord, canon), dtype=np.int64, count=len(canon))
+            h = np.zeros(n, dtype=np.int64)
+            for o in range(k):
+                h = (h * base + codes[o : o + n]) % mod
+            if n >= w:
+                mins = np.lib.stride_tricks.sliding_window_view(h, w).min(axis=1)
+            else:
+                mins = h.min(keepdims=True)
+            out.append(np.unique(mins).tolist())
+        return pd.Series(out)
+
+    return df.select(*keep, _winnow(F.col(text_col)).alias("fps"))

@@ -196,7 +196,9 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_approx_count_distinct",
     oracle=None,  # approximate — engines use different sketches; rows-only
     doc="HLL-sketch distinct estimation (the 100 TB-scale path for "
-    "cardinality; exact count-distinct shuffles every distinct value).",
+    "cardinality; exact count-distinct shuffles every distinct value). "
+    "Tolerance vs exact is externally hash-verified every round by "
+    "sketch_tolerance_audit.",
 )
 def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
@@ -214,7 +216,8 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "— the re-aggregatable cardinality primitive (persist sketches "
     "per partition/day, merge on demand) that approx_count_distinct "
     "alone cannot express. Tolerance vs exact is asserted in "
-    "tests/test_llm_operators.py.",
+    "tests/test_llm_operators.py AND externally hash-verified every "
+    "round by sketch_tolerance_audit.",
 )
 def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     sk = (
@@ -245,7 +248,8 @@ def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sketches per partition/day, merge on demand). The cross-group "
     "fold is a reduce over collect_list, safe because its input is "
     "one ~KB sketch per group, not data rows. Tolerance vs exact "
-    "percentiles is asserted in tests/test_llm_operators.py.",
+    "percentiles is asserted in tests/test_llm_operators.py AND "
+    "externally hash-verified every round by sketch_tolerance_audit.",
 )
 def agg_kll_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     sk = (
@@ -367,3 +371,175 @@ def agg_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.exact_n").alias("exact_a"),
         F.col("b.exact_n").alias("exact_b"),
     )
+
+
+_SKETCH_AUDIT_ORACLE = """
+SELECT 'approx_cd' AS sketch,
+       CASE WHEN GROUPING(event_type) = 1 THEN 'ALL' ELSE event_type END AS grp,
+       CAST(count(DISTINCT user_id) AS DOUBLE) AS exact_value,
+       true AS within_tol
+FROM events GROUP BY ROLLUP(event_type)
+UNION ALL
+SELECT 'hll_union', 'ALL', CAST(count(DISTINCT user_id) AS DOUBLE), true
+FROM events
+UNION ALL
+SELECT 'gk_price_p50', l_returnflag, ROUND(quantile_cont(l_extendedprice, 0.5), 6), true
+FROM lineitem GROUP BY l_returnflag
+UNION ALL
+SELECT 'gk_price_p90', l_returnflag, ROUND(quantile_cont(l_extendedprice, 0.9), 6), true
+FROM lineitem GROUP BY l_returnflag
+UNION ALL
+SELECT 'kll_p50',
+       CASE WHEN GROUPING(event_type) = 1 THEN 'ALL' ELSE event_type END,
+       ROUND(quantile_cont(value, 0.5), 6), true
+FROM events GROUP BY ROLLUP(event_type)
+UNION ALL
+SELECT 'kll_p95',
+       CASE WHEN GROUPING(event_type) = 1 THEN 'ALL' ELSE event_type END,
+       ROUND(quantile_cont(value, 0.95), 6), true
+FROM events GROUP BY ROLLUP(event_type)
+"""
+
+
+@register(
+    "sketch_tolerance_audit",
+    oracle=_SKETCH_AUDIT_ORACLE,
+    doc="Externally hash-verified tolerance contract for the three "
+    "approximate-sketch operators (the queries themselves stay "
+    "rows-only because no oracle can replay HLL++/Datasketches "
+    "binaries): each row carries the EXACT value (cross-engine "
+    "hash-checked) plus a within_tol boolean the oracle pins to true "
+    "— approx_count_distinct(rsd=0.02) within 5% of exact per group "
+    "and overall; the per-group-HLL-union estimate within 5% of "
+    "overall exact; KLL(k=200) p50/p95 inside the exact "
+    "[q-0.05, q+0.05] percentile band (the rank-error guarantee "
+    "KLL actually makes); agg_approx_percentile's exact "
+    "configuration (accuracy=10000 on l_extendedprice by "
+    "l_returnflag) inside the exact [q-0.01, q+0.01] band — a 100x "
+    "margin over its 1/accuracy rank-error bound. A drifting sketch "
+    "flips the boolean and "
+    "fails the external hash check — promoting the pytest-only "
+    "tolerance tests to the driver's per-round gate. One rollup "
+    "pass computes sketch and exact sides together (no extra scan "
+    "vs the sketches alone); at 100 TB the audit runs on a sampled "
+    "partition, the production queries keep the sketch-only plans.",
+)
+def sketch_tolerance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    grp = F.when(F.grouping("event_type") == 1, F.lit("ALL")).otherwise(
+        F.col("event_type")
+    )
+    base = ev.rollup("event_type").agg(
+        grp.alias("grp"),
+        F.approx_count_distinct("user_id", 0.02).alias("acd"),
+        F.countDistinct("user_id").alias("ecd"),
+        F.kll_sketch_get_quantile_double(
+            F.kll_sketch_agg_double("value", F.lit(200)), F.lit(0.5)
+        ).alias("kll_p50"),
+        F.kll_sketch_get_quantile_double(
+            F.kll_sketch_agg_double("value", F.lit(200)), F.lit(0.95)
+        ).alias("kll_p95"),
+        F.percentile("value", F.lit(0.5)).alias("ex_p50"),
+        F.percentile("value", F.lit(0.95)).alias("ex_p95"),
+        F.percentile("value", F.lit(0.45)).alias("p50_lo"),
+        F.percentile("value", F.lit(0.55)).alias("p50_hi"),
+        F.percentile("value", F.lit(0.90)).alias("p95_lo"),
+        F.percentile("value", F.lit(1.0)).alias("p95_hi"),
+    ).localCheckpoint(eager=False)
+    # ^ the 6-row rollup result is consumed by two branches (the
+    # explode rows + the hll_union exact side); materialize it once
+    # instead of re-executing the events scan + rollup per branch
+    # (NOTES.md lesson 9).
+    # One rollup pass feeds all three per-group families via an
+    # explode-of-structs unpivot — NOT a 3-way union of selects over
+    # `base`, which would re-execute the events scan + rollup once per
+    # branch (the NOTES.md lesson-9 DAG-reuse disease).
+    rows = base.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("approx_cd").alias("sketch"),
+                    F.col("grp").alias("grp"),
+                    F.col("ecd").cast("double").alias("exact_value"),
+                    (
+                        F.abs(F.col("acd") - F.col("ecd"))
+                        <= 0.05 * F.col("ecd")
+                    ).alias("within_tol"),
+                ),
+                F.struct(
+                    F.lit("kll_p50").alias("sketch"),
+                    F.col("grp").alias("grp"),
+                    F.round("ex_p50", 6).alias("exact_value"),
+                    F.col("kll_p50")
+                    .between(F.col("p50_lo"), F.col("p50_hi"))
+                    .alias("within_tol"),
+                ),
+                F.struct(
+                    F.lit("kll_p95").alias("sketch"),
+                    F.col("grp").alias("grp"),
+                    F.round("ex_p95", 6).alias("exact_value"),
+                    F.col("kll_p95")
+                    .between(F.col("p95_lo"), F.col("p95_hi"))
+                    .alias("within_tol"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.sketch", "r.grp", "r.exact_value", "r.within_tol")
+    sk = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("s")
+    )
+    hll_union = sk.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("s")).alias("est")
+    ).crossJoin(
+        # exact overall distinct already sits in the rollup's ALL row
+        F.broadcast(
+            base.filter(F.col("grp") == "ALL").select(
+                F.col("ecd").alias("exact")
+            )
+        )
+    ).select(
+        F.lit("hll_union").alias("sketch"),
+        F.lit("ALL").alias("grp"),
+        F.col("exact").cast("double").alias("exact_value"),
+        (F.abs(F.col("est") - F.col("exact")) <= 0.05 * F.col("exact")).alias(
+            "within_tol"
+        ),
+    )
+    li = table(spark, sf_dir, "lineitem")
+    gk_base = li.groupBy("l_returnflag").agg(
+        F.approx_percentile(
+            "l_extendedprice", F.lit(0.5), F.lit(10000)
+        ).alias("ap50"),
+        F.approx_percentile(
+            "l_extendedprice", F.lit(0.9), F.lit(10000)
+        ).alias("ap90"),
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("ex_p50"),
+        F.percentile("l_extendedprice", F.lit(0.9)).alias("ex_p90"),
+        F.percentile("l_extendedprice", F.lit(0.49)).alias("p50_lo"),
+        F.percentile("l_extendedprice", F.lit(0.51)).alias("p50_hi"),
+        F.percentile("l_extendedprice", F.lit(0.89)).alias("p90_lo"),
+        F.percentile("l_extendedprice", F.lit(0.91)).alias("p90_hi"),
+    )
+    gk_rows = gk_base.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("gk_price_p50").alias("sketch"),
+                    F.col("l_returnflag").alias("grp"),
+                    F.round("ex_p50", 6).alias("exact_value"),
+                    F.col("ap50")
+                    .between(F.col("p50_lo"), F.col("p50_hi"))
+                    .alias("within_tol"),
+                ),
+                F.struct(
+                    F.lit("gk_price_p90").alias("sketch"),
+                    F.col("l_returnflag").alias("grp"),
+                    F.round("ex_p90", 6).alias("exact_value"),
+                    F.col("ap90")
+                    .between(F.col("p90_lo"), F.col("p90_hi"))
+                    .alias("within_tol"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.sketch", "r.grp", "r.exact_value", "r.within_tol")
+    return rows.unionByName(hll_union).unionByName(gk_rows)

@@ -247,7 +247,9 @@ def lateral_posexplode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,  # sketch-based — tolerance-tested in pytest, rows-only here
     doc="approx_percentile (t-digest style sketch): partial-aggregable, "
     "bounded memory — the 100 TB replacement for exact percentiles; "
-    "accuracy/cost dial via the accuracy parameter.",
+    "accuracy/cost dial via the accuracy parameter. Tolerance vs "
+    "exact is externally hash-verified every round by "
+    "sketch_tolerance_audit (same accuracy/column/grouping).",
 )
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
