@@ -15,9 +15,15 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-#: Whitespace-run pattern for winnowing canonicalization — matches the
-#: oracle's regexp_replace(lower(text), '\s+', ' ', 'g') on ASCII text.
-_WS_RUN = re.compile(r"\s+")
+#: Whitespace-run pattern for winnowing canonicalization. EXPLICIT
+#: class, not \s: Python \s is Unicode-aware and includes \v, RE2
+#: (the DuckDB oracle) \s is ASCII [ \t\n\f\r], Java \s adds \x0b —
+#: three different sets, so \s would diverge on any text containing a
+#: vertical tab or a Unicode space. The explicit class below means the
+#: kernel and the oracle agree for ARBITRARY input (pinned by the
+#: differential hypothesis test), with Unicode case-folding exotica
+#: (lower() on e.g. 'İ') the only remaining documented boundary.
+_WS_RUN = re.compile(r"[ \t\n\r\f]+")
 
 __all__ = [
     "tokens",

@@ -2849,7 +2849,8 @@ def dedup_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WINNOW_ORACLE = """
 WITH canon AS (
   SELECT doc_id,
-         trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')) AS c
+         trim(regexp_replace(lower(coalesce(text, '')),
+                             '[ \\t\\n\\r\\f]+', ' ', 'g')) AS c
   FROM documents
 ), grams AS (
   SELECT doc_id,

@@ -130,3 +130,41 @@ def test_sketch_audit_all_within_tolerance(spark):
     assert len(rows) >= 4
     bad = [r for r in rows if not r.within_tol]
     assert not bad, bad
+
+
+def test_winnow_kernel_matches_oracle_on_adversarial_whitespace(spark, tmp_path):
+    """Differential pin of the canonicalization contract: the Python
+    kernel and the DuckDB oracle must select identical fingerprints
+    for ARBITRARY ASCII text including the characters where \\s
+    definitions diverge (\\v is whitespace to Python/Java but not to
+    RE2; nbsp is whitespace only to Unicode-aware \\s — both pinned
+    NON-whitespace by the explicit class). Drives the REGISTERED query
+    end to end on a crafted corpus."""
+    import duckdb
+
+    from rabbithole_spark.catalog import load_all
+
+    texts = [
+        "plain old ascii text with words repeated words repeated",
+        "vertical\x0btab\x0bseparated\x0btokens are not whitespace",
+        "mixed \t tabs\nnewlines\r\fand formfeeds   collapsing",
+        "nbsp\u00a0is not whitespace either way",
+        " leading and trailing   ",
+        "\x0b\x0b\x0b padded with spaces \x0b\x0b\x0b",
+        "UPPER lower MiXeD case CANON",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    tbl = str(tmp_path / "documents.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(tbl)
+    spec = load_all()["text_winnow_fingerprints"]
+    got = {
+        (r.doc_id, r.fp) for r in spec.fn(spark, str(tmp_path)).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{tbl}/*.parquet'"
+    )
+    want = {tuple(r) for r in con.execute(spec.oracle).fetchall()}
+    assert got == want and len(got) > 0
