@@ -329,3 +329,31 @@ def test_outer_join_watermark_boundary_eviction(spark, tmp_path):
     assert got == want, (got, want)
     emitted_users = {g[0] for g in got}
     assert emitted_users == {2, 103}, emitted_users
+
+
+def test_session_window_exact_gap_boundary_merges(spark):
+    """Pin Spark's measured session-merge inequality: two events exactly
+    gap-duration apart MERGE into one session (<=, not <); only a gap
+    strictly beyond the duration splits. The gaps-and-islands oracle of
+    window_session_per_user / stream_session_window encodes `<=
+    INTERVAL '30 minutes'` on this basis — if a Spark upgrade flips the
+    boundary, this fails before the external hash check does."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, t0),
+        (1, t0 + datetime.timedelta(minutes=30)),  # exactly the gap
+        (2, t0),
+        (2, t0 + datetime.timedelta(minutes=30, microseconds=1)),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp")
+    out = (
+        df.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("user_id", "n")
+    )
+    got = sorted((r.user_id, r.n) for r in out.collect())
+    assert got == [(1, 2), (2, 1), (2, 1)]
