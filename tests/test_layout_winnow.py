@@ -168,3 +168,56 @@ def test_winnow_kernel_matches_oracle_on_adversarial_whitespace(spark, tmp_path)
     )
     want = {tuple(r) for r in con.execute(spec.oracle).fetchall()}
     assert got == want and len(got) > 0
+
+
+def _winnow_ref(text, k=8, w=4, base=257, mod=1_000_000_007):
+    """Naive per-character Python reference of the winnowing selection
+    (no numpy) — the spec the vectorized kernel must match."""
+    import re as _re
+
+    canon = _re.sub(r"[ \t\n\r\f]+", " ", (text or "").lower()).strip(" ")
+    n = len(canon) - k + 1
+    if n < 1:
+        return set()
+    hashes = []
+    for i in range(n):
+        acc = 0
+        for ch in canon[i : i + k]:
+            acc = (acc * base + ord(ch)) % mod
+        hashes.append(acc)
+    n_win = max(n - w + 1, 1)
+    return {min(hashes[j : j + w]) for j in range(n_win)}
+
+
+def test_winnow_kernel_matches_reference_on_random_text(spark):
+    """Property pin: the numpy kernel equals the naive reference for
+    random ASCII text with adversarial whitespace mixed in."""
+    import random
+
+    rng = random.Random(20260814)
+    alphabet = "abcdefgh01 \t\n\r\f\x0b.,!"
+    texts = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 60)))
+        for _ in range(200)
+    ]
+    fps = _fps(spark, texts)
+    for i, t in enumerate(texts):
+        assert fps[i] == _winnow_ref(t), (i, repr(t))
+
+
+def test_zorder_spread_matches_reference_exhaustive_edges(spark):
+    """spread_bits16 equals the bit-loop reference over random and
+    boundary inputs (single Spark round-trip for all samples)."""
+    import random
+
+    rng = random.Random(7)
+    xs = [0, 1, 2, 3, 0x5555, 0xAAAA, 0xFFFF, 0x8000, 0x7FFF] + [
+        rng.randrange(0, 65536) for _ in range(200)
+    ]
+    df = spark.createDataFrame([(v,) for v in xs], "v long")
+    got = {
+        r.v: r.s
+        for r in df.select("v", spread_bits16(F.col("v")).alias("s")).collect()
+    }
+    for v in xs:
+        assert got[v] == _spread_ref(v), v
