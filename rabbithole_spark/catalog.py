@@ -71,6 +71,7 @@ _PRIORITY_ORDER = (
     "source_overlap_matrix",
     "shard_shuffle_assignment",
     "stream_ingest_dedup_against_corpus",
+    "dedup_minhash_recall_audit",
     # -- (a) semantics touched in round 5
     "corpus_snapshot_diff",        # coalesce(text,'') digest NULL guard
     "dedup_incremental_new_docs",  # same NULL guard
@@ -112,8 +113,13 @@ _PRIORITY_ORDER = (
     "window_range_frame",
     "window_rank_orders",
     "agg_approx_count_distinct",   # rows-only sketch, last executed r1
-    "agg_hll_sketch_union",        # rows-only sketch, last executed r1
     "agg_kll_quantile_sketch",     # rows-only sketch, last executed r1
+    # agg_hll_sketch_union ceded its refresh slot to
+    # dedup_minhash_recall_audit: its exact computation shape
+    # (per-group hll_sketch_agg -> hll_union_agg -> estimate) is
+    # hash-verified in-window by sketch_tolerance_audit, so the
+    # rows-only execution refresh was strictly dominated. It leads
+    # the round-6 window with minhash/simhash/corr.
 )
 
 

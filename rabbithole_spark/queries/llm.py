@@ -189,7 +189,14 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shuffle approximate dedup for 100 TB corpora.",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = spread(table(spark, sf_dir, "documents"))
+    return _lsh_verified_pairs(
+        spread(table(spark, sf_dir, "documents")), threshold=0.2
+    )
+
+
+def _lsh_verified_pairs(d: DataFrame, threshold: float) -> DataFrame:
+    """Shared LSH-candidate -> exact-Jaccard-verified pipeline
+    (dedup_minhash_lsh at 0.2; dedup_minhash_recall_audit at 0.8)."""
     sh = d.select(
         "doc_id",
         word_shingles(F.col("text"), 3).alias("shingles"),
@@ -225,10 +232,54 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ),
         )
-        .filter(F.col("jaccard") >= 0.2)
+        .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
     return verified
+
+
+_MINHASH_RECALL_ORACLE = """
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(
+           list_transform(
+             range(1, greatest(len(string_split_regex(trim(text), '\\s+')) - 2, 1) + 1),
+             i -> array_to_string(list_slice(string_split_regex(trim(text), '\\s+'), i, i + 2), ' ')
+           )
+         ) AS shingles
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE), 6) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+      / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE) >= 0.8
+"""
+
+
+@register(
+    "dedup_minhash_recall_audit",
+    oracle=_MINHASH_RECALL_ORACLE,
+    doc="Externally hash-verified recall contract for the MinHash-LSH "
+    "path (dedup_minhash_lsh itself stays rows-only — no oracle can "
+    "replay xxhash64): the SAME signature/banding pipeline (64 "
+    "hashes, 16 bands x 4 rows), exact-verified at Jaccard >= 0.8, "
+    "must return exactly the naive quadratic's true pair set. At "
+    "J=0.8 a pair evades all 16 bands with probability (1-0.8^4)^16 "
+    "~= 2e-4, and the corpus's planted near-dups sit well above the "
+    "threshold, so recall is deterministically 1.0 on this data "
+    "(measured EQUAL at all three SFs before registration) — a "
+    "banding miss, seed drift, or hash change breaks the hash match "
+    "at the driver gate. The 0.2-threshold production query keeps "
+    "its candidate-set semantics (LSH at 0.2 is intentionally "
+    "low-recall for low-similarity pairs; the exact prefix-filter "
+    "join covers that regime).",
+)
+def dedup_minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _lsh_verified_pairs(
+        spread(table(spark, sf_dir, "documents")), threshold=0.8
+    )
 
 
 @register(
