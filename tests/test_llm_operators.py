@@ -510,3 +510,40 @@ def test_source_overlap_matrix_null_text_matches_oracle(spark, tmp_path):
     con.close()
     assert got == want, (got, want)
     assert got  # the non-null docs DO share segments across sources
+
+
+def test_simhash_pigeonhole_block_join_equals_bruteforce(spark):
+    """simhash_hamming_pairs (Manku WWW'07 pigeonhole block join) must
+    find exactly the brute-force popcount pairs at a tight web-scale
+    budget (ham<=3), where the block join actually prunes. Signatures
+    are crafted so some pairs sit at 0-3 flipped bits and others far
+    beyond."""
+    from pyspark.sql import functions as F
+
+    from rabbithole_spark.operators.dedup import simhash_hamming_pairs
+
+    base = 0x0123456789ABCDEF
+    sigs = [
+        (0, base),
+        (1, base ^ 0b1),                      # ham 1 from 0
+        (2, base ^ 0b1011),                   # ham 3 from 0
+        (3, base ^ ((1 << 63) | (1 << 31))),  # ham 2 from 0
+        (4, ~base & 0xFFFFFFFFFFFFFFFF),      # complement: ham 64 from 0
+        (5, 0),
+    ]
+    # normalize to signed 64-bit longs for Spark
+    rows = [(i, s - 2**64 if s >= 2**63 else s) for i, s in sigs]
+    df = spark.createDataFrame(rows, "doc_id long, simhash long")
+    got = {
+        (r.id_a, r.id_b, r.ham)
+        for r in simhash_hamming_pairs(df, "doc_id", "simhash", max_ham=3).collect()
+    }
+    sig_map = dict(rows)
+    want = set()
+    for i in sig_map:
+        for j in sig_map:
+            if i < j:
+                ham = bin((sig_map[i] ^ sig_map[j]) & 0xFFFFFFFFFFFFFFFF).count("1")
+                if ham <= 3:
+                    want.add((i, j, ham))
+    assert got == want and len(want) >= 3
