@@ -383,6 +383,12 @@ UNION ALL
 SELECT 'hll_union', 'ALL', CAST(count(DISTINCT user_id) AS DOUBLE), true
 FROM events
 UNION ALL
+SELECT 'kll_fold_p50', 'ALL', ROUND(quantile_cont(value, 0.5), 6), true
+FROM events
+UNION ALL
+SELECT 'kll_fold_p95', 'ALL', ROUND(quantile_cont(value, 0.95), 6), true
+FROM events
+UNION ALL
 SELECT 'gk_price_p50', l_returnflag, ROUND(quantile_cont(l_extendedprice, 0.5), 6), true
 FROM lineitem GROUP BY l_returnflag
 UNION ALL
@@ -413,7 +419,10 @@ FROM events GROUP BY ROLLUP(event_type)
     "and overall; the per-group-HLL-union estimate within 5% of "
     "overall exact; KLL(k=200) p50/p95 inside the exact "
     "[q-0.05, q+0.05] percentile band (the rank-error guarantee "
-    "KLL actually makes); agg_approx_percentile's exact "
+    "KLL actually makes, for BOTH the one-shot whole-corpus sketch "
+    "and the registered merge-fold path — per-group sketches folded "
+    "with kll_sketch_merge, the kll_fold_* rows); "
+    "agg_approx_percentile's exact "
     "configuration (accuracy=10000 on l_extendedprice by "
     "l_returnflag) inside the exact [q-0.01, q+0.01] band — a 100x "
     "margin over its 1/accuracy rank-error bound. A drifting sketch "
@@ -486,8 +495,42 @@ def sketch_tolerance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("r")
     ).select("r.sketch", "r.grp", "r.exact_value", "r.within_tol")
     sk = ev.groupBy("event_type").agg(
-        F.hll_sketch_agg("user_id").alias("s")
+        F.hll_sketch_agg("user_id").alias("s"),
+        F.kll_sketch_agg_double("value", F.lit(200)).alias("ks"),
     )
+    # the registered merge-FOLD path (agg_kll_quantile_sketch's overall
+    # row): per-group sketches folded with kll_sketch_merge — audited
+    # separately from the rollup's one-shot whole-corpus sketch above
+    folded = sk.agg(F.collect_list("ks").alias("arr")).select(
+        F.reduce(
+            F.slice("arr", 2, 1_000_000),
+            F.element_at("arr", 1),
+            lambda acc, x: F.kll_sketch_merge_double(acc, x),
+        ).alias("m")
+    )
+    all_row = F.broadcast(base.filter(F.col("grp") == "ALL"))
+    kll_fold = folded.crossJoin(all_row).select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("kll_fold_p50").alias("sketch"),
+                    F.lit("ALL").alias("grp"),
+                    F.round("ex_p50", 6).alias("exact_value"),
+                    F.kll_sketch_get_quantile_double("m", F.lit(0.5))
+                    .between(F.col("p50_lo"), F.col("p50_hi"))
+                    .alias("within_tol"),
+                ),
+                F.struct(
+                    F.lit("kll_fold_p95").alias("sketch"),
+                    F.lit("ALL").alias("grp"),
+                    F.round("ex_p95", 6).alias("exact_value"),
+                    F.kll_sketch_get_quantile_double("m", F.lit(0.95))
+                    .between(F.col("p95_lo"), F.col("p95_hi"))
+                    .alias("within_tol"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.sketch", "r.grp", "r.exact_value", "r.within_tol")
     hll_union = sk.agg(
         F.hll_sketch_estimate(F.hll_union_agg("s")).alias("est")
     ).crossJoin(
@@ -542,4 +585,6 @@ def sketch_tolerance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("r")
     ).select("r.sketch", "r.grp", "r.exact_value", "r.within_tol")
-    return rows.unionByName(hll_union).unionByName(gk_rows)
+    return rows.unionByName(hll_union).unionByName(kll_fold).unionByName(
+        gk_rows
+    )
