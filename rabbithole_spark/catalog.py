@@ -45,9 +45,10 @@ _QUERY_MODULES = (
 #: Registry emission order. External harnesses verify a bounded
 #: 50-query prefix of the registry per round, so queries needing
 #: external verification go FIRST: (a) every query added or
-#: semantics-touched in round 5 (nine new queries — winnowing
-#: fingerprints, z-order layout audit, sketch-tolerance audit, batch
-#: IVF, batcher-sizes twin, sparse Ed-Join, shard shuffle, source
+#: semantics-touched in round 5 (ten new queries — winnowing
+#: fingerprints, z-order layout audit, sketch-tolerance audit,
+#: MinHash-LSH recall audit, batch IVF, batcher-sizes twin, sparse
+#: Ed-Join, shard shuffle, source
 #: overlap, streaming ingest dedup — plus the coalesce-hash NULL
 #: guards; dedup_components/_canonical_survivors switching to
 #: prefix-filtered pairs; the outer-join oracle's measured eviction

@@ -138,7 +138,9 @@ def exact_dedup(
 def word_shingles(text: Column, k: int = 3) -> Column:
     """Distinct k-word shingles of a text column, built JVM-side:
     split -> sliding windows via transform(sequence(...)) -> distinct."""
-    words = F.split(F.trim(text), r"\s+")
+    # explicit class == RE2 \s (the oracles' dialect); Java \s would
+    # add \x0b and diverge cross-engine on vertical-tab input
+    words = F.split(F.trim(text), r"[ \t\n\r\f]+")
     n = F.size(words)
     idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
     return F.array_distinct(
@@ -573,14 +575,11 @@ def simhash_hamming_pairs(
     widths = [base + 1] * extra + [base] * (n_blocks - extra)
     blocks, off = [], 0
     for i, w in enumerate(widths):
-        blocks.append(
-            F.struct(
-                F.lit(i).alias("idx"),
-                F.shiftright(F.col(sig_col), off)
-                .bitwiseAND(F.lit((1 << w) - 1))
-                .alias("val"),
-            )
-        )
+        shifted = F.shiftright(F.col(sig_col), off)
+        # w == 64 (max_ham=0, exact-duplicate mode): the full signature
+        # is the block; (1 << 64) - 1 is not a valid signed-long literal
+        val = shifted if w >= 64 else shifted.bitwiseAND(F.lit((1 << w) - 1))
+        blocks.append(F.struct(F.lit(i).alias("idx"), val.alias("val")))
         off += w
     exploded = sigs.select(
         F.col(id_col).alias("sid"),

@@ -10,8 +10,6 @@ from __future__ import annotations
 
 import re
 
-import pandas as pd
-
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -51,7 +49,10 @@ STOPWORDS: dict[str, list[str]] = {
 
 def tokens(text: Column) -> Column:
     """Whitespace tokenization (the cheap default)."""
-    return F.split(F.trim(text), r"\s+")
+    # explicit class, not \s: Java \s adds \x0b over RE2's
+    # [ \t\n\f\r], so the DuckDB '\s+' oracles would diverge on a
+    # vertical tab (same hazard _WS_RUN documents below)
+    return F.split(F.trim(text), r"[ \t\n\r\f]+")
 
 
 def token_count(text: Column) -> Column:
@@ -63,7 +64,7 @@ def bpe_ish_token_count(text: Column) -> Column:
     whitespace and punctuation boundaries — a deterministic stand-in
     for a real tokenizer's token count (RE2-safe pattern, no lookahead,
     so the same regex runs in the DuckDB oracle)."""
-    pieces = F.split(F.trim(text), r"[\s\.,;:!\?\(\)\[\]\{\}\"']+")
+    pieces = F.split(F.trim(text), r"[ \t\n\r\f\.,;:!\?\(\)\[\]\{\}\"']+")
     return F.size(F.filter(pieces, lambda p: p != ""))
 
 
@@ -116,7 +117,11 @@ def fingerprint(text: Column) -> Column:
     """Canonical-form content fingerprint: lowercase, collapse
     whitespace, strip punctuation, md5. Survives trivial reformatting —
     the first-stage near-dup key."""
-    canonical = F.lower(F.regexp_replace(F.regexp_replace(text, r"[\.,;:!\?'\"]", ""), r"\s+", " "))
+    canonical = F.lower(
+        F.regexp_replace(
+            F.regexp_replace(text, r"[\.,;:!\?'\"]", ""), r"[ \t\n\r\f]+", " "
+        )
+    )
     return F.md5(F.trim(canonical))
 
 
@@ -202,9 +207,11 @@ def winnow_fingerprints(
     grams.
     """
     import numpy as np
+    import pandas as pd  # deferred like numpy: the module itself must
+    # import without pandas (catalog.load_all pulls this file in for
+    # every query, UDF or not)
 
-    @F.pandas_udf("array<long>")
-    def _winnow(texts: pd.Series) -> pd.Series:
+    def _winnow_kernel(texts):
         out = []
         for t in texts:
             canon = _WS_RUN.sub(" ", (t or "").lower()).strip(" ")
@@ -222,5 +229,12 @@ def winnow_fingerprints(
                 mins = h.min(keepdims=True)
             out.append(np.unique(mins).tolist())
         return pd.Series(out)
+
+    # real-type annotations set AFTER definition: the module uses
+    # `from __future__ import annotations`, so inline hints would be
+    # strings that pandas_udf resolves against module globals (where
+    # pandas deliberately is not imported)
+    _winnow_kernel.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    _winnow = F.pandas_udf("array<long>")(_winnow_kernel)
 
     return df.select(*keep, _winnow(F.col(text_col)).alias("fps"))

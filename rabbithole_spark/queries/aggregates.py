@@ -497,7 +497,9 @@ def sketch_tolerance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     sk = ev.groupBy("event_type").agg(
         F.hll_sketch_agg("user_id").alias("s"),
         F.kll_sketch_agg_double("value", F.lit(200)).alias("ks"),
-    )
+    ).localCheckpoint(eager=False)
+    # ^ consumed by BOTH the kll-fold and hll-union branches below —
+    # materialize the handful of sketch rows once (lesson 9)
     # the registered merge-FOLD path (agg_kll_quantile_sketch's overall
     # row): per-group sketches folded with kll_sketch_merge — audited
     # separately from the rollup's one-shot whole-corpus sketch above

@@ -221,19 +221,19 @@ def _lsh_verified_pairs(d: DataFrame, threshold: float) -> DataFrame:
     )
     a = cand_sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
     b = cand_sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    # filter on the RAW ratio (the oracle's WHERE clause does the
+    # same) and round only for output — filtering the rounded value
+    # would admit pairs within 5e-7 below the threshold that the
+    # oracle rejects
+    raw = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        F.array_union("sh_a", "sh_b")
+    ).cast("double")
     verified = (
         pairs.join(F.broadcast(a), "id_a")
         .join(F.broadcast(b), "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-                / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
-                6,
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .withColumn("_raw", raw)
+        .filter(F.col("_raw") >= threshold)
+        .select("id_a", "id_b", F.round("_raw", 6).alias("jaccard"))
     )
     return verified
 
@@ -1396,8 +1396,8 @@ def text_segment_dedup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = spread(table(spark, sf_dir, "documents"))
-    words = F.split(F.trim(F.col("text")), r"\s+")
-    nseg = F.expr(f"(size(split(trim(text), '\\\\s+')) + {_SEG_WORDS - 1}) div {_SEG_WORDS}")
+    words = F.split(F.trim(F.col("text")), r"[ \t\n\r\f]+")
+    nseg = F.expr(f"(size(split(trim(text), '[ \\\\t\\\\n\\\\r\\\\f]+')) + {_SEG_WORDS - 1}) div {_SEG_WORDS}")
     segs = d.select(
         "doc_id",
         F.explode_outer(
@@ -1464,9 +1464,9 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(table(spark, sf_dir, "documents")).filter(
         F.col("text").isNotNull()
     )
-    words = F.split(F.trim(F.col("text")), r"\s+")
+    words = F.split(F.trim(F.col("text")), r"[ \t\n\r\f]+")
     nseg = F.expr(
-        f"(size(split(trim(text), '\\\\s+')) + {_SEG_WORDS - 1}) "
+        f"(size(split(trim(text), '[ \\\\t\\\\n\\\\r\\\\f]+')) + {_SEG_WORDS - 1}) "
         f"div {_SEG_WORDS}"
     )
     segs = d.select(
@@ -1587,9 +1587,9 @@ def text_remove_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = spread(table(spark, sf_dir, "documents"))
-    words = F.split(F.trim(F.col("text")), r"\s+")
+    words = F.split(F.trim(F.col("text")), r"[ \t\n\r\f]+")
     nseg = F.expr(
-        f"(size(split(trim(text), '\\\\s+')) + {_SEG_WORDS - 1}) div {_SEG_WORDS}"
+        f"(size(split(trim(text), '[ \\\\t\\\\n\\\\r\\\\f]+')) + {_SEG_WORDS - 1}) div {_SEG_WORDS}"
     )
     segs = d.select(
         "doc_id",
@@ -1709,7 +1709,7 @@ FROM b GROUP BY ngram ORDER BY n DESC, ngram LIMIT 20
 )
 def text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(table(spark, sf_dir, "documents"))
-    words = F.split(F.trim(F.col("text")), r"\s+")
+    words = F.split(F.trim(F.col("text")), r"[ \t\n\r\f]+")
     bigrams = F.transform(
         F.sequence(F.lit(1), F.size(words) - 1),
         lambda i: F.concat_ws(" ", F.slice(words, i, 2)),
