@@ -45,82 +45,75 @@ _QUERY_MODULES = (
 #: Registry emission order. External harnesses verify a bounded
 #: 50-query prefix of the registry per round, so queries needing
 #: external verification go FIRST: (a) every query added or
-#: semantics-touched in round 5 (ten new queries — winnowing
-#: fingerprints, z-order layout audit, sketch-tolerance audit,
-#: MinHash-LSH recall audit, batch IVF, batcher-sizes twin, sparse
-#: Ed-Join, shard shuffle, source
-#: overlap, streaming ingest dedup — plus the coalesce-hash NULL
-#: guards; dedup_components/_canonical_survivors switching to
-#: prefix-filtered pairs; the outer-join oracle's measured eviction
-#: boundary; the IVF ensure-index generation pinning), then (b) the
-#: round-4 verdict's named staleness backlog — ALL 35 queries whose
-#: latest external row was round 1 (32 hash-green + the 3 rows-only
-#: sketches). The three late new queries took the last three slots
-#: (previously the oldest r2 rows: minhash/simhash/corr — they lead
-#: the round-6 refresh instead). Exactly 50 names: after this round
-#: no query's latest external row predates round 2.
+#: semantics-touched in round 6 — dedup_minhash_lsh and dedup_simhash
+#: flipped from rows-only to FULL-replay oracles (the pure-SQL XXH64
+#: in functions/xxh64_sql.py replays Spark's xxhash64 bit-exactly, so
+#: the entire signature/banding pipeline is now externally
+#: hash-verified) — then (b) the staleness backlog computed from
+#: CORRECTNESS_r01-r04 + the round-5 window, oldest-first: the 1
+#: remaining r1-latest row (agg_hll_sketch_union, which ceded its
+#: round-5 slot), all 22 other r2-latest rows, and the
+#: alphabetically-first r3-latest rows up to the 50-slot budget
+#: (deferring window_running_totals / window_session_per_user — and
+#: one more r3 row per additional round-6 new query, tail-first).
+#: After this round no query's latest external row predates round 3.
 #: Names absent from this list follow in registration order; names
 #: listed but not registered are ignored.
 _PRIORITY_ORDER = (
-    # -- (a) new in round 5: first external row needed
-    "text_winnow_fingerprints",
-    "layout_zorder_clustering",
-    "sketch_tolerance_audit",
-    "similarity_ann_ivf_batch",
-    "stream_count_or_time_sizes",
-    "dedup_edit_distance_prefix_sparse",
-    "source_overlap_matrix",
-    "shard_shuffle_assignment",
-    "stream_ingest_dedup_against_corpus",
-    "dedup_minhash_recall_audit",
-    # -- (a) semantics touched in round 5
-    "corpus_snapshot_diff",        # coalesce(text,'') digest NULL guard
-    "dedup_incremental_new_docs",  # same NULL guard
-    "dedup_components",            # pairs now prefix-filtered corpus-wide
-    "dedup_canonical_survivors",   # same pair-source switch
-    "stream_stream_outer_join",    # oracle: measured eviction boundary
-    "similarity_ann_ivf",          # ensure-index generation pinning
-    # -- (b) the round-1 staleness backlog, drained in full
-    "agg_cube",
-    "agg_distinct_pairs",
-    "agg_having",
-    "agg_median_iqr",
-    "join_anti_no_big_order",
-    "join_asof_events",
-    "join_cross_region_nation",
-    "pivot_event_counts",
-    "scalar_array_funcs",
-    "scalar_array_hof",
-    "scalar_conditional",
-    "scalar_json_funcs",
-    "scalar_math_funcs",
-    "scalar_null_semantics",
-    "scalar_string_funcs",
-    "scalar_variant_json",
-    "setop_except",
-    "setop_except_all",
-    "setop_intersect",
-    "setop_intersect_all",
-    "setop_union_all",
-    "setop_union_distinct",
-    "sort_limit_top_orders",
-    "sort_nulls_first",
-    "subquery_correlated",
-    "subquery_scalar",
-    "topk_per_group",
-    "unpivot_customer_metrics",
-    "window_distribution",
-    "window_lag_lead",
-    "window_range_frame",
-    "window_rank_orders",
-    "agg_approx_count_distinct",   # rows-only sketch, last executed r1
-    "agg_kll_quantile_sketch",     # rows-only sketch, last executed r1
-    # agg_hll_sketch_union ceded its refresh slot to
-    # dedup_minhash_recall_audit: its exact computation shape
-    # (per-group hll_sketch_agg -> hll_union_agg -> estimate) is
-    # hash-verified in-window by sketch_tolerance_audit, so the
-    # rows-only execution refresh was strictly dominated. It leads
-    # the round-6 window with minhash/simhash/corr.
+    # -- (a) new/touched in round 6 (each new query displaced one r3
+    # tail slot, udf_udtf_lateral_split first)
+    "stream_stream_left_semi",
+    "join_salted_skew",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    # -- (b) staleness backlog: the r1 survivor, then r2-latest
+    "agg_hll_sketch_union",
+    "agg_corr_regression",
+    "agg_percentiles",
+    "agg_stats_moments",
+    "contamination_ngram_overlap",
+    "dedup_exact_documents",
+    "dedup_fingerprint",
+    "embedding_centroids",
+    "mixture_resample_by_lang",
+    "multimodal_binary_stats",
+    "pii_redaction",
+    "pipeline_clean_corpus",
+    "similarity_topk_bruteforce",
+    "temporal_calendar_funcs",
+    "text_bm25_ranking",
+    "text_chunk_documents",
+    "text_lang_id",
+    "text_pii_scrub",
+    "text_repetition_filter",
+    "text_token_counts",
+    "text_top_ngrams",
+    "tpch_q4_exists_shape",
+    "window_sliding_hourly",
+    # -- (b) r3-latest, alphabetical up to the 50-slot budget
+    "agg_approx_percentile",
+    "agg_bool_countif",
+    "agg_grouping_sets",
+    "agg_minmax_by",
+    "agg_string_collect",
+    "agg_theta_sketch_setops",
+    "join_attribution_clicks",
+    "join_left_customer_orders",
+    "lateral_posexplode_words",
+    "mixture_token_budget",
+    "multimodal_feature_extract",
+    "multimodal_frame_sample",
+    "multimodal_resize_pipeline",
+    "pipeline_param_mapping",
+    "profile_orders_columns",
+    "sample_stratified_by_lang",
+    "sample_uniform_documents",
+    "scalar_try_arithmetic",
+    "similarity_ann_lsh",
+    "similarity_embedding_near_dup",
+    "stream_count_or_time_batcher",
+    "udf_grouped_zscore",
+    "udf_pandas_vectorized",
 )
 
 

@@ -343,3 +343,46 @@ def join_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts_r").alias("error_ts"),
         F.col("event_id_r").alias("error_event_id"),
     )
+
+
+# --- skew-mitigated join ----------------------------------------------------
+
+_SALTED_ORACLE = f"""
+SELECT c.c_nationkey,
+       e.event_type,
+       count(*) AS n_events,
+       {sql_dsum("e.value", "total_value", 2)}
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_nationkey, e.event_type
+"""
+
+
+@register(
+    "join_salted_skew",
+    oracle=_SALTED_ORACLE,
+    doc="Skew-mitigated fact-dim join via key salting "
+    "(operators/skew.py): the fact side appends salt = "
+    "xxhash64(event_id) mod 8 (deterministic on task retry — never "
+    "rand()), the dim side explodes to all 8 salt values, and the "
+    "join key becomes (user_id, salt) so a hot key's rows spread "
+    "over 8 reducers. AQE skew-split handles oversized partitions; "
+    "salting is the harder single-hot-KEY case a 100 TB fact table "
+    "hits (celebrity id / null-ish tenant). Salt-invariance is the "
+    "correctness contract: the oracle is the PLAIN join+agg, so any "
+    "row lost or duplicated by the salting machinery breaks the hash "
+    "match.",
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rabbithole_spark.operators.skew import salted_join
+
+    events = table(spark, sf_dir, "events")
+    customer = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    joined = salted_join(
+        events, customer, on="user_id", salt_from="event_id", salt_factor=8
+    )
+    return joined.groupBy("c_nationkey", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum(F.col("value"), "total_value", 2),
+    )

@@ -181,12 +181,89 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs)
 
 
+#: The oracles' shingle expression — identical semantics to
+#: operators.dedup.word_shingles(k=3): RE2 \s == the explicit
+#: [ \t\n\r\f]+ class the Spark side tokenizes with.
+_SHINGLES_SQL = """list_distinct(
+           list_transform(
+             range(1, greatest(len(string_split_regex(trim(text), '\\s+')) - 2, 1) + 1),
+             i -> array_to_string(list_slice(string_split_regex(trim(text), '\\s+'), i, i + 2), ' ')
+           )
+         )"""
+
+
+def _minhash_lsh_oracle(threshold: float) -> str:
+    """Full MinHash+LSH replay in the oracle dialect.
+
+    Rounds 1-5 classified this query rows-only ("no oracle can replay
+    xxhash64"); functions/xxh64_sql.py retires that excuse with a
+    bit-exact pure-SQL XXH64.  The oracle replays the ENTIRE pipeline:
+    per-shingle base hash pmod(xxh64, 2^31-1) with Java's truncated-%%
+    semantics, the 64 universal-hash min-aggregates with the SAME
+    (a, b) coefficient literals the Spark side uses, the 16 band
+    hashes xxh64(concat_ws(',', slice)) over the identical decimal
+    string rendering, the bucket self-join, and the exact-Jaccard
+    candidate verification — so a seed drift, a banding bug, or a
+    hash change breaks the driver's hash gate, not just a recall test.
+    """
+    from rabbithole_spark.functions.xxh64_sql import xxh64_unsigned_sql
+    from rabbithole_spark.operators.dedup import _MINHASH_P, _minhash_coeffs
+
+    p = _MINHASH_P
+    base = (
+        f"list_transform([{xxh64_unsigned_sql('s')}], __u -> "
+        f"(((CASE WHEN __u >= {1 << 63}::HUGEINT THEN __u - {1 << 64}::HUGEINT"
+        f" ELSE __u END) % {p} + {p}) % {p}))[1]::BIGINT"
+    )
+    mins = ",\n         ".join(
+        f"min(({a} * h + {b}) % {p})" for a, b in _minhash_coeffs(64)
+    )
+    band_str = (
+        "array_to_string(list_slice(ms, t.range * 4 + 1, t.range * 4 + 4), ',')"
+    )
+    jac = (
+        "CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)"
+        " / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE)"
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id, {_SHINGLES_SQL} AS shingles
+  FROM documents
+),
+hx AS (
+  SELECT doc_id, {base} AS h
+  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)
+),
+sig AS (
+  SELECT doc_id, [{mins}] AS ms
+  FROM hx GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id, t.range AS band, {xxh64_unsigned_sql(band_str)} AS bh
+  FROM sig CROSS JOIN range(0, 16) t
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM banded l JOIN banded r
+    ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
+)
+SELECT c.id_a, c.id_b, round({jac}, 6) AS jaccard
+FROM cand c
+JOIN sh a ON a.doc_id = c.id_a
+JOIN sh b ON b.doc_id = c.id_b
+WHERE {jac} >= {threshold}
+"""
+
+
 @register(
     "dedup_minhash_lsh",
-    oracle=None,  # hash-family specific (xxhash64) — rows-only
+    oracle=_minhash_lsh_oracle(0.2),
     doc="MinHash+LSH near-dup candidates (64 hashes, 16 bands x 4 rows), "
     "confirmed by exact Jaccard on the candidate set only — the linear-"
-    "shuffle approximate dedup for 100 TB corpora.",
+    "shuffle approximate dedup for 100 TB corpora. Hash-green since "
+    "round 6: the oracle replays xxhash64 itself (functions/"
+    "xxh64_sql.py), so the whole signature/banding pipeline is "
+    "externally verified, not just its recall contract.",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lsh_verified_pairs(
@@ -262,8 +339,9 @@ WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
     "dedup_minhash_recall_audit",
     oracle=_MINHASH_RECALL_ORACLE,
     doc="Externally hash-verified recall contract for the MinHash-LSH "
-    "path (dedup_minhash_lsh itself stays rows-only — no oracle can "
-    "replay xxhash64): the SAME signature/banding pipeline (64 "
+    "path (complementing dedup_minhash_lsh's round-6 full-replay "
+    "oracle — this one proves recall==1.0 vs the naive quadratic, "
+    "that one proves hash fidelity): the SAME signature/banding pipeline (64 "
     "hashes, 16 bands x 4 rows), exact-verified at Jaccard >= 0.8, "
     "must return exactly the naive quadratic's true pair set. At "
     "J=0.8 a pair evades all 16 bands with probability (1-0.8^4)^16 "
@@ -282,12 +360,51 @@ def dedup_minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _simhash_oracle() -> str:
+    """SimHash replay in the oracle dialect: xxh64 (unsigned) per
+    distinct shingle, 64 per-bit +1/-1 vote sums, positive votes OR'd
+    (summed — powers of two are disjoint) into the signature, then the
+    unsigned word reinterpreted as Spark's signed long."""
+    from rabbithole_spark.functions.xxh64_sql import xxh64_unsigned_sql
+
+    votes = ",\n         ".join(
+        f"sum(CASE WHEN ((u >> {b}) & 1) = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(64)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {1 << b}::HUGEINT ELSE 0::HUGEINT END)"
+        for b in range(64)
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id, {_SHINGLES_SQL} AS shingles
+  FROM documents
+),
+hx AS (
+  SELECT doc_id, {xxh64_unsigned_sql('s')} AS u
+  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)
+),
+votes AS (
+  SELECT doc_id,
+         {votes}
+  FROM hx GROUP BY doc_id
+)
+SELECT doc_id,
+       list_transform([{sig}], __s ->
+         CASE WHEN __s >= {1 << 63}::HUGEINT THEN __s - {1 << 64}::HUGEINT
+              ELSE __s END)[1]::BIGINT AS simhash
+FROM votes
+"""
+
+
 @register(
     "dedup_simhash",
-    oracle=None,  # hash-family specific (xxhash64) — rows-only
+    oracle=_simhash_oracle(),
     doc="64-bit SimHash signatures over word shingles, fully JVM-side "
     "(explode + 64 partial-aggregable bit votes); near-dups share "
-    "signatures at small Hamming distance.",
+    "signatures at small Hamming distance. Hash-green since round 6: "
+    "the oracle replays xxhash64 (functions/xxh64_sql.py) and the "
+    "full bit-vote fold, value-exact per document.",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(spread(table(spark, sf_dir, "documents")), "text", "doc_id")

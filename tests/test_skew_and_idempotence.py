@@ -150,3 +150,30 @@ def test_partitioned_overwrite_sink_replay_idempotent(spark, tmp_path):
         "#", ""
     ) or "__batch_id" in plan
     assert {r.id for r in one.collect()} == {3, 4}
+
+
+def test_salted_join_shuffles_on_salted_key(spark):
+    """Under a real shuffle join (broadcast off), the Exchange hash-
+    partitions on (k, __salt) — the whole point of salting. A
+    broadcast-eligible dim would hide this at test scale, so pin it
+    with the threshold disabled."""
+    large = spark.range(0, 1000).select(
+        F.lit(1).alias("k"), F.col("id").alias("row_id")
+    )
+    small = spark.createDataFrame(
+        [(k, f"dim-{k}") for k in range(50)], ["k", "label"]
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = salted_join(large, small, on="k", salt_from="row_id",
+                          salt_factor=8)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    exchanges = [
+        line for line in plan.splitlines()
+        if "Exchange hashpartitioning" in line
+    ]
+    assert exchanges, plan
+    assert all("__salt" in line for line in exchanges), plan
