@@ -45,27 +45,39 @@ _QUERY_MODULES = (
 #: Registry emission order. External harnesses verify a bounded
 #: 50-query prefix of the registry per round, so queries needing
 #: external verification go FIRST: (a) every query added or
-#: semantics-touched in round 6 — dedup_minhash_lsh and dedup_simhash
-#: flipped from rows-only to FULL-replay oracles (the pure-SQL XXH64
-#: in functions/xxh64_sql.py replays Spark's xxhash64 bit-exactly, so
-#: the entire signature/banding pipeline is now externally
-#: hash-verified) — then (b) the staleness backlog computed from
-#: CORRECTNESS_r01-r04 + the round-5 window, oldest-first: the 1
-#: remaining r1-latest row (agg_hll_sketch_union, which ceded its
-#: round-5 slot), all 22 other r2-latest rows, and the
-#: alphabetically-first r3-latest rows up to the 50-slot budget
-#: (deferring window_running_totals / window_session_per_user — and
-#: one more r3 row per additional round-6 new query, tail-first).
-#: After this round no query's latest external row predates round 3.
-#: Names absent from this list follow in registration order; names
-#: listed but not registered are ignored.
+#: semantics-touched in round 6 — seven new queries (stream-stream
+#: left-semi join, salted skew join, MMR re-rank, streaming sliding
+#: window, duplicated-ngram-span dedup, TPC-H Q6/Q14 shapes) plus
+#: dedup_minhash_lsh,
+#: dedup_simhash and agg_approx_count_distinct, which flipped from rows-only to FULL-replay oracles
+#: (the pure-SQL XXH64 in functions/xxh64_sql.py replays Spark's
+#: xxhash64 bit-exactly, so the entire signature/banding pipeline is
+#: now externally hash-verified) — then (b) the staleness backlog
+#: computed from CORRECTNESS_r01-r04 + the round-5 window,
+#: oldest-first: the 1 remaining r1-latest row (agg_hll_sketch_union,
+#: which ceded its round-5 slot), all 22 other r2-latest rows, and
+#: the alphabetically-first r3-latest rows up to the 50-slot budget.
+#: Each round-6 new query displaced one r3 tail slot; the deferred r3
+#: remainder (scalar_try_arithmetic, similarity_ann_lsh,
+#: similarity_embedding_near_dup,
+#: stream_count_or_time_batcher, the three udf_* rows,
+#: window_running_totals, window_session_per_user) leads the round-7
+#: refresh. After this round no query's latest external row predates
+#: round 3. Names absent from this list follow in registration
+#: order; names listed but not registered are ignored.
 _PRIORITY_ORDER = (
     # -- (a) new/touched in round 6 (each new query displaced one r3
     # tail slot, udf_udtf_lateral_split first)
     "stream_stream_left_semi",
     "join_salted_skew",
+    "similarity_mmr_rerank",
+    "stream_sliding_counts",
+    "dedup_duplicate_ngram_spans",
+    "tpch_q6_revenue_delta",
+    "tpch_q14_promo_share",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "agg_approx_count_distinct",  # oracle flipped r6: HLL++ replay
     # -- (b) staleness backlog: the r1 survivor, then r2-latest
     "agg_hll_sketch_union",
     "agg_corr_regression",
@@ -108,12 +120,6 @@ _PRIORITY_ORDER = (
     "profile_orders_columns",
     "sample_stratified_by_lang",
     "sample_uniform_documents",
-    "scalar_try_arithmetic",
-    "similarity_ann_lsh",
-    "similarity_embedding_near_dup",
-    "stream_count_or_time_batcher",
-    "udf_grouped_zscore",
-    "udf_pandas_vectorized",
 )
 
 

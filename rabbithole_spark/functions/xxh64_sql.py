@@ -178,6 +178,31 @@ def xxh64_unsigned_sql(expr: str) -> str:
     return body
 
 
+#: hashLong's initial state: seed + P5 + 8 (8 = byte length of a long).
+_HLONG_0 = (_SEED + _P5 + 8) & _M64
+
+
+def xxh64_long_unsigned_sql(expr: str) -> str:
+    """DuckDB HUGEINT expression: XXH64's fixed-width LONG fast path at
+    seed 42 — ``fmix(rotl27(h0 ^ (rotl31(v*P2)*P1)) * P1 + P4)`` — the
+    hash Spark's hash expressions AND the HyperLogLog++ register
+    mapping use for a BIGINT column.  ``expr`` must be BIGINT-valued;
+    negative values hash as their two's-complement unsigned word
+    (bitwise & on a negative HUGEINT is 128-bit two's-complement, so
+    ``& M64`` yields exactly the reinterpreted unsigned long).
+    """
+    vu = f"(({expr})::HUGEINT & {_h(_M64)})"
+    k1 = _mulc(_rotl(_mulc(vu, _P2), 31), _P1)
+    h = f"((({_mulc(_rotl(f'xor({_h(_HLONG_0)}, {k1})', 27), _P1)}) + {_h(_P4)}) & {_h(_M64)})"
+    a1 = _mulc("xor(__lh, __lh >> 33)", _P2)
+    a2 = _mulc("xor(__la, __la >> 29)", _P3)
+    out = "xor(__lb, __lb >> 32)"
+    body = out
+    for var, val in (("__lb", a2), ("__la", a1), ("__lh", h)):
+        body = f"list_transform([{val}], {var} -> {body})[1]"
+    return body
+
+
 def xxh64_sql(expr: str) -> str:
     """DuckDB BIGINT expression equal to Spark's ``F.xxhash64(expr)``
     (the unsigned hash reinterpreted as a signed two's-complement

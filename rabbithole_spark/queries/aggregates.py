@@ -192,12 +192,52 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hllpp_oracle() -> str:
+    """Replays Spark's HyperLogLog++ estimator exactly, in its
+    linear-counting regime.
+
+    rsd=0.02 -> p = ceil(2*log2(1.106/0.02)) = 12 -> m = 4096
+    registers; register(v) = hashLong(v, 42) >>> 52 (the same XXH64
+    long fast path, now in functions/xxh64_sql.py). The driver corpus
+    keeps every group's cardinality <= 1500 << m, so V = m - occupied
+    registers is always > 0 and H = m*ln(m/V) <= THRESHOLD(p)=11500 —
+    the estimator returns Math.round(H) = floor(H+0.5) without ever
+    touching the raw-estimate/bias interpolation tables (verified at
+    all three SFs; register occupancy, not ranks, fully determines the
+    answer in this regime, so the oracle needs only DISTINCT register
+    indexes). Outside that regime this oracle would diverge — the
+    docstring pin is the same measured-regime contract class as the
+    MinHash recall audit.
+    """
+    from rabbithole_spark.functions.xxh64_sql import xxh64_long_unsigned_sql
+
+    m = 1 << 12
+    return f"""
+WITH regs AS (
+  SELECT event_type, ({xxh64_long_unsigned_sql('user_id')}) >> 52 AS reg
+  FROM (SELECT DISTINCT event_type, user_id FROM events
+        WHERE user_id IS NOT NULL)
+),
+v AS (
+  SELECT event_type, {m} - count(DISTINCT reg) AS nzero
+  FROM regs GROUP BY event_type
+)
+SELECT event_type,
+       CAST(floor({m} * ln({m}.0 / nzero) + 0.5) AS BIGINT) AS approx_users
+FROM v
+"""
+
+
 @register(
     "agg_approx_count_distinct",
-    oracle=None,  # approximate — engines use different sketches; rows-only
+    oracle=_hllpp_oracle(),
     doc="HLL-sketch distinct estimation (the 100 TB-scale path for "
     "cardinality; exact count-distinct shuffles every distinct value). "
-    "Tolerance vs exact is externally hash-verified every round by "
+    "Hash-green since round 6: the oracle replays the HLL++ estimator "
+    "itself — XXH64-long register mapping + linear counting + "
+    "Math.round — value-exact, not tolerance-checked (see "
+    "_hllpp_oracle for the linear-counting-regime pin). Tolerance vs "
+    "exact additionally hash-verified every round by "
     "sketch_tolerance_audit.",
 )
 def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -360,6 +360,93 @@ def dedup_minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SPAN_K = 20
+
+
+def _dup_spans_oracle() -> str:
+    """Replays the duplicated-span scan: per-position 20-token gram
+    hashes (xxh64 of the space-joined gram — the same reduced key the
+    Spark side shuffles), corpus-wide multiplicity, per-doc rollup."""
+    from rabbithole_spark.functions.xxh64_sql import xxh64_sql
+
+    k = _SPAN_K
+    grams = (
+        f"list_transform(range(1, greatest(len(w) - {k - 1}, 1) + 1), "
+        f"i -> array_to_string(list_slice(w, i, i + {k - 1}), ' '))"
+    )
+    return f"""
+WITH ex AS MATERIALIZED (
+  SELECT doc_id, {xxh64_sql('gram')} AS h
+  FROM (
+    SELECT doc_id, unnest({grams}) AS gram
+    FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+          FROM documents))
+),
+dup AS (SELECT h FROM ex GROUP BY h HAVING count(*) > 1)
+SELECT e.doc_id,
+       count(*) AS n_grams,
+       CAST(sum(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_grams,
+       round(CAST(sum(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS dup_ratio
+FROM ex e LEFT JOIN dup d ON e.h = d.h
+GROUP BY e.doc_id
+"""
+
+
+@register(
+    "dedup_duplicate_ngram_spans",
+    oracle=_dup_spans_oracle(),
+    doc="Exact duplicated-SPAN detection (the substring-level dedup "
+    "pass training pipelines run after document-level dedup — "
+    "boilerplate and quoted passages duplicate spans, not whole "
+    "docs): every 20-token gram position is hashed (xxhash64 — an "
+    "8-byte shuffle key instead of a ~120-byte string), grams "
+    "occurring 2+ times corpus-wide are flagged, and each doc "
+    "reports its duplicated-gram ratio. All shuffles are linear in "
+    "corpus token count; the exploded (doc, hash) relation feeds "
+    "both the multiplicity agg and the join-back, so it is "
+    "localCheckpoint'd once (NOTES lesson 9). The oracle replays "
+    "the gram hashing bit-exactly via functions/xxh64_sql.py.",
+)
+def dedup_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = _SPAN_K
+    d = spread(table(spark, sf_dir, "documents"))
+    words = F.split(F.trim(F.col("text")), r"[ \t\n\r\f]+")
+    n = F.size(words)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    gram_hashes = F.transform(
+        idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i, k)))
+    )
+    ex = d.select(
+        "doc_id", F.explode_outer(gram_hashes).alias("h")
+    ).localCheckpoint(eager=False)
+    dup = (
+        ex.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > 1)
+        .select("h", F.lit(1).alias("is_dup"))
+    )
+    return (
+        ex.join(dup, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("is_dup"), F.lit(0))).alias("n_dup_grams"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_dup_grams",
+            F.round(
+                F.col("n_dup_grams").cast("double")
+                / F.col("n_grams").cast("double"),
+                6,
+            ).alias("dup_ratio"),
+        )
+    )
+
+
 def _simhash_oracle() -> str:
     """SimHash replay in the oracle dialect: xxh64 (unsigned) per
     distinct shingle, 64 per-bit +1/-1 vote sums, positive votes OR'd
@@ -537,6 +624,153 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         _near_dup_planes(),
         k=10,
         id_cols=["vec_id", "label"],
+    )
+
+
+_MMR_LAMBDA = 0.7
+_MMR_POOL = 32
+_MMR_K = 10
+
+
+def _dot_sql(a: str, b: str) -> str:
+    """Sequential-fold double dot product — the oracle twin of
+    operators.similarity.dot (list order == Spark's zip_with fold)."""
+    return (
+        f"list_aggregate(list_transform(range(1, len({a}) + 1), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), 'sum')"
+    )
+
+
+def _mmr_oracle() -> str:
+    """Greedy MMR replayed as {_MMR_K} unrolled CTE steps: the top-pool
+    candidates by exact cosine, the pairwise candidate-cosine matrix,
+    then step k picks argmax(lambda*rel - (1-lambda)*max-sim-to-
+    selected) over the not-yet-selected pool, ties to the lowest
+    vec_id. Every float op (sequential dot fold, sqrt, the lambda
+    blend) has the identical expression shape on both engines, so the
+    scores — and therefore the argmax choices — are bit-equal."""
+    lam = _MMR_LAMBDA
+    cos_ab = (
+        f"{_dot_sql('a.e', 'b.e')} / "
+        f"(sqrt({_dot_sql('a.e', 'a.e')}) * sqrt({_dot_sql('b.e', 'b.e')}))"
+    )
+    # MATERIALIZED: DuckDB inlines CTEs by default, so the k unrolled
+    # steps would re-expand pair -> cand -> parquet scans exponentially
+    # (the dedup_components oracle hit the same wall in round 5)
+    ctes = [
+        "q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)",
+        f"""cand AS MATERIALIZED (
+  SELECT vec_id, label, embedding AS e,
+         {_dot_sql('embedding', 'q.qe')} /
+         (sqrt({_dot_sql('embedding', 'embedding')}) * sqrt({_dot_sql('q.qe', 'q.qe')})) AS rel
+  FROM embeddings, q
+  WHERE vec_id <> 0
+  ORDER BY rel DESC, vec_id
+  LIMIT {_MMR_POOL})""",
+        f"""pair AS MATERIALIZED (
+  SELECT a.vec_id AS ia, b.vec_id AS ib, {cos_ab} AS s
+  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id)""",
+        f"""s1 AS (
+  SELECT vec_id, {lam} * rel AS mmr, 1 AS rank
+  FROM cand ORDER BY rel DESC, vec_id LIMIT 1)""",
+        "a1 AS MATERIALIZED (SELECT * FROM s1)",
+    ]
+    for k in range(2, _MMR_K + 1):
+        ctes.append(f"""s{k} AS (
+  SELECT c.vec_id,
+         {lam} * c.rel - {1 - lam} * (
+           SELECT max(p.s) FROM pair p
+           WHERE p.ia = c.vec_id
+             AND p.ib IN (SELECT vec_id FROM a{k - 1})) AS mmr,
+         {k} AS rank
+  FROM cand c
+  WHERE c.vec_id NOT IN (SELECT vec_id FROM a{k - 1})
+  ORDER BY mmr DESC, c.vec_id
+  LIMIT 1)""")
+        ctes.append(
+            f"a{k} AS MATERIALIZED "
+            f"(SELECT * FROM a{k - 1} UNION ALL SELECT * FROM s{k})"
+        )
+    joined = ",\n".join(ctes)
+    return f"""
+WITH {joined}
+SELECT a.rank, a.vec_id, c.label, round(a.mmr, 6) AS mmr_score
+FROM a{_MMR_K} a JOIN cand c ON c.vec_id = a.vec_id
+"""
+
+
+@register(
+    "similarity_mmr_rerank",
+    oracle=_mmr_oracle(),
+    doc="Maximal-marginal-relevance re-ranking (the diversity pass a "
+    "retrieval pipeline runs after ANN): distributed exact-cosine "
+    "top-32 candidate pool (codegen fold + TakeOrderedAndProject — "
+    "the 100 TB-scan part), then greedy selection of 10 results "
+    "maximizing lambda*relevance - (1-lambda)*max-similarity-to-"
+    "selected on the driver over the 32 collected vectors — the same "
+    "bounded k x dim driver-fold class as the k-means centroid loop. "
+    "Greedy is inherently sequential in k; the per-step argmax over a "
+    "pool that stays distributed would shuffle 10 times for a 32-row "
+    "decision. Oracle unrolls the greedy into 10 CTE steps with "
+    "bit-equal float expressions, so selection ORDER (not just the "
+    "set) is externally verified.",
+)
+def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rabbithole_spark.operators.similarity import cosine
+
+    lam = _MMR_LAMBDA
+    qv = _query_vector(spark, sf_dir)
+    q = F.array(*[F.lit(float(x)) for x in qv])
+    emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    pool = (
+        emb.select(
+            "vec_id",
+            "label",
+            "embedding",
+            cosine(F.col("embedding"), q).alias("rel"),
+        )
+        .orderBy(F.desc("rel"), "vec_id")
+        .limit(_MMR_POOL)
+        .collect()
+    )
+
+    def dot(a, b):  # same left-fold order as the codegen zip_with dot
+        s = 0.0
+        for x, y in zip(a, b):
+            s += float(x) * float(y)
+        return s
+
+    import math
+
+    norms = {r["vec_id"]: math.sqrt(dot(r["embedding"], r["embedding"])) for r in pool}
+
+    def cos(ra, rb):
+        return dot(ra["embedding"], rb["embedding"]) / (
+            norms[ra["vec_id"]] * norms[rb["vec_id"]]
+        )
+
+    selected: list[tuple[int, int, int, float]] = []  # rank, vec_id, label, mmr
+    chosen: list = []
+    remaining = list(pool)
+    for rank in range(1, _MMR_K + 1):
+        if not remaining:  # pool smaller than k: oracle's step CTEs
+            break          # come back empty past the pool, same result
+        best = None
+        best_score = None
+        for c in remaining:
+            pen = max((cos(c, s) for s in chosen), default=0.0)
+            score = lam * c["rel"] - (1 - lam) * pen
+            if (
+                best is None
+                or score > best_score
+                or (score == best_score and c["vec_id"] < best["vec_id"])
+            ):
+                best, best_score = c, score
+        selected.append((rank, best["vec_id"], best["label"], round(best_score, 6)))
+        chosen.append(best)
+        remaining = [c for c in remaining if c["vec_id"] != best["vec_id"]]
+    return spark.createDataFrame(
+        selected, "rank int, vec_id long, label int, mmr_score double"
     )
 
 

@@ -123,6 +123,46 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+_SLIDING_STREAM_ORACLE = """
+WITH offsets(k) AS (VALUES (0), (1))
+SELECT time_bucket(INTERVAL '30 minutes', ts) - k * INTERVAL '30 minutes' AS window_start,
+       count(*) AS n_events
+FROM events CROSS JOIN offsets
+GROUP BY 1
+"""
+
+
+@register(
+    "stream_sliding_counts",
+    oracle=_SLIDING_STREAM_ORACLE,
+    doc="Structured Streaming SLIDING-window aggregation (1h width, 30m "
+    "slide — each event lands in 2 overlapping windows) with "
+    "watermark over the events stream. Complete output mode over the "
+    "deterministic single-file bounded stream, same contract as "
+    "stream_tumbling_counts; the oracle is the batch twin's "
+    "bucket-offset expansion. Completes the streaming window family: "
+    "tumbling / sliding / session.",
+)
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    name = f"stream_sliding_{uuid.uuid4().hex[:8]}"
+    agg = (
+        _read_events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("window.start").alias("window_start"), "n_events")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
 _DISTINCT_KEYS_ORACLE = """
 SELECT DISTINCT user_id, event_type FROM events
 """

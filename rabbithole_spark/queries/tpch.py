@@ -202,3 +202,90 @@ def tpch_q4_exists_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_late_orders"))
         .orderBy("o_orderpriority")
     )
+
+
+_Q6_ORACLE = f"""
+SELECT {sql_dsum("l_extendedprice * l_discount", "revenue_delta", 4)},
+       count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@register(
+    "tpch_q6_revenue_delta",
+    oracle=_Q6_ORACLE,
+    doc="TPC-H Q6 shape: the pure-pushdown probe — every predicate "
+    "(shipdate range, discount band, quantity cap) reaches the "
+    "parquet scan as PushedFilters, then a single partial-aggregated "
+    "global sum. The canonical 'how much would revenue change' "
+    "what-if; at 100 TB the plan is scan-local except one 1-row "
+    "final-agg exchange.",
+)
+def tpch_q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+            & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-01-01")))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue_delta", 4),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+_Q14_ORACLE = f"""
+SELECT CAST(month(l_shipdate) AS INTEGER) AS ship_month,
+       {sql_dsum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END", "promo_revenue", 4)},
+       {sql_dsum("l_extendedprice * (1 - l_discount)", "total_revenue", 4)},
+       -- lateral alias refs: the ratio divides the SAME two converted
+       -- doubles Spark divides, not re-aggregated expressions
+       round(100.0 * promo_revenue / total_revenue, 6) AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY 1
+"""
+
+
+@register(
+    "tpch_q14_promo_share",
+    oracle=_Q14_ORACLE,
+    doc="TPC-H Q14 shape: promo revenue share per ship month — "
+    "broadcast part dim join (fact never shuffles for it), "
+    "conditional decimal-exact sums, ratio-of-sums in double. The "
+    "conditional-aggregation-over-join pattern; plan at scale: "
+    "pushed date range, one month-key exchange.",
+)
+def tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-01-01")))
+    )
+    part = F.broadcast(table(spark, sf_dir, "part"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    out = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy(F.month("l_shipdate").cast("int").alias("ship_month"))
+        .agg(
+            dsum(promo, "promo_revenue", 4),
+            dsum(rev, "total_revenue", 4),
+        )
+    )
+    return out.select(
+        "ship_month",
+        "promo_revenue",
+        "total_revenue",
+        F.round(
+            100.0 * F.col("promo_revenue") / F.col("total_revenue"), 6
+        ).alias("promo_pct"),
+    )

@@ -161,3 +161,24 @@ def test_duckdb_matches_spark_end_to_end(spark, con):
     }
     for s in CASES:
         assert got[s] == _duck(con, s), repr(s)
+
+
+LONG_CASES = [0, 1, -1, 42, 7, -7, 2**31, -(2**31), 2**62, -(2**63),
+              (2**63) - 1, 123456789012345, -987654321]
+
+
+def test_long_fast_path_matches_spark(spark):
+    """Spark's xxhash64 over a BIGINT column takes XXH64's fixed-width
+    long path — the same mapping HLL++ registers use. Pin the SQL twin
+    against it across sign/magnitude extremes."""
+    from rabbithole_spark.functions.xxh64_sql import xxh64_long_unsigned_sql
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(f"CREATE MACRO hl(v) AS {xxh64_long_unsigned_sql('v')}")
+    df = spark.createDataFrame([(v,) for v in LONG_CASES], "v long")
+    got = {r["v"]: r["h"] for r in df.select("v", F.xxhash64("v").alias("h")).collect()}
+    for v in LONG_CASES:
+        u = int(con.execute("SELECT hl(?::BIGINT)", [v]).fetchone()[0])
+        assert _signed(u) == got[v], v
