@@ -49,10 +49,10 @@ _QUERY_MODULES = (
 #: left-semi join, salted skew join, MMR re-rank, streaming sliding
 #: window, duplicated-ngram-span dedup, TPC-H Q6/Q14 shapes) plus
 #: dedup_minhash_lsh,
-#: dedup_simhash and agg_approx_count_distinct, which flipped from rows-only to FULL-replay oracles
-#: (the pure-SQL XXH64 in functions/xxh64_sql.py replays Spark's
-#: xxhash64 bit-exactly, so the entire signature/banding pipeline is
-#: now externally hash-verified) — then (b) the staleness backlog
+#: dedup_simhash and agg_approx_count_distinct, which flipped from
+#: rows-only to FULL-replay oracles (functions/xxh64_sql.py replays
+#: Spark's xxhash64 bit-exactly — string path for the MinHash/SimHash
+#: signature+banding pipelines, long path for the HLL++ registers) — then (b) the staleness backlog
 #: computed from CORRECTNESS_r01-r04 + the round-5 window,
 #: oldest-first: the 1 remaining r1-latest row (agg_hll_sketch_union,
 #: which ceded its round-5 slot), all 22 other r2-latest rows, and
@@ -66,8 +66,8 @@ _QUERY_MODULES = (
 #: round 3. Names absent from this list follow in registration
 #: order; names listed but not registered are ignored.
 _PRIORITY_ORDER = (
-    # -- (a) new/touched in round 6 (each new query displaced one r3
-    # tail slot, udf_udtf_lateral_split first)
+    # -- (a) new/touched in round 6 (each entry displaced one r3 tail
+    # slot into the round-7 deferred list above)
     "stream_stream_left_semi",
     "join_salted_skew",
     "similarity_mmr_rerank",

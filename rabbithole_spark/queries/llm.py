@@ -181,15 +181,25 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs)
 
 
-#: The oracles' shingle expression — identical semantics to
+#: The oracles' shingle relation — identical semantics to
 #: operators.dedup.word_shingles(k=3): RE2 \s == the explicit
-#: [ \t\n\r\f]+ class the Spark side tokenizes with.
-_SHINGLES_SQL = """list_distinct(
+#: [ \t\n\r\f]+ class the Spark side tokenizes with. The word list is
+#: bound ONCE in a subquery (not re-split per shingle index), and NULL
+#: text is excluded to match the Spark side's explicit isNotNull guard
+#: (Spark's concat_ws would squash a NULL slice to '' and hash it; the
+#: oracle's split would propagate NULL — the divergence class round 5
+#: fixed in corpus_snapshot_diff/source_overlap_matrix).
+_SHINGLES_CTE = """sh AS (
+  SELECT doc_id,
+         list_distinct(
            list_transform(
-             range(1, greatest(len(string_split_regex(trim(text), '\\s+')) - 2, 1) + 1),
-             i -> array_to_string(list_slice(string_split_regex(trim(text), '\\s+'), i, i + 2), ' ')
+             range(1, greatest(len(w) - 2, 1) + 1),
+             i -> array_to_string(list_slice(w, i, i + 2), ' ')
            )
-         )"""
+         ) AS shingles
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+        FROM documents WHERE text IS NOT NULL)
+)"""
 
 
 def _minhash_lsh_oracle(threshold: float) -> str:
@@ -226,10 +236,7 @@ def _minhash_lsh_oracle(threshold: float) -> str:
         " / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE)"
     )
     return f"""
-WITH sh AS (
-  SELECT doc_id, {_SHINGLES_SQL} AS shingles
-  FROM documents
-),
+WITH {_SHINGLES_CTE},
 hx AS (
   SELECT doc_id, {base} AS h
   FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)
@@ -273,7 +280,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _lsh_verified_pairs(d: DataFrame, threshold: float) -> DataFrame:
     """Shared LSH-candidate -> exact-Jaccard-verified pipeline
-    (dedup_minhash_lsh at 0.2; dedup_minhash_recall_audit at 0.8)."""
+    (dedup_minhash_lsh at 0.2; dedup_minhash_recall_audit at 0.8).
+
+    NULL-text docs are excluded explicitly: Spark's concat_ws would
+    squash a NULL slice to '' and give the doc a real signature, while
+    the oracles' split propagates NULL and drops it — the cross-engine
+    divergence class round 5 eliminated elsewhere (coalesce-hash
+    guards). A NULL document has no content to dedup; both engines now
+    agree it does not participate.
+    """
+    d = d.filter(F.col("text").isNotNull())
     sh = d.select(
         "doc_id",
         word_shingles(F.col("text"), 3).alias("shingles"),
@@ -380,7 +396,7 @@ WITH ex AS MATERIALIZED (
   FROM (
     SELECT doc_id, unnest({grams}) AS gram
     FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
-          FROM documents))
+          FROM documents WHERE text IS NOT NULL))
 ),
 dup AS (SELECT h FROM ex GROUP BY h HAVING count(*) > 1)
 SELECT e.doc_id,
@@ -411,7 +427,10 @@ GROUP BY e.doc_id
 )
 def dedup_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = _SPAN_K
-    d = spread(table(spark, sf_dir, "documents"))
+    # NULL-text guard: see _lsh_verified_pairs
+    d = spread(
+        table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    )
     words = F.split(F.trim(F.col("text")), r"[ \t\n\r\f]+")
     n = F.size(words)
     idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
@@ -463,10 +482,7 @@ def _simhash_oracle() -> str:
         for b in range(64)
     )
     return f"""
-WITH sh AS (
-  SELECT doc_id, {_SHINGLES_SQL} AS shingles
-  FROM documents
-),
+WITH {_SHINGLES_CTE},
 hx AS (
   SELECT doc_id, {xxh64_unsigned_sql('s')} AS u
   FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)
@@ -494,7 +510,10 @@ FROM votes
     "full bit-vote fold, value-exact per document.",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash(spread(table(spark, sf_dir, "documents")), "text", "doc_id")
+    # NULL-text guard: see _lsh_verified_pairs — the oracle's split
+    # drops NULL docs, Spark's concat_ws would signature them
+    d = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return simhash(spread(d), "text", "doc_id")
 
 
 # --- similarity search --------------------------------------------------------
@@ -699,6 +718,31 @@ FROM a{_MMR_K} a JOIN cand c ON c.vec_id = a.vec_id
 """
 
 
+def _mmr_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed half of MMR: exact-cosine top-pool candidates.
+
+    Kept as a separate DataFrame builder so its plan is auditable —
+    the registered query collects it, so the SHUFFLE_BUDGETS entry
+    only sees the driver-side result relation;
+    test_mmr_pool_plan_is_shuffle_free pins THIS plan instead.
+    """
+    from rabbithole_spark.operators.similarity import cosine
+
+    qv = _query_vector(spark, sf_dir)
+    q = F.array(*[F.lit(float(x)) for x in qv])
+    emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    return (
+        emb.select(
+            "vec_id",
+            "label",
+            "embedding",
+            cosine(F.col("embedding"), q).alias("rel"),
+        )
+        .orderBy(F.desc("rel"), "vec_id")
+        .limit(_MMR_POOL)
+    )
+
+
 @register(
     "similarity_mmr_rerank",
     oracle=_mmr_oracle(),
@@ -716,23 +760,8 @@ FROM a{_MMR_K} a JOIN cand c ON c.vec_id = a.vec_id
     "set) is externally verified.",
 )
 def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rabbithole_spark.operators.similarity import cosine
-
     lam = _MMR_LAMBDA
-    qv = _query_vector(spark, sf_dir)
-    q = F.array(*[F.lit(float(x)) for x in qv])
-    emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
-    pool = (
-        emb.select(
-            "vec_id",
-            "label",
-            "embedding",
-            cosine(F.col("embedding"), q).alias("rel"),
-        )
-        .orderBy(F.desc("rel"), "vec_id")
-        .limit(_MMR_POOL)
-        .collect()
-    )
+    pool = _mmr_pool(spark, sf_dir).collect()
 
     def dot(a, b):  # same left-fold order as the codegen zip_with dot
         s = 0.0

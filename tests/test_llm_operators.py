@@ -547,3 +547,49 @@ def test_simhash_pigeonhole_block_join_equals_bruteforce(spark):
                 if ham <= 3:
                     want.add((i, j, ham))
     assert got == want and len(want) >= 3
+
+
+def test_xxh64_oracles_agree_on_null_and_empty_text(spark, tmp_path):
+    """Differential edge-corpus test driving the REGISTERED queries:
+    a corpus containing NULL and empty text must produce identical
+    results from the Spark query and its DuckDB oracle. Without the
+    isNotNull guards, Spark's concat_ws squashes a NULL slice to ''
+    (the doc gets a real signature / gram hash) while the oracle's
+    split propagates NULL and drops the doc — reproduced as dup_ratio
+    1.0-vs-0.0 and 4-vs-2 rows before the guards landed."""
+    import shutil
+
+    from rabbithole_spark.catalog import load_all
+    from rabbithole_spark.oracle import compare, duckdb_connect
+
+    sf = str(tmp_path)
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "embeddings"):
+        shutil.copy(f"/root/testdata/sf0.001/{t}.parquet", f"{sf}/{t}.parquet")
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta", "en", "s0", 35),
+            (2, None, "en", "s0", 0),
+            (3, "", "en", "s0", 0),
+            (4, None, "de", "s1", 0),
+            (5, "alpha beta gamma delta epsilon zeta", "en", "s1", 35),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(f"{sf}/_docs")
+    import glob
+    import os
+
+    part_file = glob.glob(f"{sf}/_docs/part-*.parquet")[0]
+    shutil.copy(part_file, f"{sf}/documents.parquet")
+    con = duckdb_connect(sf)
+    specs = load_all()
+    for name in (
+        "dedup_minhash_lsh",
+        "dedup_minhash_recall_audit",
+        "dedup_simhash",
+        "dedup_duplicate_ngram_spans",
+    ):
+        spec = specs[name]
+        report = compare(name, spec.fn(spark, sf), spec.oracle, con)
+        assert report.ok, f"{name}: {report}"

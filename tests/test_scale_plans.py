@@ -496,3 +496,26 @@ def test_ivf_publish_pins_own_generation_and_protects_readers(
     aside = [p for p in os.listdir(tmp_path)
              if p.startswith("ivf_legacy.gen-legacy-")]
     assert aside
+
+
+def test_mmr_pool_plan_is_shuffle_free(spark):
+    """similarity_mmr_rerank collects its candidate pool inside the
+    query fn, so the registry-wide budget test only audits the
+    driver-side result relation. Pin the DISTRIBUTED half here: the
+    exact-cosine top-pool must stay scan + TakeOrderedAndProject with
+    zero non-broadcast Exchanges (a global sort or repartition
+    sneaking in would regress the 100 TB path unseen)."""
+    from rabbithole_spark.queries.llm import _mmr_pool
+
+    plan = (
+        _mmr_pool(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    )
+    n = sum(
+        1
+        for line in plan.splitlines()
+        if "Exchange " in line
+        and "Broadcast" not in line
+        and "Reused" not in line
+    )
+    assert n == 0, plan
+    assert "TakeOrderedAndProject" in plan, plan
