@@ -58,7 +58,9 @@ _QUERY_MODULES = (
 #: which ceded its round-5 slot), all 22 other r2-latest rows, and
 #: the alphabetically-first r3-latest rows up to the 50-slot budget.
 #: Each round-6 new query displaced one r3 tail slot; the deferred r3
-#: remainder (scalar_try_arithmetic, similarity_ann_lsh,
+#: remainder (sample_stratified_by_lang, sample_uniform_documents,
+#: scalar_try_arithmetic,
+#: similarity_ann_lsh,
 #: similarity_embedding_near_dup,
 #: stream_count_or_time_batcher, the three udf_* rows,
 #: window_running_totals, window_session_per_user) leads the round-7
@@ -75,6 +77,8 @@ _PRIORITY_ORDER = (
     "dedup_duplicate_ngram_spans",
     "tpch_q6_revenue_delta",
     "tpch_q14_promo_share",
+    "similarity_range_search",
+    "text_readability_scores",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "agg_approx_count_distinct",  # oracle flipped r6: HLL++ replay
@@ -118,8 +122,6 @@ _PRIORITY_ORDER = (
     "multimodal_resize_pipeline",
     "pipeline_param_mapping",
     "profile_orders_columns",
-    "sample_stratified_by_lang",
-    "sample_uniform_documents",
 )
 
 

@@ -646,6 +646,108 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RANGE_TAU = 0.25
+
+_RANGE_SEARCH_ORACLE = f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT vec_id, label,
+         list_aggregate(list_transform(range(1, len(embedding) + 1),
+           i -> CAST(embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)), 'sum')
+         / (sqrt(list_aggregate(list_transform(range(1, len(embedding) + 1),
+              i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), 'sum'))
+            * sqrt(list_aggregate(list_transform(range(1, len(qe) + 1),
+                i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)), 'sum'))) AS raw
+  FROM embeddings, q
+  WHERE vec_id <> 0
+)
+SELECT vec_id, label, round(raw, 6) AS cosine_sim
+FROM scored WHERE raw >= {_RANGE_TAU}
+"""
+
+
+@register(
+    "similarity_range_search",
+    oracle=_RANGE_SEARCH_ORACLE,
+    doc="Range (radius) similarity search: ALL vectors within cosine "
+    ">= tau of the query, not a fixed top-k — the dedup-threshold / "
+    "recall-sweep API a retrieval stack needs alongside top-k. Same "
+    "codegen fold as the brute-force baseline; the predicate filters "
+    "the RAW cosine (rounding only the output, the repo-wide boundary "
+    "policy), and the scan is embarrassingly parallel — no shuffle at "
+    "all, the filter rides the scan at 100 TB.",
+)
+def similarity_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rabbithole_spark.operators.similarity import cosine
+
+    qv = _query_vector(spark, sf_dir)
+    q = F.array(*[F.lit(float(x)) for x in qv])
+    emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    raw = cosine(F.col("embedding"), q)
+    return (
+        emb.select("vec_id", "label", raw.alias("_raw"))
+        .filter(F.col("_raw") >= _RANGE_TAU)
+        .select("vec_id", "label", F.round("_raw", 6).alias("cosine_sim"))
+    )
+
+
+_READABILITY_ORACLE = """
+SELECT doc_id,
+       CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_words,
+       CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT)
+         AS n_sentences,
+       CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+         AS n_syllables,
+       round(206.835
+             - 1.015 * (CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)
+                        / CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS DOUBLE))
+             - 84.6 * (CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS DOUBLE)
+                       / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)),
+             6) AS flesch
+FROM documents
+WHERE text IS NOT NULL
+"""
+
+
+@register(
+    "text_readability_scores",
+    oracle=_READABILITY_ORACLE,
+    doc="Flesch-reading-ease quality feature per document: word count "
+    "(the repo's explicit whitespace class), sentence count "
+    "(punctuation runs, floored at 1 — the synthetic corpus has no "
+    "sentence punctuation, so the floor branch is the live one), and "
+    "a vowel-group syllable heuristic, blended with the classic "
+    "206.835/1.015/84.6 coefficients (identical literals on both "
+    "engines). Entirely JVM-side regex counting — row-local, zero "
+    "shuffle; the scale shape of every per-doc quality featurizer.",
+)
+def text_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # no spread(): three regex counts over ~300-char text are too cheap
+    # to amortize a text-bytes shuffle (measured 0.14s vs 0.25s warm at
+    # sf0.1 — NOTES lesson 8's bm25 case, not the 3-gram case)
+    d = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    words = F.size(F.split(F.trim(F.col("text")), r"[ \t\n\r\f]+")).cast("long")
+    sentences = F.greatest(
+        F.regexp_count(F.col("text"), F.lit(r"[.!?]+")), F.lit(1)
+    ).cast("long")
+    syllables = F.regexp_count(
+        F.lower(F.col("text")), F.lit("[aeiouy]+")
+    ).cast("long")
+    flesch = F.round(
+        F.lit(206.835)
+        - F.lit(1.015) * (words.cast("double") / sentences.cast("double"))
+        - F.lit(84.6) * (syllables.cast("double") / words.cast("double")),
+        6,
+    )
+    return d.select(
+        "doc_id",
+        words.alias("n_words"),
+        sentences.alias("n_sentences"),
+        syllables.alias("n_syllables"),
+        flesch.alias("flesch"),
+    )
+
+
 _MMR_LAMBDA = 0.7
 _MMR_POOL = 32
 _MMR_K = 10
