@@ -45,9 +45,10 @@ _QUERY_MODULES = (
 #: Registry emission order. External harnesses verify a bounded
 #: 50-query prefix of the registry per round, so queries needing
 #: external verification go FIRST: (a) every query added or
-#: semantics-touched in round 6 — seven new queries (stream-stream
+#: semantics-touched in round 6 — nine new queries (stream-stream
 #: left-semi join, salted skew join, MMR re-rank, streaming sliding
-#: window, duplicated-ngram-span dedup, TPC-H Q6/Q14 shapes) plus
+#: window, duplicated-ngram-span dedup, TPC-H Q6/Q14 shapes, range
+#: similarity search, Flesch readability) plus
 #: dedup_minhash_lsh,
 #: dedup_simhash and agg_approx_count_distinct, which flipped from
 #: rows-only to FULL-replay oracles (functions/xxh64_sql.py replays

@@ -726,7 +726,9 @@ def text_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     # to amortize a text-bytes shuffle (measured 0.14s vs 0.25s warm at
     # sf0.1 — NOTES lesson 8's bm25 case, not the 3-gram case)
     d = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    words = F.size(F.split(F.trim(F.col("text")), r"[ \t\n\r\f]+")).cast("long")
+    # token_count carries the shared explicit-whitespace-class invariant
+    # (Java \s adds \x0b over RE2's class — operators/text_analysis.py)
+    words = token_count(F.col("text")).cast("long")
     sentences = F.greatest(
         F.regexp_count(F.col("text"), F.lit(r"[.!?]+")), F.lit(1)
     ).cast("long")

@@ -593,3 +593,63 @@ def test_xxh64_oracles_agree_on_null_and_empty_text(spark, tmp_path):
         spec = specs[name]
         report = compare(name, spec.fn(spark, sf), spec.oracle, con)
         assert report.ok, f"{name}: {report}"
+
+
+def test_duplicate_span_detection_on_planted_span(spark, tmp_path):
+    """Two docs sharing one exact 20-token span (inside otherwise
+    distinct text) must both report exactly the shared gram positions
+    as duplicated; a doc with no shared span reports zero."""
+    import shutil
+
+    from rabbithole_spark.catalog import load_all
+
+    sf = str(tmp_path)
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "embeddings"):
+        shutil.copy(f"/root/testdata/sf0.001/{t}.parquet", f"{sf}/{t}.parquet")
+    shared = " ".join(f"tok{i}" for i in range(20))  # exactly one gram
+    docs = spark.createDataFrame(
+        [
+            (1, f"aaa bbb ccc {shared}", "en", "s0", 0),
+            (2, f"{shared} xxx yyy zzz", "en", "s0", 0),
+            (3, "unrelated words only here nothing shared at all", "en", "s0", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(f"{sf}/_docs")
+    import glob
+
+    shutil.copy(glob.glob(f"{sf}/_docs/part-*.parquet")[0], f"{sf}/documents.parquet")
+    out = {
+        r["doc_id"]: (r["n_grams"], r["n_dup_grams"])
+        for r in load_all()["dedup_duplicate_ngram_spans"]
+        .fn(spark, sf)
+        .collect()
+    }
+    # doc1: 23 tokens -> 4 gram positions; the span occupies only the
+    # LAST position (positions 1-3 mix prefix+span tokens, unique).
+    assert out[1] == (4, 1), out
+    # doc2: the span is the FIRST position; 3 trailing mixed grams unique
+    assert out[2] == (4, 1), out
+    assert out[3][1] == 0, out
+
+
+def test_mmr_rerank_invariants(spark):
+    """Rank-1 must be the highest-relevance candidate (penalty term is
+    zero for the first pick), ranks are 1..k over distinct vec_ids,
+    and mmr scores are finite."""
+    import math
+
+    from rabbithole_spark.catalog import load_all
+    from rabbithole_spark.queries.llm import _mmr_pool
+
+    sf = "/root/testdata/sf0.001"
+    rows = load_all()["similarity_mmr_rerank"].fn(spark, sf).collect()
+    assert [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])] == list(
+        range(1, len(rows) + 1)
+    )
+    assert len({r["vec_id"] for r in rows}) == len(rows)
+    assert all(math.isfinite(r["mmr_score"]) for r in rows)
+    top = _mmr_pool(spark, sf).collect()[0]
+    first = next(r for r in rows if r["rank"] == 1)
+    assert first["vec_id"] == top["vec_id"]
