@@ -1,15 +1,23 @@
-"""TPC-H-shaped flagship analytics (beyond Q1/Q5 in core/joins):
-shipping-priority (Q3) and returned-items (Q10) shapes adapted to the
-driver tables — multiway join + grouped decimal-exact revenue + top-k,
-the canonical "join then aggregate then rank" pattern whose plan at
-scale is: broadcast dims, one shuffle per fact join key, partial aggs,
-TakeOrderedAndProject for the top-k (no global sort).
+"""TPC-H-shaped flagship analytics (beyond Q1/Q5 in core/joins),
+adapted to the driver tables: Q3/Q10 (join-agg-rank), Q4 (EXISTS as
+semi join), Q6 (pure pushdown), Q7/Q8 (nation-pair / market-share
+multiway joins), Q13 (outer-join histogram), Q14 (conditional ratio),
+Q15 (top-over-view without re-aggregation), Q17 (correlated avg as a
+window), Q18 (HAVING-IN as agg-then-join), Q19 (disjunctive
+pushdown), Q21 (multi-EXISTS as one grouped pass), Q22 (scalar
+subquery + anti join). The driver schema has no partsupp table and no
+l_shipmode/l_commitdate/c_phone columns, so Q2/Q9/Q11/Q12/Q16/Q20
+have no faithful analog; every shape that is expressible is
+registered. Common plan discipline at scale: broadcast every dim,
+one shuffle per fact join key, partial aggs before every exchange,
+TakeOrderedAndProject for top-k (no global sort).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import DecimalType
 
 from rabbithole_spark.catalog import register
 from rabbithole_spark.functions.numeric import dsum, sql_dsum
