@@ -2277,7 +2277,7 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(table(spark, sf_dir, "documents"))
     words = d.select(
         "doc_id",
-        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word"),
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"[ \t\n\r\f]+")).alias("word"),
     )
     # localCheckpoint: dfreq and the scoring join both consume tf; an
     # un-materialized tf would re-run scan+explode+agg per branch
@@ -2362,7 +2362,7 @@ def text_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     words = d.select(
         "doc_id",
-        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word"),
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"[ \t\n\r\f]+")).alias("word"),
     )
     per_doc = words.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("dl"),
@@ -2374,7 +2374,7 @@ def text_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = d.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.avg(
-            F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+            F.size(F.split(F.lower(F.trim(F.col("text"))), r"[ \t\n\r\f]+"))
         ).alias("avgdl"),
     )
     tf = per_doc.select(
@@ -2649,7 +2649,7 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select(
             "doc_id",
             F.explode(
-                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+                F.split(F.lower(F.trim(F.col("text"))), r"[ \t\n\r\f]+")
             ).alias("word"),
         )
         .groupBy("doc_id", "word")
@@ -2952,7 +2952,7 @@ def pipeline_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select(
             "doc_id",
             F.explode(
-                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+                F.split(F.lower(F.trim(F.col("text"))), r"[ \t\n\r\f]+")
             ).alias("word"),
         )
         .groupBy("doc_id", "word")

@@ -1,0 +1,116 @@
+"""Whitespace-class regression pins (round 6).
+
+Java's ``\\s`` is ``[ \\t\\n\\x0b\\f\\r]`` while RE2/DuckDB's is
+``[ \\t\\n\\f\\r]`` — a vertical tab (\\x0b) tokenizes differently, so
+any Spark-side ``\\s`` regex against a DuckDB ``\\s`` oracle is a
+latent hash mismatch. Round 5 aligned most tokenization to the
+explicit ``[ \\t\\n\\r\\f]+`` class but missed four sites
+(tfidf/bm25/repetition/curation — VERDICT r5 "What's wrong" #2).
+These tests (a) grep the package so the Java class can't reappear in
+Spark-side raw strings, and (b) drive the four previously-missed
+REGISTERED queries end to end against their DuckDB oracles on a
+corpus where the two definitions disagree.
+"""
+
+from __future__ import annotations
+
+import math
+import pathlib
+import re
+
+import duckdb
+import pytest
+
+from rabbithole_spark.catalog import load_all
+
+_PKG = pathlib.Path(__file__).resolve().parents[1] / "rabbithole_spark"
+
+#: Spark-side regex literals are raw double-quoted strings in this
+#: repo; DuckDB oracle SQL carries its (RE2, correct) '\s+' inside
+#: single-quoted SQL string literals, which this pattern ignores.
+_JAVA_WS = re.compile(r"""r['"]\\s""")
+
+
+def test_no_java_whitespace_class_in_spark_side_regexes():
+    offenders = []
+    for path in sorted(_PKG.rglob("*.py")):
+        for lineno, line in enumerate(path.read_text().splitlines(), 1):
+            if _JAVA_WS.search(line):
+                offenders.append(f"{path}:{lineno}: {line.strip()}")
+    assert not offenders, (
+        "Java \\s regex (includes \\x0b, diverges from RE2/DuckDB) found "
+        "in Spark-side raw strings — use the explicit [ \\t\\n\\r\\f]+ "
+        "class (operators/text_analysis.tokens):\n" + "\n".join(offenders)
+    )
+
+
+#: Texts where Java-\s and RE2-\s tokenize DIFFERENTLY: vertical tabs
+#: glue tokens under the explicit class ("a\x0bb" is ONE token) but
+#: split them under Java \s. Repeated words + quality-band spread so
+#: repetition/curation branches all activate.
+_ADVERSARIAL_DOCS = [
+    # (doc_id, text, lang, source)
+    (1, "spark join vector spark join vector spark", "en", "web"),
+    (2, "spark\x0bjoin\x0bvector glued by vertical tabs", "en", "web"),
+    (3, "the the the the the the the the the the", "en", "forum"),
+    (4, "mixed \t tabs\nnewlines\r\fand formfeeds here", "en", "books"),
+    (5, "\x0b\x0b leading glue\x0btoken and spark join", "en", "books"),
+    (6, "a genuinely varied sentence about distributed query engines", "en", "wiki"),
+    (7, "vector vector spark spark join join done ok", "es", "wiki"),
+    (8, "", "en", "forum"),
+    (9, "   ", "en", "forum"),
+    (10, "spark\x0b spark\x0b spark\x0b spark repeated glue", "en", "web"),
+]
+
+_QUERIES = [
+    "text_tfidf_top_terms",
+    "text_bm25_ranking",
+    "text_repetition_filter",
+    "pipeline_curation_full",
+]
+
+
+def _rows_key(rows, cols):
+    out = []
+    for r in rows:
+        vals = []
+        for c in cols:
+            v = r[c] if not isinstance(r, tuple) else r[cols.index(c)]
+            if isinstance(v, float):
+                v = math.nan if v != v else round(v, 9)
+            vals.append(v)
+        out.append(tuple(vals))
+    return sorted(out, key=repr)
+
+
+@pytest.mark.parametrize("qname", _QUERIES)
+def test_tokenizing_query_matches_oracle_on_vertical_tab_corpus(
+    spark, tmp_path, qname
+):
+    df = spark.createDataFrame(
+        [
+            (i, t, lang, src, len(t))
+            for i, t, lang, src in _ADVERSARIAL_DOCS
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    tbl = str(tmp_path / "documents.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(tbl)
+
+    spec = load_all()[qname]
+    got_df = spec.fn(spark, str(tmp_path))
+    cols = sorted(got_df.columns)
+    got = _rows_key(
+        [r.asDict() for r in got_df.collect()], cols
+    )
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{tbl}/*.parquet'")
+    cur = con.execute(spec.oracle)
+    ocols = [d[0] for d in cur.description]
+    fetched = cur.fetchall()
+    want = _rows_key(
+        [dict(zip(ocols, r)) for r in fetched], cols
+    )
+    assert sorted(ocols) == cols, (ocols, cols)
+    assert got == want, f"{qname}: spark={got}\noracle={want}"
