@@ -132,6 +132,13 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
+    # Machine-load context: recorded rounds have shown up to ~5x warm
+    # drift on identical code under co-tenant load (NOTES r5), so the
+    # JSON carries 1/5/15-min load averages from before and after the
+    # run — a reader can separate drift from regression without
+    # re-measuring.
+    load_before = [round(x, 2) for x in os.getloadavg()]
+
     spark = get_spark(app_name="rabbithole-spark-bench")
     specs = load_all()
     names = [n for n in HEADLINE if n in specs] or sorted(specs)
@@ -187,6 +194,9 @@ def main() -> None:
         "value_warm": round(sum(warm.values()), 4),
         "etl": etl,
         "sf": sf,
+        "loadavg_before": load_before,
+        "loadavg_after": [round(x, 2) for x in os.getloadavg()],
+        "ncpus": os.cpu_count(),
     }
     if failures:
         payload["failures"] = failures

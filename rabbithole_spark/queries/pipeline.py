@@ -683,6 +683,126 @@ def stream_stream_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+_FULL_OUTER_JOIN_ORACLE = """
+WITH c AS (
+  SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click'
+), p AS (
+  SELECT user_id, ts AS purchase_ts, value AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+), wm AS (
+  SELECT date_trunc('milliseconds',
+           least((SELECT max(click_ts) FROM c),
+                 (SELECT max(purchase_ts) FROM p)))
+         - INTERVAL 2 HOUR AS w
+), matched AS (
+  SELECT c.user_id AS click_user_id, c.click_ts,
+         p.user_id AS purchase_user_id, p.purchase_ts, p.purchase_value
+  FROM c JOIN p
+    ON c.user_id = p.user_id
+   AND p.purchase_ts >= c.click_ts
+   AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
+), unmatched_clicks AS (
+  SELECT c.user_id AS click_user_id, c.click_ts,
+         CAST(NULL AS BIGINT) AS purchase_user_id,
+         CAST(NULL AS TIMESTAMP) AS purchase_ts,
+         CAST(NULL AS DOUBLE) AS purchase_value
+  FROM c, wm
+  WHERE NOT EXISTS (
+          SELECT 1 FROM p
+          WHERE p.user_id = c.user_id
+            AND p.purchase_ts >= c.click_ts
+            AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR)
+    -- click-side eviction pin (see _OUTER_JOIN_ORACLE): evicted iff
+    -- its match window + Spark's 1 ms state-watermark margin has
+    -- passed the final global watermark
+    AND c.click_ts + INTERVAL 1 HOUR + INTERVAL 1 MILLISECOND <= wm.w
+), unmatched_purchases AS (
+  SELECT CAST(NULL AS BIGINT) AS click_user_id,
+         CAST(NULL AS TIMESTAMP) AS click_ts,
+         p.user_id AS purchase_user_id, p.purchase_ts, p.purchase_value
+  FROM p, wm
+  WHERE NOT EXISTS (
+          SELECT 1 FROM c
+          WHERE c.user_id = p.user_id
+            AND p.purchase_ts >= c.click_ts
+            AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR)
+    -- purchase-side eviction pin (round-6 boundary sweep,
+    -- tests/test_stateful_streaming.py): a purchase can only match
+    -- clicks with click_ts <= purchase_ts, so its state dies when the
+    -- watermark passes purchase_ts itself — with the same 1 ms
+    -- StreamingJoinHelper margin as the click side. Measured: wm-1ms
+    -- evicts; wm-1us, wm, wm+1ms stay buffered.
+    AND p.purchase_ts + INTERVAL 1 MILLISECOND <= wm.w
+)
+SELECT * FROM matched
+UNION ALL SELECT * FROM unmatched_clicks
+UNION ALL SELECT * FROM unmatched_purchases
+"""
+
+
+@register(
+    "stream_stream_full_outer",
+    oracle=_FULL_OUTER_JOIN_ORACLE,
+    doc="Stream-stream FULL OUTER interval join (round-5 verdict "
+    "follow-up): matches emit as found; an unmatched CLICK "
+    "null-extends once the watermark closes its [click_ts, "
+    "click_ts+1h] match window (+1 ms margin), and an unmatched "
+    "PURCHASE null-extends once the watermark passes purchase_ts "
+    "itself (+1 ms margin) — the asymmetry falls out of the join "
+    "condition: a purchase constrains matching clicks from below "
+    "only, so its state watermark needs no interval offset. The "
+    "oracle encodes BOTH eviction inequalities, so the bounded "
+    "replay hash-checks the complete full-outer semantics including "
+    "the still-buffered tail on each side. State story at 100 TB: "
+    "identical buffers to the inner join; only the eviction path "
+    "gains the null-emit, so full outer costs nothing extra in "
+    "state.",
+)
+def stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    name = f"stream_ssfull_{uuid.uuid4().hex[:8]}"
+    ev = _read_events_stream(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .withColumnRenamed("ts", "click_ts")
+        .withColumnRenamed("user_id", "c_user_id")
+        .withWatermark("click_ts", "2 hours")
+        .alias("c")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumnRenamed("ts", "purchase_ts")
+        .withColumnRenamed("user_id", "p_user_id")
+        .withColumnRenamed("value", "purchase_value")
+        .withWatermark("purchase_ts", "2 hours")
+        .alias("p")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c.c_user_id") == F.col("p.p_user_id"))
+        & (F.col("p.purchase_ts") >= F.col("c.click_ts"))
+        & (
+            F.col("p.purchase_ts")
+            <= F.col("c.click_ts") + F.expr("INTERVAL 1 HOUR")
+        ),
+        "full_outer",
+    ).select(
+        F.col("c.c_user_id").alias("click_user_id"),
+        F.col("c.click_ts").alias("click_ts"),
+        F.col("p.p_user_id").alias("purchase_user_id"),
+        F.col("p.purchase_ts").alias("purchase_ts"),
+        F.col("p.purchase_value").alias("purchase_value"),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
 _ENRICH_ORACLE = f"""
 SELECT c.c_nationkey,
        count(*) AS n_events,

@@ -331,6 +331,88 @@ def test_outer_join_watermark_boundary_eviction(spark, tmp_path):
     assert emitted_users == {2, 103}, emitted_users
 
 
+def test_full_outer_join_purchase_side_boundary_eviction(spark, tmp_path):
+    """Pin the PURCHASE-side state-eviction inequality of the full
+    outer stream-stream join (round-6 boundary sweep). A purchase can
+    only match clicks with click_ts <= purchase_ts, so its state needs
+    no interval offset: it null-extends iff purchase_ts + 1 ms <= final
+    watermark (same 1 ms StreamingJoinHelper margin as the click side).
+    Three boundary purchases: exactly ON the watermark (buffered),
+    999 us before it (inside the margin -> buffered), and exactly 1 ms
+    before it (evicted, null-extends); plus one matched pair and one
+    evicted unmatched click for click-side cross-coverage."""
+    import datetime as dt
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rabbithole_spark.catalog import load_all
+    from rabbithole_spark.queries.pipeline import _FULL_OUTER_JOIN_ORACLE
+
+    t0 = dt.datetime(2024, 1, 1, 3, 0, 0)  # max on BOTH sides
+    wm = dt.datetime(2024, 1, 1, 1, 0, 0)  # t0 - 2h
+    us = dt.timedelta(microseconds=1)
+    rows = [
+        # matched pair pins max(click_ts) = max(purchase_ts) = 03:00:00
+        (1, t0, 2, "click", 1.0, "{}"),
+        (2, t0, 2, "purchase", 5.0, "{}"),
+        # unmatched click whose window closed 1 ms before wm: evicted
+        (3, wm - dt.timedelta(hours=1) - 1000 * us, 103, "click", 1.0, "{}"),
+        # purchase exactly ON the watermark -> buffered
+        (11, wm, 201, "purchase", 1.0, "{}"),
+        # purchase 999 us before wm: inside the 1 ms margin -> buffered
+        (12, wm - 999 * us, 202, "purchase", 1.0, "{}"),
+        # purchase exactly 1 ms before wm: evicted, null-extends
+        (13, wm - 1000 * us, 203, "purchase", 1.0, "{}"),
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+
+    got = sorted(
+        (
+            (
+                r.click_user_id,
+                r.click_ts,
+                r.purchase_user_id,
+                r.purchase_ts,
+                r.purchase_value,
+            )
+            for r in load_all()["stream_stream_full_outer"]
+            .fn(spark, str(tmp_path))
+            .collect()
+        ),
+        key=repr,
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet')"
+    )
+    want = sorted(
+        map(tuple, con.execute(_FULL_OUTER_JOIN_ORACLE).fetchall()), key=repr
+    )
+    con.close()
+    assert got == want, (got, want)
+    null_extended_purchases = {
+        g[2] for g in got if g[0] is None and g[2] is not None
+    }
+    null_extended_clicks = {
+        g[0] for g in got if g[2] is None and g[0] is not None
+    }
+    assert null_extended_purchases == {203}, null_extended_purchases
+    assert null_extended_clicks == {103}, null_extended_clicks
+
+
 def test_session_window_exact_gap_boundary_merges(spark):
     """Pin Spark's measured session-merge inequality: two events exactly
     gap-duration apart MERGE into one session (<=, not <); only a gap
