@@ -117,6 +117,11 @@ _PRIORITY_ORDER = (
     "window_distribution",
     "window_lag_lead",
     # ---- 50-slot window cut (the names below lead round 7) ----
+    # round-6 late additions, locally 3-SF green, queued for their
+    # first external row ahead of the remaining staleness backlog
+    "mixture_js_divergence_by_source",
+    "text_collocation_pmi",
+    "stream_stream_right_outer",
     "window_range_frame",
     "window_rank_orders",
     "dedup_components",

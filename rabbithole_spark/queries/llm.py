@@ -3431,3 +3431,198 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprints(d).select(
         "doc_id", F.explode("fps").alias("fp")
     )
+
+
+# --- round-6 additions: mixture drift + collocation mining ---------------------
+
+#: The corpus language domain is closed (documents.lang takes exactly
+#: these five values at every SF); a FIXED per-lang expression keeps
+#: the 5-term JS sums in one deterministic left-to-right IEEE order on
+#: both engines — a groupBy over (source, lang) would sum the terms in
+#: nondeterministic order and flake the hash at the last ulp.
+_JS_LANGS = ("de", "en", "es", "fr", "zh")
+
+
+def _js_sql_terms() -> tuple[str, str]:
+    """DuckDB SQL for the two JS sums, mirroring the Spark expression
+    structure token for token (same divisions, same ln ratio)."""
+    p_terms, q_terms = [], []
+    for lang in _JS_LANGS:
+        p = f"(n_{lang} / n_docs)"
+        q = f"(c_{lang} / n_corpus)"
+        m = f"(({p} + {q}) / 2)"
+        p_terms.append(
+            f"CASE WHEN n_{lang} > 0 THEN {p} * ln({p} / {m}) ELSE 0.0 END"
+        )
+        q_terms.append(
+            f"CASE WHEN c_{lang} > 0 THEN {q} * ln({q} / {m}) ELSE 0.0 END"
+        )
+    return " + ".join(p_terms), " + ".join(q_terms)
+
+
+_JS_P, _JS_Q = _js_sql_terms()
+
+_MIXTURE_JS_ORACLE = f"""
+WITH per_source AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         {", ".join(
+             f"CAST(sum(CASE WHEN lang = '{lang}' THEN 1 ELSE 0 END) AS BIGINT)"
+             f" AS n_{lang}"
+             for lang in _JS_LANGS
+         )}
+  FROM documents GROUP BY source
+), corpus AS (
+  SELECT CAST(sum(n_docs) AS BIGINT) AS n_corpus,
+         {", ".join(
+             f"CAST(sum(n_{lang}) AS BIGINT) AS c_{lang}"
+             for lang in _JS_LANGS
+         )}
+  FROM per_source
+)
+SELECT source, n_docs,
+       round((0.5 * ({_JS_P}) + 0.5 * ({_JS_Q})) / ln(2), 6)
+         AS js_divergence
+FROM per_source, corpus
+"""
+
+
+@register(
+    "mixture_js_divergence_by_source",
+    oracle=_MIXTURE_JS_ORACLE,
+    doc="Language-mixture drift per source: Jensen-Shannon divergence "
+    "(bits) between each source's language distribution and the whole "
+    "corpus's — the mixture-monitoring primitive that flags a source "
+    "whose language makeup shifted between crawls. One grouped pass "
+    "over documents (source key) emits per-lang conditional counts; "
+    "the corpus marginal is summed from that 20-row result (NO second "
+    "scan) and broadcast back as one row. The closed 5-lang domain is "
+    "expanded to fixed columns so the JS sums run in one deterministic "
+    "operand order — see _JS_LANGS.",
+)
+def mixture_js_divergence_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    per_source = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        *[
+            F.sum((F.col("lang") == lang).cast("long")).alias(f"n_{lang}")
+            for lang in _JS_LANGS
+        ],
+    )
+    corpus = per_source.agg(
+        F.sum("n_docs").alias("n_corpus"),
+        *[F.sum(f"n_{lang}").alias(f"c_{lang}") for lang in _JS_LANGS],
+    )
+    joined = per_source.crossJoin(F.broadcast(corpus))
+
+    ln2 = F.log(F.lit(2.0))
+    p_sum, q_sum = None, None
+    for lang in _JS_LANGS:
+        p = F.col(f"n_{lang}") / F.col("n_docs")
+        q = F.col(f"c_{lang}") / F.col("n_corpus")
+        m = (p + q) / 2
+        tp = F.when(F.col(f"n_{lang}") > 0, p * F.log(p / m)).otherwise(0.0)
+        tq = F.when(F.col(f"c_{lang}") > 0, q * F.log(q / m)).otherwise(0.0)
+        p_sum = tp if p_sum is None else (p_sum + tp)
+        q_sum = tq if q_sum is None else (q_sum + tq)
+    js = (0.5 * p_sum + 0.5 * q_sum) / ln2
+    return joined.select(
+        "source", "n_docs", F.round(js, 6).alias("js_divergence")
+    )
+
+
+_PMI_ORACLE = r"""
+WITH words AS (
+  SELECT list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                     w -> w <> '') AS wf
+  FROM documents
+), bg AS (
+  SELECT bigram, CAST(count(*) AS BIGINT) AS c12
+  FROM (
+    SELECT unnest(CASE WHEN len(wf) >= 2
+             THEN list_transform(range(1, len(wf)),
+                                 i -> wf[i] || ' ' || wf[i+1])
+             ELSE [] END) AS bigram
+    FROM words
+  ) GROUP BY bigram
+), ug AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(wf) AS word FROM words) GROUP BY word
+), tot AS (
+  SELECT (SELECT CAST(sum(c12) AS BIGINT) FROM bg) AS nb,
+         (SELECT CAST(sum(c) AS BIGINT) FROM ug) AS nw
+)
+SELECT bigram, c12,
+       round(ln((c12 / nb) / ((u1.c / nw) * (u2.c / nw))) / ln(2), 6) AS pmi
+FROM bg, tot
+JOIN ug u1 ON u1.word = string_split(bigram, ' ')[1]
+JOIN ug u2 ON u2.word = string_split(bigram, ' ')[2]
+WHERE c12 >= 5
+ORDER BY pmi DESC, bigram
+LIMIT 20
+"""
+
+
+@register(
+    "text_collocation_pmi",
+    oracle=_PMI_ORACLE,
+    doc="Collocation mining: top-20 bigrams by pointwise mutual "
+    "information (bits) with a min-count-5 support floor — the "
+    "phrase-detection primitive (word2phrase-style) a tokenizer/"
+    "vocabulary pipeline runs before training. ONE tokenize pass is "
+    "localCheckpointed and feeds both the bigram and unigram counts "
+    "(re-scanning the corpus would double the dominant cost); the two "
+    "unigram joins shuffle on the word key only over the support-"
+    "filtered bigram set; totals come from the count relations (no "
+    "extra scan) and broadcast as one row. Ordering on the ROUNDED "
+    "pmi keeps the top-k boundary identical across engines.",
+)
+def text_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(table(spark, sf_dir, "documents"))
+    wf = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"[ \t\n\r\f]+"),
+        lambda w: w != "",
+    )
+    words = d.select(wf.alias("wf")).localCheckpoint(eager=False)
+    bigram_arr = F.when(
+        F.size("wf") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("wf") - 1),
+            lambda i: F.concat(
+                F.element_at("wf", i), F.lit(" "), F.element_at("wf", i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = (
+        words.select(F.explode(bigram_arr).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .localCheckpoint(eager=False)
+    )
+    ug = (
+        words.select(F.explode("wf").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    tot = bg.agg(F.sum("c12").alias("nb")).crossJoin(
+        ug.agg(F.sum("c").alias("nw"))
+    )
+    u1 = ug.select(F.col("word").alias("w1"), F.col("c").alias("c1"))
+    u2 = ug.select(F.col("word").alias("w2"), F.col("c").alias("c2"))
+    pmi = F.log(
+        (F.col("c12") / F.col("nb"))
+        / ((F.col("c1") / F.col("nw")) * (F.col("c2") / F.col("nw")))
+    ) / F.log(F.lit(2.0))
+    return (
+        bg.filter(F.col("c12") >= 5)
+        .withColumn("w1", F.split("bigram", " ").getItem(0))
+        .withColumn("w2", F.split("bigram", " ").getItem(1))
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("bigram", "c12", F.round(pmi, 6).alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "bigram")
+        .limit(20)
+    )

@@ -803,6 +803,98 @@ def stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+_RIGHT_OUTER_JOIN_ORACLE = """
+WITH c AS (
+  SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click'
+), p AS (
+  SELECT user_id, ts AS purchase_ts, value AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+), wm AS (
+  SELECT date_trunc('milliseconds',
+           least((SELECT max(click_ts) FROM c),
+                 (SELECT max(purchase_ts) FROM p)))
+         - INTERVAL 2 HOUR AS w
+), matched AS (
+  SELECT c.user_id AS click_user_id, c.click_ts,
+         p.user_id AS purchase_user_id, p.purchase_ts, p.purchase_value
+  FROM c JOIN p
+    ON c.user_id = p.user_id
+   AND p.purchase_ts >= c.click_ts
+   AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
+), unmatched_purchases AS (
+  SELECT CAST(NULL AS BIGINT) AS click_user_id,
+         CAST(NULL AS TIMESTAMP) AS click_ts,
+         p.user_id AS purchase_user_id, p.purchase_ts, p.purchase_value
+  FROM p, wm
+  WHERE NOT EXISTS (
+          SELECT 1 FROM c
+          WHERE c.user_id = p.user_id
+            AND p.purchase_ts >= c.click_ts
+            AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR)
+    -- same purchase-side eviction pin as _FULL_OUTER_JOIN_ORACLE
+    AND p.purchase_ts + INTERVAL 1 MILLISECOND <= wm.w
+)
+SELECT * FROM matched UNION ALL SELECT * FROM unmatched_purchases
+"""
+
+
+@register(
+    "stream_stream_right_outer",
+    oracle=_RIGHT_OUTER_JOIN_ORACLE,
+    doc="Stream-stream RIGHT OUTER interval join, completing the outer "
+    "family (left r4, full r6): matches emit as found; an unmatched "
+    "purchase null-extends once the watermark passes purchase_ts + "
+    "the 1 ms StreamingJoinHelper margin (the purchase-side eviction "
+    "inequality pinned by the round-6 boundary sweep); unmatched "
+    "clicks are silently dropped from state. Bounded-replay "
+    "deterministic, so the full semantics incl. the buffered tail "
+    "are hash-checked.",
+)
+def stream_stream_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    name = f"stream_ssright_{uuid.uuid4().hex[:8]}"
+    ev = _read_events_stream(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .withColumnRenamed("ts", "click_ts")
+        .withColumnRenamed("user_id", "c_user_id")
+        .withWatermark("click_ts", "2 hours")
+        .alias("c")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumnRenamed("ts", "purchase_ts")
+        .withColumnRenamed("user_id", "p_user_id")
+        .withColumnRenamed("value", "purchase_value")
+        .withWatermark("purchase_ts", "2 hours")
+        .alias("p")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c.c_user_id") == F.col("p.p_user_id"))
+        & (F.col("p.purchase_ts") >= F.col("c.click_ts"))
+        & (
+            F.col("p.purchase_ts")
+            <= F.col("c.click_ts") + F.expr("INTERVAL 1 HOUR")
+        ),
+        "right_outer",
+    ).select(
+        F.col("c.c_user_id").alias("click_user_id"),
+        F.col("c.click_ts").alias("click_ts"),
+        F.col("p.p_user_id").alias("purchase_user_id"),
+        F.col("p.purchase_ts").alias("purchase_ts"),
+        F.col("p.purchase_value").alias("purchase_value"),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
 _ENRICH_ORACLE = f"""
 SELECT c.c_nationkey,
        count(*) AS n_events,
