@@ -122,6 +122,7 @@ _PRIORITY_ORDER = (
     "mixture_js_divergence_by_source",
     "text_collocation_pmi",
     "stream_stream_right_outer",
+    "contamination_winnow_overlap",
     "window_range_frame",
     "window_rank_orders",
     "dedup_components",

@@ -3626,3 +3626,85 @@ def text_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi").desc(), "bigram")
         .limit(20)
     )
+
+
+#: Hash-mod bucket for the winnow-contamination split — same shape as
+#: _SPLIT_BUCKET_SQL / _SAMPLE_BUCKET_SQL but a THIRD odd multiplier
+#: (xxhash prime 3) so membership is uncorrelated with both the 98/1/1
+#: split and the sampling buckets. Product peaks at 2^31 * 3266489917
+#: ~ 7.0e18 < 2^63: no overflow on either engine.
+_WINNOW_SPLIT_BUCKET_SQL = (
+    "((doc_id % 2147483648) * 3266489917) % 4294967296 % 100"
+)
+
+_WINNOW_CONTAMINATION_ORACLE = f"""
+{_WINNOW_ORACLE.split("SELECT doc_id, unnest(fps) AS fp FROM winnowed")[0]}, fps AS MATERIALIZED (
+  SELECT doc_id, unnest(fps) AS fp FROM winnowed
+), val_fps AS (
+  SELECT doc_id, fp FROM fps
+  WHERE {_WINNOW_SPLIT_BUCKET_SQL} >= 90
+), train_fp AS (
+  SELECT DISTINCT fp FROM fps
+  WHERE {_WINNOW_SPLIT_BUCKET_SQL} < 90
+), per_doc AS (
+  SELECT v.doc_id,
+         CAST(count(*) AS BIGINT) AS n_fps,
+         CAST(sum(CASE WHEN t.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_shared
+  FROM val_fps v LEFT JOIN train_fp t ON v.fp = t.fp
+  GROUP BY v.doc_id
+)
+SELECT doc_id, n_fps, n_shared,
+       round(n_shared / n_fps, 6) AS overlap_ratio
+FROM per_doc
+"""
+
+
+@register(
+    "contamination_winnow_overlap",
+    oracle=_WINNOW_CONTAMINATION_ORACLE,
+    doc="Benchmark decontamination at FINGERPRINT granularity: a 90/10 "
+    "train/benchmark hash-mod split (third independent multiplier), "
+    "then each benchmark doc's winnow-fingerprint overlap fraction "
+    "against the union of train fingerprints. Because winnowing "
+    "guarantees a shared fingerprint for any shared substring of "
+    "length >= k+w-1 = 11 chars, a high overlap_ratio localizes "
+    "verbatim leakage that n-gram-set contamination "
+    "(contamination_ngram_overlap) can dilute on long docs. Plan: the "
+    "zero-shuffle Arrow winnow kernel feeds ONE localCheckpointed fp "
+    "relation consumed by both split sides; the semi-join shuffles on "
+    "the fp key only (no text bytes move), and per-doc counts reuse "
+    "the val side's partitioning. Row-local split assignment keeps "
+    "membership reproducible at any scale.",
+)
+def contamination_winnow_overlap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    fps = (
+        winnow_fingerprints(d)
+        .select("doc_id", F.explode("fps").alias("fp"))
+        .localCheckpoint(eager=False)
+    )
+    bucket = F.expr(_WINNOW_SPLIT_BUCKET_SQL)
+    val_fps = fps.filter(bucket >= 90)
+    train_fp = fps.filter(bucket < 90).select("fp").distinct()
+    shared = (
+        val_fps.join(train_fp, "fp", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    per_doc = val_fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fps")
+    )
+    return (
+        per_doc.join(shared, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_fps",
+            F.coalesce(F.col("n_shared"), F.lit(0)).alias("n_shared"),
+            F.round(
+                F.coalesce(F.col("n_shared"), F.lit(0)) / F.col("n_fps"), 6
+            ).alias("overlap_ratio"),
+        )
+    )

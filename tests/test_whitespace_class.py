@@ -67,6 +67,9 @@ _QUERIES = [
     "text_bm25_ranking",
     "text_repetition_filter",
     "pipeline_curation_full",
+    # round-6 tokenizer: top-20 bigram PMI (the repeated-word docs give
+    # it >= 5-count bigrams even on this tiny corpus)
+    "text_collocation_pmi",
 ]
 
 
