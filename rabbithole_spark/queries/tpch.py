@@ -736,10 +736,14 @@ LIMIT 20
     "NOT EXISTS(another LATE supplier) pair is ONE grouped pass — per "
     "(order, supplier) lateness, then per-order supplier/late counts; "
     "the blamed supplier is the unique late one in a multi-supplier "
-    "order. Both groupBys reuse the orderkey hash partitioning of the "
-    "fact join, so the whole query is one shuffle plus the tiny "
-    "top-20; the correlated-probe formulation would shuffle lineitem "
-    "three times.",
+    "order. At scale the fact join is an orderkey sort-merge join "
+    "whose hash partitioning satisfies BOTH downstream groupBys "
+    "(partitioning on l_orderkey clusters (l_orderkey, l_suppkey) "
+    "too), so the fact shuffles ONCE plus the tiny s_name rollup; at "
+    "small SF AQE broadcasts orders instead and the groupBys "
+    "exchange on their own keys (the measured 3-exchange local "
+    "plan). Either way the correlated-probe formulation would "
+    "shuffle lineitem three times.",
 )
 def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = (
