@@ -86,6 +86,104 @@ def _rows_key(rows, cols):
     return sorted(out, key=repr)
 
 
+#: Every oracle-backed query that reads ONLY the documents table (so it
+#: can run on the crafted corpus). Swept at round 6: all 49 MATCH their
+#: oracles on the vertical-tab corpus. The list is pinned so a renamed/
+#: removed query fails loudly instead of silently shrinking coverage;
+#: new documents-only queries should be added here.
+_DOCUMENTS_ONLY_QUERIES = [
+    "contamination_ngram_overlap",
+    "contamination_winnow_overlap",
+    "corpus_snapshot_diff",
+    "curriculum_phase_stats",
+    "dedup_canonical_survivors",
+    "dedup_components",
+    "dedup_duplicate_ngram_spans",
+    "dedup_exact_documents",
+    "dedup_fingerprint",
+    "dedup_incremental_new_docs",
+    "dedup_jaccard_prefix_filter",
+    "dedup_minhash_lsh",
+    "dedup_minhash_recall_audit",
+    "dedup_simhash",
+    "mixture_js_divergence_by_source",
+    "mixture_resample_by_lang",
+    "mixture_temperature_weights",
+    "mixture_token_budget",
+    "multimodal_binary_stats",
+    "multimodal_feature_extract",
+    "multimodal_frame_sample",
+    "multimodal_resize_pipeline",
+    "pack_padding_efficiency",
+    "pack_sequences_by_source",
+    "pii_redaction",
+    "pipeline_clean_corpus",
+    "pipeline_curation_full",
+    "sample_quality_weighted",
+    "sample_stratified_by_lang",
+    "sample_uniform_documents",
+    "scalar_array_funcs",
+    "shard_shuffle_assignment",
+    "source_overlap_matrix",
+    "source_quality_rollup",
+    "split_train_val_test",
+    "text_bm25_ranking",
+    "text_chunk_documents",
+    "text_collocation_pmi",
+    "text_lang_id",
+    "text_pii_scrub",
+    "text_quality_stats",
+    "text_readability_scores",
+    "text_remove_boilerplate",
+    "text_repetition_filter",
+    "text_segment_dedup_rate",
+    "text_tfidf_top_terms",
+    "text_token_counts",
+    "text_top_ngrams",
+    "text_winnow_fingerprints",
+]
+
+
+def test_all_documents_only_queries_match_oracle_on_adversarial_corpus(
+    spark, tmp_path
+):
+    """Registry-wide tokenizer/canonicalization conformance: EVERY
+    oracle-backed query that runs on documents alone must match its
+    DuckDB oracle on the crafted corpus where Java-\\s and RE2-\\s
+    disagree (vertical tabs), plus empty/whitespace-only/duplicate
+    texts. One loop, one corpus — a new tokenization divergence
+    anywhere in the registry fails here before the driver sees it."""
+    df = spark.createDataFrame(
+        [
+            (i, t, lang, src, len(t))
+            for i, t, lang, src in _ADVERSARIAL_DOCS
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    tbl = str(tmp_path / "documents.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(tbl)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{tbl}/*.parquet'")
+
+    specs = load_all()
+    missing = [n for n in _DOCUMENTS_ONLY_QUERIES if n not in specs]
+    assert not missing, f"pinned queries no longer registered: {missing}"
+    bad = []
+    for name in _DOCUMENTS_ONLY_QUERIES:
+        spec = specs[name]
+        got_df = spec.fn(spark, str(tmp_path))
+        cols = sorted(got_df.columns)
+        got = _rows_key([r.asDict() for r in got_df.collect()], cols)
+        cur = con.execute(spec.oracle)
+        ocols = [d[0] for d in cur.description]
+        want = _rows_key(
+            [dict(zip(ocols, r)) for r in cur.fetchall()], cols
+        )
+        if sorted(ocols) != cols or got != want:
+            bad.append(name)
+    assert not bad, f"adversarial-corpus mismatches: {bad}"
+
+
 @pytest.mark.parametrize("qname", _QUERIES)
 def test_tokenizing_query_matches_oracle_on_vertical_tab_corpus(
     spark, tmp_path, qname
