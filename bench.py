@@ -167,6 +167,21 @@ def main() -> None:
         except Exception as exc:  # one broken query must not kill the bench
             failures[name] = f"{type(exc).__name__}: {exc}"[:200]
 
+    # TPC-H shape block (round 6): the 14 registered TPC-H analogs as a
+    # secondary warehouse-workload number, separate from the headline so
+    # cross-round comparability of the headline total is preserved.
+    tpch_names = sorted(n for n in specs if n.startswith("tpch_"))
+    tpch: dict[str, float] = {}
+    for name in tpch_names:
+        start = time.perf_counter()
+        try:
+            specs[name].fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            tpch[name] = round(time.perf_counter() - start, 4)
+        except Exception as exc:
+            failures[name] = f"{type(exc).__name__}: {exc}"[:200]
+
     # Pinned ETL-probe protocol (round-4): one untimed warm-up run pays
     # the streaming plan's codegen compile, then three measured runs;
     # the headline is the MEDIAN-rate run, with all three rates
@@ -193,6 +208,8 @@ def main() -> None:
         "queries_warm": warm,
         "value_warm": round(sum(warm.values()), 4),
         "etl": etl,
+        "tpch": tpch,
+        "tpch_total": round(sum(tpch.values()), 4),
         "sf": sf,
         "loadavg_before": load_before,
         "loadavg_after": [round(x, 2) for x in os.getloadavg()],
