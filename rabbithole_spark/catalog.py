@@ -123,6 +123,7 @@ _PRIORITY_ORDER = (
     "text_collocation_pmi",
     "stream_stream_right_outer",
     "contamination_winnow_overlap",
+    "text_lm_cross_entropy",
     "window_range_frame",
     "window_rank_orders",
     "dedup_components",

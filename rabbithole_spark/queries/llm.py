@@ -7,6 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import DecimalType
 
 from rabbithole_spark.catalog import register
 from rabbithole_spark.operators.dedup import (
@@ -3707,4 +3708,96 @@ def contamination_winnow_overlap(
                 F.coalesce(F.col("n_shared"), F.lit(0)) / F.col("n_fps"), 6
             ).alias("overlap_ratio"),
         )
+    )
+
+
+_LM_XENT_ORACLE = r"""
+WITH words AS MATERIALIZED (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                            w -> w <> '')) AS word
+  FROM documents
+), tf AS MATERIALIZED (
+  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+  FROM words GROUP BY doc_id, word
+), cnt AS MATERIALIZED (
+  SELECT word, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY word
+), tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n_corpus,
+         CAST(count(*) AS BIGINT) AS vocab
+  FROM cnt
+), terms AS (
+  SELECT tf.doc_id, tf.tf,
+         CAST(ln((cnt.c + 1) / CAST(tot.n_corpus + tot.vocab AS DOUBLE))
+              AS DECIMAL(15,12)) AS lp
+  FROM tf JOIN cnt USING (word), tot
+)
+SELECT doc_id,
+       CAST(sum(tf) AS BIGINT) AS n_tokens,
+       round(CAST(CAST(-sum(CAST(tf AS DECIMAL(18,0)) * lp) AS VARCHAR)
+                  AS DOUBLE) / sum(tf) / ln(2), 6) AS cross_entropy
+FROM terms GROUP BY doc_id
+"""
+
+
+@register(
+    "text_lm_cross_entropy",
+    oracle=_LM_XENT_ORACLE,
+    doc="CCNet-style statistical-LM quality score (Wenzek et al. 2020 "
+    "use a KenLM; the deterministic stand-in is a Laplace-smoothed "
+    "corpus unigram LM): per-document cross-entropy in bits/token — "
+    "low = stereotypical fluent text, high = rare-token noise; "
+    "pipelines threshold or bucket on it for quality-based sampling. "
+    "Plan: one tokenize pass feeds (doc,word) tf and corpus counts; "
+    "the LM 'lookup' is a word-key shuffle join; per-doc totals "
+    "reuse nothing larger than the doc key. Numeric discipline: each "
+    "word's log-prob is deterministic, cast to DECIMAL(15,12) and "
+    "weighted by an exact integer tf, so the per-doc sum is exact "
+    "and ORDER-INSENSITIVE (a raw double sum over hundreds of "
+    "variable-magnitude log terms is the classic cross-engine hash "
+    "flake); one correctly-rounded double conversion per engine "
+    "(numeric.py recipe), then bits via /ln(2).",
+)
+def text_lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(table(spark, sf_dir, "documents"))
+    wf = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"[ \t\n\r\f]+"),
+        lambda w: w != "",
+    )
+    words = d.select("doc_id", F.explode(wf).alias("word"))
+    # counts and totals all derive from the (doc, word) tf relation, so
+    # the corpus is tokenized and exploded exactly ONCE; tf is the
+    # checkpoint boundary shared by the LM build and the scoring join
+    tf = (
+        words.groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    cnt = (
+        tf.groupBy("word")
+        .agg(F.sum("tf").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    tot = cnt.agg(
+        F.sum("c").alias("n_corpus"), F.count(F.lit(1)).alias("vocab")
+    )
+    lp = F.log(
+        (F.col("c") + 1)
+        / (F.col("n_corpus") + F.col("vocab")).cast("double")
+    ).cast(DecimalType(15, 12))
+    terms = (
+        tf.join(cnt, "word")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", "tf", lp.alias("lp"))
+    )
+    xent = (
+        (-F.sum(F.col("tf").cast(DecimalType(18, 0)) * F.col("lp"))).cast(
+            "double"
+        )
+        / F.sum("tf")
+        / F.log(F.lit(2.0))
+    )
+    return terms.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_tokens"),
+        F.round(xent, 6).alias("cross_entropy"),
     )

@@ -131,6 +131,7 @@ _DOCUMENTS_ONLY_QUERIES = [
     "text_chunk_documents",
     "text_collocation_pmi",
     "text_lang_id",
+    "text_lm_cross_entropy",
     "text_pii_scrub",
     "text_quality_stats",
     "text_readability_scores",
