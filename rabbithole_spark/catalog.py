@@ -46,12 +46,14 @@ _QUERY_MODULES = (
 #: 50-query prefix of the registry per round, so queries needing
 #: external verification go FIRST. Recomputed at round 6 from the
 #: union of CORRECTNESS_r01-r05 (each query's LATEST external row):
-#: (a) the 18 never-externally-checked queries — the 10 round-5
+#: (a) the 19 never-externally-checked queries — the 10 round-5
 #: additions (each locally oracle-verified at sf0.001/0.01/0.1
-#: before registration, per NOTES) and the 8 TPC-H shapes added in
-#: round 6 (Q7/Q8/Q13/Q15/Q17/Q19/Q21/Q22 plus the full-outer
-#: stream-stream join, likewise locally 3-SF green); then (b) the
-#: staleness backlog oldest-first: 31 of the 33 r1-latest rows in
+#: before registration, per NOTES), the 8 TPC-H shapes added in
+#: round 6 (Q7/Q8/Q13/Q15/Q17/Q19/Q21/Q22), and the round-6
+#: full-outer stream-stream join (likewise locally 3-SF green);
+#: then (b) the
+#: staleness backlog oldest-first (19 + 31 = the 50-slot window):
+#: 31 of the 33 r1-latest rows in
 #: alphabetical order (scalar/setop/window/agg families checked in
 #: round 1 and never since — the largest debt in the registry). The
 #: 50-slot budget cuts after window_lag_lead; the deferred remainder

@@ -16,7 +16,6 @@ from __future__ import annotations
 
 import math
 import pathlib
-import re
 
 import duckdb
 import pytest
@@ -25,21 +24,53 @@ from rabbithole_spark.catalog import load_all
 
 _PKG = pathlib.Path(__file__).resolve().parents[1] / "rabbithole_spark"
 
-#: Spark-side regex literals are raw double-quoted strings in this
-#: repo; DuckDB oracle SQL carries its (RE2, correct) '\s+' inside
-#: single-quoted SQL string literals, which this pattern ignores.
-_JAVA_WS = re.compile(r"""r['"]\\s""")
+def _flagged_string_literals(source: str):
+    """Yield (lineno, literal_source) for every single-line string
+    literal whose EVALUATED content carries a ``\\s`` regex escape that
+    is not inside an embedded SQL single-quoted literal.
+
+    Tokenizes real Python (mid-pattern ``r"(\\s)+"`` is caught, not
+    just a leading ``r"\\s"``). Exemptions: triple-quoted strings are
+    oracle SQL blocks, and a ``'`` before the ``\\s`` in the content
+    marks an embedded SQL fragment like
+    ``"...string_split_regex(text, '\\\\s+')..."`` — DuckDB's RE2
+    ``\\s`` is the correct class there.
+    """
+    import ast
+    import io
+    import tokenize
+
+    for tok in tokenize.generate_tokens(io.StringIO(source).readline):
+        if tok.type != tokenize.STRING:
+            continue
+        lit = tok.string
+        body = lit.lstrip("rRbBuUfF")
+        if body.startswith(('"""', "'''")):
+            continue  # oracle SQL block
+        if lit.lstrip("rRbBuU").startswith("f") or "f" in lit[: len(lit) - len(body)].lower():
+            # f-strings: ast.literal_eval can't evaluate them; fall back
+            # to the raw body text for the content check
+            content = body.strip("\"'")
+        else:
+            try:
+                content = ast.literal_eval(lit)
+            except Exception:
+                content = body.strip("\"'")
+        if not isinstance(content, str):
+            continue
+        idx = content.find("\\s")
+        if idx >= 0 and "'" not in content[:idx]:
+            yield tok.start[0], lit
 
 
 def test_no_java_whitespace_class_in_spark_side_regexes():
     offenders = []
     for path in sorted(_PKG.rglob("*.py")):
-        for lineno, line in enumerate(path.read_text().splitlines(), 1):
-            if _JAVA_WS.search(line):
-                offenders.append(f"{path}:{lineno}: {line.strip()}")
+        for lineno, lit in _flagged_string_literals(path.read_text()):
+            offenders.append(f"{path}:{lineno}: {lit[:80]}")
     assert not offenders, (
         "Java \\s regex (includes \\x0b, diverges from RE2/DuckDB) found "
-        "in Spark-side raw strings — use the explicit [ \\t\\n\\r\\f]+ "
+        "in Spark-side string literals — use the explicit [ \\t\\n\\r\\f]+ "
         "class (operators/text_analysis.tokens):\n" + "\n".join(offenders)
     )
 
@@ -87,7 +118,7 @@ def _rows_key(rows, cols):
 
 
 #: Every oracle-backed query that reads ONLY the documents table (so it
-#: can run on the crafted corpus). Swept at round 6: all 49 MATCH their
+#: can run on the crafted corpus). Swept at round 6: all 50 MATCH their
 #: oracles on the vertical-tab corpus. The list is pinned so a renamed/
 #: removed query fails loudly instead of silently shrinking coverage;
 #: new documents-only queries should be added here.
