@@ -412,6 +412,40 @@ def test_full_outer_join_purchase_side_boundary_eviction(spark, tmp_path):
     assert null_extended_purchases == {203}, null_extended_purchases
     assert null_extended_clicks == {103}, null_extended_clicks
 
+    # the RIGHT OUTER sibling on the same fixture: identical purchase-
+    # side eviction, and the evicted unmatched CLICK (103) must NOT
+    # appear — right outer drops left-side state silently
+    from rabbithole_spark.queries.pipeline import _RIGHT_OUTER_JOIN_ORACLE
+
+    got_r = sorted(
+        (
+            (
+                r.click_user_id,
+                r.click_ts,
+                r.purchase_user_id,
+                r.purchase_ts,
+                r.purchase_value,
+            )
+            for r in load_all()["stream_stream_right_outer"]
+            .fn(spark, str(tmp_path))
+            .collect()
+        ),
+        key=repr,
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet')"
+    )
+    want_r = sorted(
+        map(tuple, con.execute(_RIGHT_OUTER_JOIN_ORACLE).fetchall()),
+        key=repr,
+    )
+    con.close()
+    assert got_r == want_r, (got_r, want_r)
+    assert {g[2] for g in got_r if g[0] is None} == {203}
+    assert all(g[0] != 103 for g in got_r)
+
 
 def test_session_window_exact_gap_boundary_merges(spark):
     """Pin Spark's measured session-merge inequality: two events exactly
