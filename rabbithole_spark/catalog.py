@@ -126,6 +126,7 @@ _PRIORITY_ORDER = (
     "stream_stream_right_outer",
     "contamination_winnow_overlap",
     "text_lm_cross_entropy",
+    "diagnostic_join_key_skew",
     "window_range_frame",
     "window_rank_orders",
     "dedup_components",

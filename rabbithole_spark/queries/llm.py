@@ -3801,3 +3801,70 @@ def text_lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("tf").alias("n_tokens"),
         F.round(xent, 6).alias("cross_entropy"),
     )
+
+
+_SKEW_DIAG_ORACLE = """
+WITH per_key AS (
+  SELECT l_suppkey AS join_key, CAST(count(*) AS BIGINT) AS n_rows
+  FROM lineitem GROUP BY l_suppkey
+), tot AS (
+  SELECT CAST(sum(n_rows) AS BIGINT) AS n_total,
+         CAST(count(*) AS BIGINT) AS n_keys
+  FROM per_key
+)
+SELECT join_key, n_rows,
+       round(n_rows / CAST(n_total AS DOUBLE), 6) AS share,
+       round(n_rows / (n_total / CAST(n_keys AS DOUBLE)), 6)
+         AS skew_factor,
+       CAST(row_number() OVER (ORDER BY n_rows DESC, join_key)
+            AS INTEGER) AS rank
+FROM per_key, tot
+ORDER BY n_rows DESC, join_key
+LIMIT 10
+"""
+
+
+@register(
+    "diagnostic_join_key_skew",
+    oracle=_SKEW_DIAG_ORACLE,
+    doc="Join-key skew diagnostic: the top-10 heaviest l_suppkey values "
+    "with their row share and skew factor (count over the mean per-key "
+    "count) — the MEASURE step that decides whether a fact-fact join "
+    "needs salting (operators/skew.py) or can rely on AQE's skew-join "
+    "split. One partially-aggregated shuffle on the key; totals derive "
+    "from the 100-row per-key relation; TakeOrderedAndProject for the "
+    "top-10 (no global sort). At 100 TB this is the cheap pre-flight "
+    "you run before committing to a shuffle strategy; a skew_factor "
+    "near 1.0 everywhere means salting would only add overhead.",
+)
+def diagnostic_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    per_key = (
+        li.groupBy(F.col("l_suppkey").alias("join_key"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .localCheckpoint(eager=False)
+    )
+    tot = per_key.agg(
+        F.sum("n_rows").alias("n_total"), F.count(F.lit(1)).alias("n_keys")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("n_rows").desc(), "join_key")
+    return (
+        per_key.crossJoin(F.broadcast(tot))
+        .select(
+            "join_key",
+            "n_rows",
+            F.round(
+                F.col("n_rows") / F.col("n_total").cast("double"), 6
+            ).alias("share"),
+            F.round(
+                F.col("n_rows")
+                / (F.col("n_total") / F.col("n_keys").cast("double")),
+                6,
+            ).alias("skew_factor"),
+            F.row_number().over(w).cast("int").alias("rank"),
+        )
+        .orderBy(F.col("n_rows").desc(), "join_key")
+        .limit(10)
+    )
