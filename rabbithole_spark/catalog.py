@@ -127,6 +127,7 @@ _PRIORITY_ORDER = (
     "contamination_winnow_overlap",
     "text_lm_cross_entropy",
     "diagnostic_join_key_skew",
+    "timeseries_user_profile_outliers",
     "window_range_frame",
     "window_rank_orders",
     "dedup_components",

@@ -3868,3 +3868,93 @@ def diagnostic_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_rows").desc(), "join_key")
         .limit(10)
     )
+
+
+#: Hour-of-day profile dimension — a closed 24-bucket domain, expanded
+#: to fixed columns for the same reason as _JS_LANGS: the cosine's
+#: 24-term dot product and norms evaluate in ONE deterministic
+#: left-to-right IEEE order on both engines (integer counts make every
+#: product exact, so the only rounding is the final sqrt/divide).
+_TS_HOURS = tuple(range(24))
+
+
+def _ts_fixed_sum(expr_fmt: str) -> str:
+    return " + ".join(expr_fmt.format(h=h) for h in _TS_HOURS)
+
+
+_TS_OUTLIER_ORACLE = f"""
+WITH per_user AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+         {", ".join(
+             f"CAST(sum(CASE WHEN CAST(hour(ts) AS INTEGER) = {h} "
+             f"THEN 1 ELSE 0 END) AS BIGINT) AS b{h}"
+             for h in _TS_HOURS
+         )}
+  FROM events GROUP BY user_id
+), corpus AS (
+  SELECT {", ".join(f"CAST(sum(b{h}) AS BIGINT) AS g{h}" for h in _TS_HOURS)}
+  FROM per_user
+)
+SELECT user_id, n_events,
+       round(({_ts_fixed_sum("(b{h} * g{h})")})
+             / (sqrt({_ts_fixed_sum("(b{h} * b{h})")})
+                * sqrt({_ts_fixed_sum("(g{h} * g{h})")})), 6)
+         AS cosine_vs_corpus
+FROM per_user, corpus
+ORDER BY cosine_vs_corpus ASC, user_id
+LIMIT 10
+"""
+
+
+@register(
+    "timeseries_user_profile_outliers",
+    oracle=_TS_OUTLIER_ORACLE,
+    doc="Time-series profile similarity (the streaming-systems "
+    "similarity-search pattern, batch form): each user's hour-of-day "
+    "activity histogram as a 24-dim vector, cosine against the corpus "
+    "profile, bottom-10 = the users whose daily rhythm least resembles "
+    "the crowd — behavioral outlier mining over event streams. One "
+    "partially-aggregated user-key shuffle emits the 24 conditional "
+    "counts; the corpus vector sums from the per-user relation (no "
+    "second scan) and broadcasts back as one row; "
+    "TakeOrderedAndProject for the bottom-10. Integer counts keep "
+    "every dot-product term exact; the fixed 24-column expansion "
+    "(see _TS_HOURS) keeps the 24-term sums in one deterministic "
+    "operand order on both engines.",
+)
+def timeseries_user_profile_outliers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    hour = F.hour("ts").cast("int")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        *[
+            F.sum(F.when(hour == h, 1).otherwise(0)).alias(f"b{h}")
+            for h in _TS_HOURS
+        ],
+    )
+    corpus = per_user.agg(
+        *[F.sum(f"b{h}").alias(f"g{h}") for h in _TS_HOURS]
+    )
+    dot = None
+    nb = None
+    ng = None
+    for h in _TS_HOURS:
+        td = F.col(f"b{h}") * F.col(f"g{h}")
+        tb = F.col(f"b{h}") * F.col(f"b{h}")
+        tg = F.col(f"g{h}") * F.col(f"g{h}")
+        dot = td if dot is None else (dot + td)
+        nb = tb if nb is None else (nb + tb)
+        ng = tg if ng is None else (ng + tg)
+    cos = dot / (F.sqrt(nb) * F.sqrt(ng))
+    return (
+        per_user.crossJoin(F.broadcast(corpus))
+        .select(
+            "user_id",
+            "n_events",
+            F.round(cos, 6).alias("cosine_vs_corpus"),
+        )
+        .orderBy(F.col("cosine_vs_corpus").asc(), "user_id")
+        .limit(10)
+    )
