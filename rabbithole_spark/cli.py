@@ -17,11 +17,29 @@ from rabbithole_spark.plans.spec import PipelineError, PipelineSpec, compile_pip
 from rabbithole_spark.session import get_spark
 
 
+#: Tables the ad-hoc SQL mode registers as temp views (TESTDATA.md).
+_SQL_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
 def parse_arguments(argv: list[str] | None = None) -> argparse.Namespace:
     parser = argparse.ArgumentParser(
-        description="Run a rabbithole-style streaming pipeline on Spark"
+        description="Run a rabbithole-style streaming pipeline on Spark, "
+        "or ad-hoc SQL over the parquet tables with --sql"
     )
-    parser.add_argument("config", help="YAML pipeline configuration file")
+    parser.add_argument(
+        "config", nargs="?", help="YAML pipeline configuration file"
+    )
     parser.add_argument(
         "-l",
         "--log-level",
@@ -36,7 +54,38 @@ def parse_arguments(argv: list[str] | None = None) -> argparse.Namespace:
     )
     parser.add_argument("--checkpoint-dir", default=None)
     parser.add_argument("--dead-letter-dir", default=None)
-    return parser.parse_args(argv)
+    parser.add_argument(
+        "--sql",
+        default=None,
+        help="ad-hoc mode: run one SQL statement against the parquet "
+        "tables in --sf-dir (registered as temp views by name) and "
+        "print the result as JSON lines",
+    )
+    parser.add_argument(
+        "--sf-dir",
+        default="/root/testdata/sf0.01",
+        help="table directory for --sql mode",
+    )
+    args = parser.parse_args(argv)
+    if (args.config is None) == (args.sql is None):
+        parser.error("exactly one of the config positional or --sql is required")
+    return args
+
+
+def run_sql(spark, sql: str, sf_dir: str) -> int:
+    """Ad-hoc SQL entry point: register every driver table that exists
+    in ``sf_dir`` as a temp view, run the statement, print JSON lines.
+    The declarative path end to end — Catalyst still sees the parquet
+    scans through the views, so pushdown/pruning behave exactly as in
+    the registered queries."""
+    from rabbithole_spark.session import table
+
+    for name in _SQL_TABLES:
+        if os.path.exists(os.path.join(sf_dir, f"{name}.parquet")):
+            table(spark, sf_dir, name).createOrReplaceTempView(name)
+    for line in spark.sql(sql).toJSON().toLocalIterator():
+        print(line)
+    return 0
 
 
 def configure_logging(level: str, log_file: str | None) -> None:
@@ -66,6 +115,10 @@ def _default_checkpoint_dir(config_path: str) -> str:
 def main(argv: list[str] | None = None) -> int:
     args = parse_arguments(argv)
     configure_logging(args.log_level, args.log_file)
+    if args.sql is not None:
+        return run_sql(
+            get_spark(app_name="rabbithole-spark-sql"), args.sql, args.sf_dir
+        )
     try:
         spec = PipelineSpec.from_yaml(args.config)
     except (PipelineError, OSError, ValueError) as exc:

@@ -111,3 +111,38 @@ flows:
     spec = PipelineSpec.from_yaml(cfg)
     with _pytest.raises(PipelineError, match="path"):
         compile_pipeline(spark, spec, str(tmp_path / "ckpt"))
+
+
+def test_sql_mode_runs_adhoc_query(spark, capsys):
+    """--sql registers the parquet tables as views and prints JSON
+    lines — the ad-hoc analytics entry point. Uses the session spark
+    (get_spark returns the active one), so no second JVM spins up."""
+    import json
+
+    from rabbithole_spark.cli import main
+
+    rc = main(
+        [
+            "--sql",
+            "SELECT r_name, count(*) AS n FROM region "
+            "JOIN nation ON n_regionkey = r_regionkey "
+            "GROUP BY r_name ORDER BY r_name",
+            "--sf-dir",
+            "/root/testdata/sf0.001",
+        ]
+    )
+    assert rc == 0
+    rows = [json.loads(line) for line in capsys.readouterr().out.splitlines()]
+    assert len(rows) == 5 and all(r["n"] == 5 for r in rows)
+    assert [r["r_name"] for r in rows] == sorted(r["r_name"] for r in rows)
+
+
+def test_sql_and_config_are_mutually_exclusive(tmp_path):
+    import pytest as _pytest
+
+    from rabbithole_spark.cli import parse_arguments
+
+    with _pytest.raises(SystemExit):
+        parse_arguments([])  # neither
+    with _pytest.raises(SystemExit):
+        parse_arguments([str(tmp_path / "c.yml"), "--sql", "SELECT 1"])  # both
