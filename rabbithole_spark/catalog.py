@@ -128,6 +128,7 @@ _PRIORITY_ORDER = (
     "text_lm_cross_entropy",
     "diagnostic_join_key_skew",
     "timeseries_user_profile_outliers",
+    "cohort_weekly_retention",
     "window_range_frame",
     "window_rank_orders",
     "dedup_components",

@@ -3958,3 +3958,79 @@ def timeseries_user_profile_outliers(
         .orderBy(F.col("cosine_vs_corpus").asc(), "user_id")
         .limit(10)
     )
+
+
+_COHORT_ORACLE = """
+WITH act AS (
+  SELECT DISTINCT user_id,
+         CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk
+  FROM events
+), tagged AS (
+  SELECT user_id, wk,
+         min(wk) OVER (PARTITION BY user_id) AS cohort_week
+  FROM act
+), cells AS (
+  SELECT cohort_week,
+         CAST(datediff('day', cohort_week, wk) // 7 AS INTEGER)
+           AS weeks_since,
+         CAST(count(*) AS BIGINT) AS n_active
+  FROM tagged GROUP BY 1, 2
+), sizes AS (
+  SELECT cohort_week, n_active AS cohort_size
+  FROM cells WHERE weeks_since = 0
+)
+SELECT c.cohort_week, c.weeks_since, c.n_active, s.cohort_size,
+       round(c.n_active / CAST(s.cohort_size AS DOUBLE), 6)
+         AS retention_rate
+FROM cells c JOIN sizes s ON c.cohort_week = s.cohort_week
+"""
+
+
+@register(
+    "cohort_weekly_retention",
+    oracle=_COHORT_ORACLE,
+    doc="Weekly cohort retention over the events stream: users grouped "
+    "by first-activity week, then the fraction still active N weeks "
+    "later — the canonical cohort triangle every product-analytics "
+    "stack computes. Week buckets are Monday-truncated on both "
+    "engines (DuckDB date_trunc returns DATE: cast to TIMESTAMP per "
+    "the oracle-dialect pin); weeks_since is an exact integer "
+    "day-diff over 7 (`div` vs `//` per the integer-division pin). "
+    "Plan: distinct (user, week) activity, a user-partitioned window "
+    "tags each row with its cohort (min week), one grouped pass "
+    "emits the triangle, and cohort sizes are just the week-0 cells "
+    "— derived, not re-aggregated, then broadcast back. Three "
+    "compact shuffles total; every relation after the distinct is "
+    "users x weeks, not events.",
+)
+def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    act = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    ).distinct()
+    w = Window.partitionBy("user_id")
+    tagged = act.withColumn("cohort_week", F.min("wk").over(w))
+    cells = (
+        tagged.groupBy(
+            "cohort_week",
+            F.expr("datediff(wk, cohort_week) div 7")
+            .cast("int")
+            .alias("weeks_since"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .localCheckpoint(eager=False)
+    )
+    sizes = cells.filter(F.col("weeks_since") == 0).select(
+        "cohort_week", F.col("n_active").alias("cohort_size")
+    )
+    return cells.join(F.broadcast(sizes), "cohort_week").select(
+        "cohort_week",
+        "weeks_since",
+        "n_active",
+        "cohort_size",
+        F.round(
+            F.col("n_active") / F.col("cohort_size").cast("double"), 6
+        ).alias("retention_rate"),
+    )
