@@ -91,6 +91,16 @@ _ADVERSARIAL_DOCS = [
     (8, "", "en", "forum"),
     (9, "   ", "en", "forum"),
     (10, "spark\x0b spark\x0b spark\x0b spark repeated glue", "en", "web"),
+    # unicode probes (round 6): multi-byte hashing (md5/xxh64 over
+    # UTF-8), case folding (lower over accented/uppercase), and the
+    # non-ASCII whitespace-lookalikes (nbsp  , ideographic space
+    # 　) that are NOT whitespace to either engine's class — all
+    # 50 queries matched their oracles on this corpus when pinned
+    (11, "中文文本 没有空格的长句子 分词 测试 中文文本", "zh", "wiki"),
+    (12, "emoji 🙂 and 🚀🚀 rockets 🙂 repeated emoji 🙂", "en", "web"),
+    (13, "nbsp separated tokens plus ideographic　space", "en", "web"),
+    (14, "combining é accents and café naïve ﬁ ligature", "fr", "books"),
+    (15, "ÀàÉéÎîÕõÜü MiXeD cAsE ünïcödé CASE folding test", "de", "forum"),
 ]
 
 _QUERIES = [
