@@ -473,3 +473,150 @@ def test_session_window_exact_gap_boundary_merges(spark):
     )
     got = sorted((r.user_id, r.n) for r in out.collect())
     assert got == [(1, 2), (2, 1), (2, 1)]
+
+
+def test_multibatch_replay_late_row_semantics(spark, tmp_path):
+    """Pin the MEASURED late-data contract across trigger modes — the
+    part single-batch bounded replays can never exercise.
+
+    (a) processingTime trigger, file b arriving AFTER file a's batch
+    committed (watermark 00:50): the late 00:30 row AND the boundary
+    00:45 row (window [00:40,00:50) closes exactly ON the watermark)
+    are both DROPPED — numRowsDroppedByWatermark=2, so the drop
+    inequality is window_end <= watermark — while 00:55 (window end
+    01:00 > wm) is kept.
+
+    (b) Trigger.AvailableNow with maxFilesPerTrigger=1 over the same
+    two files: the planned multi-batch replay ADMITS all rows
+    (numRowsDroppedByWatermark=0) even though per-batch progress
+    reports the watermark advancing — bounded availableNow replays
+    behave like ONE logical batch for late-input filtering in this
+    Spark build. This measured asymmetry is exactly why the
+    registered stream_* oracles model the bounded replay as a single
+    batch; a future Spark that starts filtering here fails this pin
+    loudly instead of silently changing oracle semantics."""
+    import datetime as dt
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    h = dt.timedelta
+
+    def write(path, rows, mtime=None):
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            }
+        )
+        pq.write_table(tbl, path)
+        if mtime is not None:
+            os.utime(path, (mtime, mtime))
+
+    batch_a = [(1, t0, 1), (3, t0 + h(hours=1), 1)]
+    batch_b = [
+        (4, t0 + h(minutes=30), 1),   # late: window end 00:40 < wm
+        (5, t0 + h(minutes=45), 1),   # boundary: end 00:50 == wm
+        (6, t0 + h(minutes=55), 1),   # keep: end 01:00 > wm
+        (7, t0 + h(hours=2), 1),      # advances the final wm to 01:50
+    ]
+
+    def agg(reader):
+        return (
+            reader.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "10 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("start"), "n")
+        )
+
+    # --- (a) real trigger: late rows drop at window_end <= watermark
+    live_dir = tmp_path / "live"
+    live_dir.mkdir()
+    write(str(live_dir / "a.parquet"), batch_a)
+    q = (
+        agg(
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long"
+            ).parquet(str(live_dir))
+        )
+        .writeStream.format("memory")
+        .queryName("mb_live")
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            p = q.lastProgress
+            if p and str(p["eventTime"].get("watermark", "")).startswith(
+                "2024-01-01T00:50"
+            ):
+                break
+            time.sleep(0.5)
+        write(str(live_dir / "b.parquet"), batch_b)
+        deadline = time.time() + 90
+        dropped = 0
+        while time.time() < deadline:
+            dropped = sum(
+                p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+                for p in q.recentProgress
+                if p["stateOperators"]
+            )
+            # after the drop, wait for the no-data batch that emits the
+            # closed 00:50/01:00 windows under the advanced watermark
+            if dropped >= 2 and len(spark.table("mb_live").collect()) >= 3:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert dropped == 2, f"expected the 00:30 and 00:45 rows dropped, got {dropped}"
+    got_live = {r.start: r.n for r in spark.table("mb_live").collect()}
+    assert t0 + h(minutes=30) not in got_live
+    assert t0 + h(minutes=40) not in got_live
+    assert got_live.get(t0) == 1 and got_live.get(t0 + h(minutes=50)) == 1
+
+    # --- (b) availableNow: planned batches admit everything
+    replay_dir = tmp_path / "replay"
+    replay_dir.mkdir()
+    write(str(replay_dir / "a.parquet"), batch_a, 1_000_000)
+    write(str(replay_dir / "b.parquet"), batch_b, 2_000_000)
+    q2 = (
+        agg(
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(replay_dir))
+        )
+        .writeStream.format("memory")
+        .queryName("mb_replay")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(300)
+    assert (
+        sum(
+            p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+            for p in q2.recentProgress
+            if p["stateOperators"]
+        )
+        == 0
+    )
+    assert len([p for p in q2.recentProgress if p["numInputRows"]]) >= 2
+    got_replay = {r.start: r.n for r in spark.table("mb_replay").collect()}
+    # every window closed by the final watermark (01:50) emits, late
+    # rows included; the open 02:00 window does not
+    assert got_replay == {
+        t0: 1,
+        t0 + h(minutes=30): 1,
+        t0 + h(minutes=40): 1,
+        t0 + h(minutes=50): 1,
+        t0 + h(hours=1): 1,
+    }, got_replay
