@@ -353,7 +353,11 @@ def agg_median_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _THETA_ORACLE = """
-WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+-- user_id IS NOT NULL: a NULL is not a set member — theta_sketch_agg
+-- and count_distinct both skip it, while count(*)/INTERSECT over the
+-- distinct pairs would count it (round-6 NULL-fixture pin)
+WITH u AS (SELECT DISTINCT event_type, user_id FROM events
+           WHERE user_id IS NOT NULL),
 c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS exact_n FROM u GROUP BY 1)
 SELECT a.event_type AS type_a, b.event_type AS type_b,
        CAST((SELECT count(DISTINCT user_id) FROM u x

@@ -3849,7 +3849,12 @@ def diagnostic_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
-    w = Window.orderBy(F.col("n_rows").desc(), "join_key")
+    # NULLS LAST explicitly: a NULL join key forms its own group, and
+    # Spark's ascending default (NULLS FIRST) disagrees with DuckDB's
+    # (NULLS LAST) in the rank tie-break — round-6 NULL-probe pin
+    w = Window.orderBy(
+        F.col("n_rows").desc(), F.col("join_key").asc_nulls_last()
+    )
     return (
         per_key.crossJoin(F.broadcast(tot))
         .select(
@@ -3865,7 +3870,7 @@ def diagnostic_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("skew_factor"),
             F.row_number().over(w).cast("int").alias("rank"),
         )
-        .orderBy(F.col("n_rows").desc(), "join_key")
+        .orderBy(F.col("n_rows").desc(), F.col("join_key").asc_nulls_last())
         .limit(10)
     )
 

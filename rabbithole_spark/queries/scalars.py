@@ -20,7 +20,12 @@ SELECT p_partkey,
        lower(p_brand) AS brand_lower,
        CAST(length(p_name) AS INTEGER) AS name_len,
        substring(p_name, 1, 5) AS name_prefix,
-       concat(p_brand, ':', p_type) AS brand_type,
+       -- concat_ws, not concat: DuckDB concat() silently SKIPS NULL
+       -- args while keeping neighbors ('Brand#23' || NULL -> the ':'
+       -- separator survives), whereas Spark concat_ws skips the arg
+       -- AND its separator. concat_ws has identical NULL-skipping
+       -- semantics in both engines (NULL-probe pin, round 6).
+       concat_ws(':', p_brand, p_type) AS brand_type,
        trim('  ' || p_name || ' ') AS name_trimmed,
        replace(p_name, ' ', '_') AS name_snake,
        reverse(p_type) AS type_reversed,
@@ -277,6 +282,9 @@ WITH checked AS (
   SELECT event_id, props,
          len(list_filter(json_keys(props), kk ->
              NOT (json_type(json_extract(props, '$.' || kk)) IS NULL
+                  -- a JSON null VALUE is parseable: from_json maps it
+                  -- to a NULL map entry (round-6 NULL-fixture pin)
+                  OR json_type(json_extract(props, '$.' || kk)) = 'NULL'
                   OR (json_type(json_extract(props, '$.' || kk))
                           IN ('UBIGINT', 'BIGINT')
                       AND TRY_CAST(json_extract_string(props, '$.' || kk)
@@ -285,15 +293,19 @@ WITH checked AS (
   FROM events
 )
 SELECT event_id,
+       -- coalesce('') twice: Spark's array_join renders an empty or
+       -- all-NULL array as '', DuckDB's array_to_string can yield
+       -- NULL there (same pin)
        CASE WHEN ok
-            THEN array_to_string(list_sort(json_keys(props)), ',') END
+            THEN coalesce(array_to_string(list_sort(json_keys(props)),
+                                          ','), '') END
          AS prop_keys,
        CASE WHEN ok
-            THEN array_to_string(
+            THEN coalesce(array_to_string(
                    list_transform(list_sort(json_keys(props)),
                      kk -> CAST(TRY_CAST(json_extract_string(props, '$.' || kk)
                                          AS BIGINT) AS VARCHAR)),
-                   ',') END
+                   ','), '') END
          AS prop_values,
        CASE WHEN ok THEN CAST(len(json_keys(props)) AS INTEGER) END AS n_props,
        CASE WHEN ok

@@ -97,14 +97,13 @@ def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _UNPIVOT_ORACLE = """
-SELECT c_custkey, metric, val
-FROM (
-  SELECT c_custkey,
-         CAST(c_acctbal AS DOUBLE) AS acctbal,
-         CAST(c_nationkey AS DOUBLE) AS nationkey
-  FROM customer
-)
-UNPIVOT (val FOR metric IN (acctbal, nationkey))
+-- UNION ALL, not UNPIVOT: DuckDB's UNPIVOT silently DROPS rows whose
+-- value is NULL while Spark's unpivot keeps them (round-6
+-- NULL-fixture pin); the explicit stack keeps both engines identical
+SELECT c_custkey, 'acctbal' AS metric,
+       CAST(c_acctbal AS DOUBLE) AS val FROM customer
+UNION ALL
+SELECT c_custkey, 'nationkey', CAST(c_nationkey AS DOUBLE) FROM customer
 """
 
 

@@ -33,9 +33,21 @@ SELECT l_returnflag,
        round(var_samp(l_quantity), 6) AS qty_var,
        round(stddev_pop(l_quantity), 6) AS qty_stddev_pop,
        round(var_pop(l_quantity), 6) AS qty_var_pop,
-       round(avg(pow(l_quantity - m, 3)) / pow(avg(pow(l_quantity - m, 2)), 1.5), 6) AS qty_skew,
-       round(avg(pow(l_quantity - m, 4)) / pow(avg(pow(l_quantity - m, 2)), 2) - 3, 6) AS qty_kurt
-FROM lineitem JOIN mu ON l_returnflag = g
+       -- zero-variance guard: Spark's skewness/kurtosis return NULL
+       -- when the central second moment is 0 (constant or singleton
+       -- group); an unguarded 0/0 here yields NaN instead — round-6
+       -- NULL-fixture pin
+       CASE WHEN avg(pow(l_quantity - m, 2)) > 0
+            THEN round(avg(pow(l_quantity - m, 3))
+                       / pow(avg(pow(l_quantity - m, 2)), 1.5), 6)
+       END AS qty_skew,
+       CASE WHEN avg(pow(l_quantity - m, 2)) > 0
+            THEN round(avg(pow(l_quantity - m, 4))
+                       / pow(avg(pow(l_quantity - m, 2)), 2) - 3, 6)
+       END AS qty_kurt
+-- IS NOT DISTINCT FROM: an equi-join on the group key silently drops
+-- the NULL-flag group that Spark's groupBy emits (same pin)
+FROM lineitem JOIN mu ON l_returnflag IS NOT DISTINCT FROM g
 GROUP BY l_returnflag, m
 """
 
@@ -125,15 +137,24 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- arg-min / arg-max -------------------------------------------------------
 
-#: Zero-padded "price|key" string whose lexicographic order equals the
-#: (price, key) numeric order — a deterministic tie-break both engines sort
-#: identically (values are non-negative and fixed-width).
-_SORTKEY_FMT = "%020.2f|%019d"
+#: Zero-padded "nullflag|price|key" string whose lexicographic order
+#: equals (price IS NOT NULL, price, key) numeric order — a
+#: deterministic tie-break both engines sort identically (values are
+#: non-negative and fixed-width). The leading flag pins NULL prices as
+#: LOWEST on both engines: without it, a group whose every price is
+#: NULL diverges (Spark max_by formats a NULL key and still elects a
+#: row; DuckDB arg_max ignores NULL keys and returns NULL) — found by
+#: the round-6 NULL-fixture probe.
+_SORTKEY_FMT = "%d|%020.2f|%019d"
+_SORTKEY_SQL = (
+    "printf('%d|%020.2f|%019d', CASE WHEN o_totalprice IS NULL THEN 0 "
+    "ELSE 1 END, coalesce(o_totalprice, 0.0), o_orderkey)"
+)
 
 _MINMAX_ORACLE = f"""
 SELECT o_orderpriority,
-       max_by(o_orderkey, printf('{_SORTKEY_FMT}', o_totalprice, o_orderkey)) AS biggest_order,
-       min_by(o_orderkey, printf('{_SORTKEY_FMT}', o_totalprice, o_orderkey)) AS smallest_order,
+       max_by(o_orderkey, {_SORTKEY_SQL}) AS biggest_order,
+       min_by(o_orderkey, {_SORTKEY_SQL}) AS smallest_order,
        round(max(o_totalprice), 2) AS max_price,
        round(min(o_totalprice), 2) AS min_price
 FROM orders
@@ -149,7 +170,12 @@ GROUP BY o_orderpriority
 )
 def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
-    key = F.format_string(_SORTKEY_FMT, F.col("o_totalprice"), F.col("o_orderkey"))
+    key = F.format_string(
+        _SORTKEY_FMT,
+        F.when(F.col("o_totalprice").isNull(), 0).otherwise(1),
+        F.coalesce(F.col("o_totalprice"), F.lit(0.0)),
+        F.col("o_orderkey"),
+    )
     return o.groupBy("o_orderpriority").agg(
         F.max_by("o_orderkey", key).alias("biggest_order"),
         F.min_by("o_orderkey", key).alias("smallest_order"),
@@ -190,7 +216,10 @@ def agg_bool_countif(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _COLLECT_ORACLE = """
 SELECT c_nationkey,
-       string_agg(c_name, '|' ORDER BY c_name) AS names,
+       -- coalesce: with zero non-NULL names in a group, Spark's
+       -- collect_list -> array_join yields '' while string_agg yields
+       -- NULL (round-6 NULL-fixture pin)
+       coalesce(string_agg(c_name, '|' ORDER BY c_name), '') AS names,
        count(*) AS n_customers
 FROM customer
 WHERE c_custkey <= 500

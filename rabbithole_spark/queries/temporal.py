@@ -118,6 +118,8 @@ SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
        count(*) AS n_events,
        {sql_dsum("value", "window_value", 2)}
 FROM events
+-- F.window drops NULL event times; mirror it (NULL-fixture pin)
+WHERE ts IS NOT NULL
 GROUP BY 1, 2, 3
 """
 
@@ -153,6 +155,8 @@ SELECT time_bucket(INTERVAL '30 minutes', ts) - k * INTERVAL '30 minutes' AS win
        time_bucket(INTERVAL '30 minutes', ts) - k * INTERVAL '30 minutes' + INTERVAL '1 hour' AS window_end,
        count(*) AS n_events
 FROM events CROSS JOIN offsets
+-- F.window drops NULL event times; mirror it (NULL-fixture pin)
+WHERE ts IS NOT NULL
 GROUP BY 1, 2
 """
 
@@ -182,7 +186,8 @@ WITH flagged AS (
          CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
                    <= INTERVAL '30 minutes'
               THEN 0 ELSE 1 END AS new_session
-  FROM events
+  -- F.session_window drops NULL event times; mirror it (NULL pin)
+  FROM events WHERE ts IS NOT NULL
 ), sessions AS (
   SELECT user_id, ts, value,
          sum(new_session) OVER (

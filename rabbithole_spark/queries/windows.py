@@ -54,11 +54,14 @@ SELECT user_id, event_id, ts, value,
        lead(value) OVER w AS next_value,
        first_value(event_type) OVER w AS first_type,
        last_value(event_type) OVER (
-         PARTITION BY user_id ORDER BY ts, event_id
+         PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
        ) AS last_type
 FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+-- NULLS FIRST explicitly: Spark's ascending default; DuckDB defaults
+-- to NULLS LAST, which flips first/last and lag/lead neighbors for
+-- NULL event times (round-6 NULL-fixture pin)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id)
 """
 
 
@@ -87,11 +90,12 @@ SELECT user_id, event_id, ts,
        CAST(count(*) OVER w AS BIGINT) AS running_events,
        CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_value,
        ROUND(avg(value) OVER (
-         PARTITION BY user_id ORDER BY ts, event_id
+         PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
        ), 6) AS moving_avg_4
 FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+-- NULLS FIRST pin: see _LAG_ORACLE
+WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 """
 

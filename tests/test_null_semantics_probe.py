@@ -1,0 +1,171 @@
+"""NULL-semantics conformance probe (round 6).
+
+The driver's tables contain no NULLs, so a Spark/DuckDB divergence in
+NULL handling never surfaces in the standard parity sweep — but real
+100 TB data is full of NULLs. This fixture plants NULLs everywhere
+they hurt: join keys, group keys, aggregate inputs, ORDER BY keys
+(Spark asc defaults NULLS FIRST, DuckDB NULLS LAST), event times
+(time windows drop them), JSON payloads (null values / empty
+objects), and string args (DuckDB concat() skips NULLs, Spark
+propagates). The round-6 probe found and fixed 13 divergences:
+concat -> concat_ws, arg-max NULL sort keys, UNPIVOT dropping NULL
+rows, window NULLS FIRST pins, moments' group-key equi-join dropping
+the NULL group + 0/0 skewness, collect-empty vs NULL, theta-sketch
+NULL membership, JSON-null parseability. Every oracle-backed
+relational-family query must now match its oracle here.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import duckdb
+import pytest
+
+from rabbithole_spark.catalog import load_all
+
+_T = datetime.datetime(1996, 6, 1)
+
+
+def _d(days: int, minutes: int = 0) -> datetime.datetime:
+    return _T + datetime.timedelta(days=days, minutes=minutes)
+
+
+#: table name -> (schema, rows). NULLs are load-bearing; see module doc.
+_TABLES = {
+    "region": (
+        "r_regionkey int, r_name string",
+        [(0, "AFRICA"), (1, "AMERICA"), (2, None), (3, "EUROPE"),
+         (4, "MIDDLE EAST")],
+    ),
+    "nation": (
+        "n_nationkey int, n_name string, n_regionkey int",
+        [(0, "NATION_0", 0), (1, None, 1), (2, "NATION_2", None),
+         (3, "NATION_3", 3), (7, "NATION_7", 2)],
+    ),
+    "customer": (
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double,"
+        " c_mktsegment string",
+        [(1, "c1", 0, 100.0, "BUILDING"), (2, None, 1, None, "BUILDING"),
+         (3, "c3", None, -50.0, None), (4, "c4", 3, 9000.0, "MACHINERY"),
+         (5, "c5", 7, None, "BUILDING"), (6, "c6", 0, 0.0, "AUTOMOBILE")],
+    ),
+    "supplier": (
+        "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+        [(1, "s1", 0, 10.0), (2, "s2", None, None), (3, None, 3, 30.0),
+         (4, "s4", 7, 40.0)],
+    ),
+    "part": (
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double",
+        [(1, "alpha", "Brand#12", "ECONOMY", 3, 10.0),
+         (2, "beta", "Brand#23", None, 8, None),
+         (3, None, "Brand#3", "PROMO", None, 30.0),
+         (4, "delta", None, "ECONOMY", 20, 40.0)],
+    ),
+    "orders": (
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+        [(10, 1, "F", 100.0, _d(0), "1-URGENT"),
+         (11, 2, "O", None, _d(10), "2-HIGH"),
+         (12, None, "F", 300.0, _d(20), None),
+         (13, 4, "P", 400.0, None, "3-MEDIUM"),
+         (14, 5, "F", 500.0, _d(40), "5-LOW"),
+         (15, 1, None, 600.0, _d(50), "4-NOT SPECIFIED")],
+    ),
+    "lineitem": (
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+        [(10, 1, 1, 1, 5.0, 100.0, 0.05, 0.01, "R", "F", _d(30)),
+         (10, 2, 2, 2, None, 200.0, 0.06, 0.02, "N", "O", _d(35)),
+         (11, 3, None, 1, 10.0, None, 0.07, None, "R", None, _d(95)),
+         (12, None, 4, 1, 24.0, 400.0, None, 0.03, None, "F", None),
+         (13, 4, 1, 1, 30.0, 500.0, 0.05, 0.0, "A", "F", _d(120)),
+         (14, 1, 3, 1, 50.0, 600.0, 0.06, 0.01, "R", "O", _d(70))],
+    ),
+    "events": (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+        [(1, _d(0), 1, "click", 1.0, '{"k": 1}'),
+         (2, _d(0, 30), 1, "purchase", 5.0, None),
+         (3, _d(1), None, "click", None, '{"k": 2}'),
+         (4, None, 2, "view", 3.0, "{}"),
+         (5, _d(2), 2, None, 4.0, '{"k": null}')],
+    ),
+}
+
+#: Families swept here. documents/embeddings-centric queries have their
+#: own adversarial-corpus conformance sweep (test_whitespace_class.py).
+_PREFIXES = (
+    "tpch_", "join_", "agg_", "window_", "setop_", "sort_", "subquery_",
+    "pivot_", "unpivot_", "topk_", "pricing_", "temporal_", "scalar_",
+    "profile_", "funnel_", "lateral_", "diagnostic_", "cohort_",
+    "timeseries_", "sql_",
+)
+
+#: Queries in the swept families that also need embeddings/documents —
+#: exempt from this fixture (covered by the standard parity sweep).
+_NEEDS_OTHER_TABLES = {"scalar_array_funcs", "scalar_array_hof"}
+
+
+def _canon(v):
+    if isinstance(v, float):
+        return "nan" if v != v else f"{v:.9g}"
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return v.isoformat()
+    return str(v)
+
+
+@pytest.fixture(scope="module")
+def null_fixture(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("null_fixture")
+    for name, (schema, rows) in _TABLES.items():
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp / f"{name}.parquet"))
+    return tmp
+
+
+def test_relational_queries_match_oracle_on_null_fixture(spark, null_fixture):
+    con = duckdb.connect()
+    for name in _TABLES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM "
+            f"'{null_fixture}/{name}.parquet/*.parquet'"
+        )
+    specs = load_all()
+    swept = [
+        n
+        for n, s in specs.items()
+        if s.oracle is not None
+        and n.startswith(_PREFIXES)
+        and n not in _NEEDS_OTHER_TABLES
+    ]
+    assert len(swept) >= 80, f"sweep shrank unexpectedly: {len(swept)}"
+    bad, err = [], []
+    for name in swept:
+        spec = specs[name]
+        try:
+            sdf = spec.fn(spark, str(null_fixture))
+            scols = sorted(sdf.columns)
+            srows = sorted(
+                (tuple(_canon(r[c]) for c in scols) for r in sdf.collect()),
+                key=repr,
+            )
+            cur = con.execute(spec.oracle)
+            ocols = [d[0] for d in cur.description]
+            order = sorted(range(len(ocols)), key=lambda i: ocols[i])
+            orows = sorted(
+                (tuple(_canon(r[i]) for i in order) for r in cur.fetchall()),
+                key=repr,
+            )
+            if sorted(ocols) != scols or srows != orows:
+                bad.append(name)
+        except Exception as exc:
+            err.append(f"{name}: {type(exc).__name__}")
+    assert not err, f"errors on the NULL fixture: {err}"
+    assert not bad, f"NULL-semantics mismatches: {bad}"
