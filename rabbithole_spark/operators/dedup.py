@@ -421,7 +421,12 @@ def prefix_filtered_jaccard_pairs(
     candidate docs (NOTES.md lesson 6). All linear except the
     candidate join, whose size the rarest-first ordering minimizes.
     """
-    shingled = df.select(
+    # NULL text is not duplicate content: word_shingles would squash
+    # it to the same [''] shingle list as every other NULL (concat_ws
+    # over a NULL slice), clustering all unknown-content docs into one
+    # bogus duplicate group — round-6 NULL-text probe pin (the oracle
+    # naturally excludes them because its split propagates NULL)
+    shingled = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("doc_id"),
         word_shingles(F.col(text_col), k).alias("shingles"),
     )

@@ -1263,13 +1263,18 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: the quality heuristic's DuckDB transliteration (quality_score's SQL
 #: twin) — defined ONCE and substituted into every oracle that scores
 #: quality, so a threshold tweak cannot diverge between queries
-_QUALITY_CASE_SQL = """CAST(CASE WHEN length(text) BETWEEN 50 AND 10000 THEN 0.4 ELSE 0 END
+_QUALITY_CASE_SQL = """CAST(CASE WHEN text IS NULL THEN NULL ELSE
+           CASE WHEN length(text) BETWEEN 50 AND 10000 THEN 0.4 ELSE 0 END
          + CASE WHEN CAST(length(regexp_replace(text, '[^\\.,;:!\\?''"]', '', 'g')) AS DOUBLE)
                      / CAST(greatest(length(text), 1) AS DOUBLE) < 0.1 THEN 0.3 ELSE 0 END
          + CASE WHEN CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
                   t -> list_contains(['the','a','of','and','to','in','is','it'], t))) AS DOUBLE)
                      / CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS DOUBLE) > 0.01
-                THEN 0.3 ELSE 0 END AS DOUBLE)"""
+                THEN 0.3 ELSE 0 END END AS DOUBLE)"""
+# NULL-text guard (round-6 probe): Spark's quality_score propagates
+# NULL (every term is NULL-typed arithmetic) while the bare CASE sums
+# evaluated to 0.0 — a rollup's avg(quality) then diverged (avg
+# ignores NULL but counts 0.0).
 
 _QUALITY_ORACLE = f"""
 SELECT doc_id,
@@ -1880,7 +1885,12 @@ GROUP BY doc_id
 def text_segment_dedup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    d = spread(table(spark, sf_dir, "documents"))
+    # NULL text segments to a single NULL row via explode_outer over a
+    # NULL transform; the oracle's unnest-based relation never sees the
+    # doc — filter to align (round-6 NULL-text probe pin)
+    d = spread(table(spark, sf_dir, "documents")).filter(
+        F.col("text").isNotNull()
+    )
     words = F.split(F.trim(F.col("text")), r"[ \t\n\r\f]+")
     nseg = F.expr(f"(size(split(trim(text), '[ \\\\t\\\\n\\\\r\\\\f]+')) + {_SEG_WORDS - 1}) div {_SEG_WORDS}")
     segs = d.select(
@@ -2071,7 +2081,11 @@ GROUP BY doc_id
 def text_remove_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    d = spread(table(spark, sf_dir, "documents"))
+    # same NULL-text pin as text_segment_dedup_rate: a NULL text has no
+    # segments to clean and the oracle never emits it
+    d = spread(table(spark, sf_dir, "documents")).filter(
+        F.col("text").isNotNull()
+    )
     words = F.split(F.trim(F.col("text")), r"[ \t\n\r\f]+")
     nseg = F.expr(
         f"(size(split(trim(text), '[ \\\\t\\\\n\\\\r\\\\f]+')) + {_SEG_WORDS - 1}) div {_SEG_WORDS}"
@@ -2373,7 +2387,10 @@ def text_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     ).localCheckpoint(eager=False)
     stats = d.agg(
-        F.count(F.lit(1)).alias("n_docs"),
+        # count(text), not count(*): the oracle's corpus stats derive
+        # from the tokenized relation, which a NULL text never reaches
+        # (round-6 NULL-text probe pin); avg already skips NULLs
+        F.count("text").alias("n_docs"),
         F.avg(
             F.size(F.split(F.lower(F.trim(F.col("text"))), r"[ \t\n\r\f]+"))
         ).alias("avgdl"),
@@ -3112,8 +3129,10 @@ def mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     # max(..., 1) guards the single-language corpus: the eager Python
-    # division must not raise even when the otherwise() branch is dead
-    n_langs = d.select("lang").distinct().count()
+    # division must not raise even when the otherwise() branch is dead.
+    # dropna first: SQL count(DISTINCT lang) never counts NULL, while
+    # DataFrame distinct().count() does (round-6 NULL-fixture pin)
+    n_langs = d.select("lang").na.drop().distinct().count()
     weight = F.when(F.col("lang") == "en", F.lit(0.5)).otherwise(
         F.lit(0.5 / max(n_langs - 1, 1))
     )
@@ -3507,7 +3526,12 @@ def mixture_js_divergence_by_source(
     per_source = d.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         *[
-            F.sum((F.col("lang") == lang).cast("long")).alias(f"n_{lang}")
+            # when/otherwise, not a bare boolean cast: (NULL == 'de')
+            # is NULL, and a group whose every lang is NULL would sum
+            # to NULL instead of 0 (round-6 NULL-text probe pin)
+            F.sum(
+                F.when(F.col("lang") == lang, 1).otherwise(0)
+            ).alias(f"n_{lang}")
             for lang in _JS_LANGS
         ],
     )

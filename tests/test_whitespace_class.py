@@ -101,6 +101,12 @@ _ADVERSARIAL_DOCS = [
     (13, "nbsp separated tokens plus ideographic　space", "en", "web"),
     (14, "combining é accents and café naïve ﬁ ligature", "fr", "books"),
     (15, "ÀàÉéÎîÕõÜü MiXeD cAsE ünïcödé CASE folding test", "de", "forum"),
+    # NULL probes (round 6): NULL text must never cluster as duplicate
+    # content, count toward corpus stats the oracle derives from the
+    # tokenized relation, or flip conditional counts to NULL — the
+    # probe that found 11 divergences (NOTES round-6 session log)
+    (98, None, "en", "web"),
+    (99, None, None, None),
 ]
 
 _QUERIES = [
@@ -197,7 +203,7 @@ def test_all_documents_only_queries_match_oracle_on_adversarial_corpus(
     anywhere in the registry fails here before the driver sees it."""
     df = spark.createDataFrame(
         [
-            (i, t, lang, src, len(t))
+            (i, t, lang, src, len(t) if t is not None else None)
             for i, t, lang, src in _ADVERSARIAL_DOCS
         ],
         "doc_id long, text string, lang string, source string, n_chars long",
@@ -232,7 +238,7 @@ def test_tokenizing_query_matches_oracle_on_vertical_tab_corpus(
 ):
     df = spark.createDataFrame(
         [
-            (i, t, lang, src, len(t))
+            (i, t, lang, src, len(t) if t is not None else None)
             for i, t, lang, src in _ADVERSARIAL_DOCS
         ],
         "doc_id long, text string, lang string, source string, n_chars long",
