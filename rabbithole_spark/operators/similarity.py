@@ -52,7 +52,13 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    # Zero-norm guard (round-6 embeddings NULL/zero-vector probe): a
+    # zero or NULL vector has no direction — cosine is NULL, not a
+    # DIVIDE_BY_ZERO crash (ANSI mode) or an inf. NULL similarity sinks
+    # below every real match under desc NULLS LAST on both engines, so
+    # top-k/radius semantics are unchanged wherever a real match exists.
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom > 0, dot(a, b) / denom)
 
 
 def cosine_topk(
@@ -66,7 +72,10 @@ def cosine_topk(
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     sim = F.round(cosine(F.col(embedding_col), q), 6).alias("cosine_sim")
     id_cols = id_cols or [c for c in df.columns if c != embedding_col]
-    out = df.select(*id_cols, sim)
+    # malformed vectors (NULL, NULL-element, zero-norm) fold to a NULL
+    # cosine — drop them so the top-k never pads with non-rankable rows
+    # (round-6 embeddings probe pin; the oracles exclude them likewise)
+    out = df.select(*id_cols, sim).filter(F.col("cosine_sim").isNotNull())
     order = [F.col("cosine_sim").desc()] + [F.col(c) for c in id_cols]
     return out.orderBy(*order).limit(k)
 

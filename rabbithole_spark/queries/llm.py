@@ -574,9 +574,16 @@ scored AS (
                   i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)), 'sum'))),
            6) AS cosine_sim
   FROM embeddings, q
+  -- malformed-vector exclusion (round-6 probe pin): list_aggregate
+  -- SKIPS NULL elements where Spark's fold propagates NULL, so the
+  -- no-NULL-element condition must be explicit; a zero-norm vector's
+  -- 0/0 is NULL on both engines and falls to the IS NOT NULL check
+  WHERE embedding IS NOT NULL
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0
 )
 SELECT vec_id, label, cosine_sim
 FROM scored
+WHERE cosine_sim IS NOT NULL
 ORDER BY cosine_sim DESC, vec_id, label
 LIMIT 10
 """
@@ -660,7 +667,10 @@ scored AS (
             * sqrt(list_aggregate(list_transform(range(1, len(qe) + 1),
                 i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)), 'sum'))) AS raw
   FROM embeddings, q
+  -- same malformed-vector exclusion as _TOPK_ORACLE (round-6 pin)
   WHERE vec_id <> 0
+    AND embedding IS NOT NULL
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0
 )
 SELECT vec_id, label, round(raw, 6) AS cosine_sim
 FROM scored WHERE raw >= {_RANGE_TAU}

@@ -172,7 +172,13 @@ def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _HOF_ORACLE = """
 SELECT vec_id,
-       round(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'), 4) AS sq_norm,
+       -- NULL-element guard (round-6 probe): Spark's aggregate fold
+       -- propagates a NULL element into a NULL sum; DuckDB's
+       -- list_aggregate('sum') silently SKIPS NULL elements
+       CASE WHEN len(list_filter(embedding, x -> x IS NULL)) = 0
+            THEN round(list_aggregate(list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'), 4)
+       END AS sq_norm,
        CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_positive,
        round(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 6) AS max_component
 FROM embeddings
