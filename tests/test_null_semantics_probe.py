@@ -94,6 +94,26 @@ _TABLES = {
          (4, None, 2, "view", 3.0, "{}"),
          (5, _d(2), 2, None, 4.0, '{"k": null}')],
     ),
+    # embeddings with the three malformed-vector shapes the round-6
+    # probe used: NULL vector, zero vector (+ NULL label), NULL element
+    # (vec_id 0 is the similarity queries' query vector — keep it sane)
+    "embeddings": (
+        "vec_id long, embedding array<float>, label int",
+        [(i, [round(((i * 37 + j * 11) % 97) / 97.0 - 0.5, 3)
+              for j in range(64)], i % 4)
+         for i in range(20)]
+        + [(100, None, 1), (101, [0.0] * 64, None),
+           (102, [0.25] * 63 + [None], 2)],
+    ),
+    # minimal documents incl. NULL text so scalar_array_funcs can run
+    "documents": (
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+        [(1, "spark join vector spark", "en", "web", 23),
+         (2, "a b c", "en", "web", 5),
+         (3, None, "en", "web", None),
+         (4, None, None, None, None)],
+    ),
 }
 
 #: Families swept here. documents/embeddings-centric queries have their
@@ -105,9 +125,18 @@ _PREFIXES = (
     "timeseries_", "sql_",
 )
 
-#: Queries in the swept families that also need embeddings/documents —
-#: exempt from this fixture (covered by the standard parity sweep).
-_NEEDS_OTHER_TABLES = {"scalar_array_funcs", "scalar_array_hof"}
+#: Embedding-family queries swept IN ADDITION to the prefix families
+#: (their prefixes are shared with documents-only queries that have
+#: their own conformance sweep). Heavy iterative/persisted-index
+#: queries (ivf/kmeans) are covered by the standard parity sweep.
+_EMBEDDING_QUERIES = (
+    "embedding_centroids",
+    "similarity_topk_bruteforce",
+    "similarity_range_search",
+    "similarity_embedding_near_dup",
+)
+
+_NEEDS_OTHER_TABLES: set[str] = set()
 
 
 def _canon(v):
@@ -142,7 +171,7 @@ def test_relational_queries_match_oracle_on_null_fixture(spark, null_fixture):
         n
         for n, s in specs.items()
         if s.oracle is not None
-        and n.startswith(_PREFIXES)
+        and (n.startswith(_PREFIXES) or n in _EMBEDDING_QUERIES)
         and n not in _NEEDS_OTHER_TABLES
     ]
     assert len(swept) >= 80, f"sweep shrank unexpectedly: {len(swept)}"
