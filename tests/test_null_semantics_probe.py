@@ -198,3 +198,59 @@ def test_relational_queries_match_oracle_on_null_fixture(spark, null_fixture):
             err.append(f"{name}: {type(exc).__name__}")
     assert not err, f"errors on the NULL fixture: {err}"
     assert not bad, f"NULL-semantics mismatches: {bad}"
+
+
+def test_streaming_queries_survive_null_event_times(spark, null_fixture, tmp_path):
+    """Robustness contract: a NULL event time must never crash a
+    streaming query (one malformed record would otherwise kill a
+    100 TB ingest job). The bounded replays run on an events file
+    whose rows include NULL ts / NULL user / NULL type; watermarked
+    operators drop the NULL-ts rows exactly like their batch twins
+    (F.window semantics), dedup keeps them (the digest key is not
+    event time). Rows-only check by design — the point is no-crash
+    plus sane cardinality."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def mu(t):
+        if t is None:
+            return None
+        return int((t - datetime.datetime(1970, 1, 1)).total_seconds() * 1e6)
+
+    rows = [
+        (1, mu(t0), 1, "click", 1.0, '{"k":1}'),
+        (2, mu(t0 + datetime.timedelta(minutes=30)), 1, "purchase", 5.0, None),
+        (3, None, 2, "click", 2.0, "{}"),
+        (4, mu(t0 + datetime.timedelta(hours=2)), 2, "view", 3.0, None),
+        (5, mu(t0 + datetime.timedelta(hours=3)), None, None, None, None),
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.int64()),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+
+    specs = load_all()
+    expected_rows = {
+        # 4 (window, event_type) cells over the timestamped events —
+        # 00:00 click + 00:30 purchase share an hour bucket but not a
+        # type; NULL ts dropped
+        "stream_tumbling_counts": 4,
+        # gap sessions over the 4 timestamped events
+        "stream_session_window": 3,
+        # click@00:00 matches purchase@00:30 only
+        "stream_stream_interval_join": 1,
+        # dedup keys on content digest: all 5 rows survive
+        "stream_dedup_watermark": 5,
+    }
+    for name, want in expected_rows.items():
+        got = len(specs[name].fn(spark, str(tmp_path)).collect())
+        assert got == want, (name, got, want)
