@@ -552,13 +552,21 @@ def _plane_sig_sql(col: str) -> str:
 
 
 def _query_vector(spark: SparkSession, sf_dir: str) -> list[float]:
-    row = (
+    rows = (
         table(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") == 0)
         .select("embedding")
-        .collect()[0]
+        .collect()
     )
-    return [float(x) for x in row["embedding"]]
+    # clear error over a bare IndexError: an empty/missing query vector
+    # means broken upstream data, and the message should say so
+    # (round-6 empty-table probe)
+    if not rows or rows[0]["embedding"] is None:
+        raise ValueError(
+            "query vector vec_id=0 not found in embeddings — corpus "
+            "empty or malformed"
+        )
+    return [float(x) for x in rows[0]["embedding"]]
 
 
 _TOPK_ORACLE = """
