@@ -27,6 +27,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 _QUERY_MODULES = (
     "rabbithole_spark.queries.llm",
     "rabbithole_spark.queries.tpch",
+    "rabbithole_spark.queries.tpch_derived",
     "rabbithole_spark.queries.temporal",
     "rabbithole_spark.queries.stats",
     "rabbithole_spark.queries.udfs",

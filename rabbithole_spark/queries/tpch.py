@@ -7,8 +7,10 @@ window), Q18 (HAVING-IN as agg-then-join), Q19 (disjunctive
 pushdown), Q21 (multi-EXISTS as one grouped pass), Q22 (scalar
 subquery + anti join). The driver schema has no partsupp table and no
 l_shipmode/l_commitdate/c_phone columns, so Q2/Q9/Q11/Q12/Q16/Q20
-have no faithful analog; every shape that is expressible is
-registered. Common plan discipline at scale: broadcast every dim,
+cannot be expressed literally; their SHAPE analogs over a derived
+part-supplier relation live in tpch_derived.py, completing all 22
+shapes (Q1 ~ pricing_summary in core.py, Q5 ~ join_multiway_revenue
+in joins.py). Common plan discipline at scale: broadcast every dim,
 one shuffle per fact join key, partial aggs before every exchange,
 TakeOrderedAndProject for top-k (no global sort).
 """
