@@ -130,6 +130,15 @@ _PRIORITY_ORDER = (
     "diagnostic_join_key_skew",
     "timeseries_user_profile_outliers",
     "cohort_weekly_retention",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_stock",
+    "tpch_q12_priority_lines",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q20_excess_stock",
+    "dedup_semantic_semdedup",
+    "similarity_filtered_topk",
+    "text_ngram_novelty",
     "window_range_frame",
     "window_rank_orders",
     "dedup_components",

@@ -294,7 +294,15 @@ def lloyd_init_first_k(
 ) -> list[list[float]]:
     """Deterministic seeding: the first ``k`` vectors in id order."""
     first = df.orderBy(*order_cols).limit(k).select(vec_col).collect()
-    return [[float(x) for x in r[0]] for r in first]
+    cents = [[float(x) for x in r[0]] for r in first if r[0] is not None]
+    # clear error over a downstream zero-centroid AnalysisException: an
+    # empty corpus means broken upstream data, and the message should
+    # say so (round-6 empty-table probe)
+    if not cents:
+        raise ValueError(
+            "cannot seed k-means: embedding corpus empty or malformed"
+        )
+    return cents
 
 
 def lloyd_iterate(

@@ -2821,6 +2821,104 @@ def similarity_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEMDEDUP_TAU = 0.35
+
+
+def _semdedup_oracle() -> str:
+    """DuckDB twin of the SemDeDup query: replay the deterministic
+    Lloyd assignment (same CTEs as the k-means oracle), then the
+    within-cluster pairwise max-cosine-to-a-lower-id and the
+    threshold flag. Cosine uses the identical sequential-fold /
+    sqrt-product expression shape as the Spark side, rounded to 6
+    AFTER the max on both engines."""
+    k, iters = _KMEANS_K, _KMEANS_ITERS
+    ctes, prev = _lloyd_replay_ctes(k, iters, None)
+    d2 = _sq_l2_sql("f.e", "c.c")
+    ctes.append(
+        f"af AS (SELECT vec_id, e, cluster FROM (\n"
+        f"  SELECT f.vec_id, f.e, c.cluster,\n"
+        f"         row_number() OVER (PARTITION BY f.vec_id ORDER BY\n"
+        f"           {d2}, c.cluster) AS rn\n"
+        f"  FROM fit f CROSS JOIN {prev} c) WHERE rn = 1)"
+    )
+    cos = (
+        f"{_dot_sql('a.e', 'b.e')} / "
+        f"(sqrt({_dot_sql('a.e', 'a.e')}) * sqrt({_dot_sql('b.e', 'b.e')}))"
+    )
+    ctes.append(
+        f"pairs AS (SELECT a.vec_id, round(max({cos}), 6) AS max_lower_sim\n"
+        f"  FROM af a JOIN af b\n"
+        f"    ON a.cluster = b.cluster AND b.vec_id < a.vec_id\n"
+        f"  GROUP BY a.vec_id)"
+    )
+    with_sql = "WITH " + ",\n".join(ctes)
+    return f"""{with_sql}
+SELECT af.vec_id, af.cluster, p.max_lower_sim,
+       coalesce(p.max_lower_sim >= {_SEMDEDUP_TAU}, FALSE) AS is_dup
+FROM af LEFT JOIN pairs p ON p.vec_id = af.vec_id
+"""
+
+
+@register(
+    "dedup_semantic_semdedup",
+    oracle=_semdedup_oracle(),
+    doc="SemDeDup-style semantic deduplication (Abbas et al. 2023, "
+    "arXiv:2303.09540): cluster the embedding corpus with the "
+    "deterministic Lloyd k-means, then compare pairs ONLY within a "
+    "cluster — a vector is a semantic duplicate when its cosine to "
+    "a lower-id cluster-mate reaches tau (keep-lowest-id policy). "
+    "This is the 100 TB shape for embedding-level dedup: the "
+    "quadratic compare is bounded per cluster (N^2/k) instead of "
+    "corpus-wide, the cluster key is one linear shuffle, and the "
+    "assignment itself is row-local against broadcast-literal "
+    "centroids. Output: every vector with its cluster, its max "
+    "similarity to a lower-id mate (NULL for cluster minima / "
+    "singletons), and the dedup flag. The full iterative pipeline — "
+    "Lloyd fit, assignment, pairwise max, flag — is replayed in the "
+    "oracle, so the check is hash-exact end-to-end.",
+)
+def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rabbithole_spark.operators.similarity import (
+        cosine,
+        kmeans_fit_assign,
+    )
+
+    assigned = kmeans_fit_assign(
+        table(spark, sf_dir, "embeddings"),
+        "embedding",
+        ["vec_id", "embedding"],
+        k=_KMEANS_K,
+        iters=_KMEANS_ITERS,
+    ).select("vec_id", "embedding", "cluster")
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("b.vec_id") < F.col("a.vec_id")),
+        )
+        .groupBy(F.col("a.vec_id").alias("vec_id"))
+        .agg(
+            F.round(
+                F.max(cosine(F.col("a.embedding"), F.col("b.embedding"))), 6
+            ).alias("max_lower_sim")
+        )
+    )
+    return (
+        assigned.select("vec_id", "cluster")
+        .join(pairs, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            "max_lower_sim",
+            F.coalesce(
+                F.col("max_lower_sim") >= _SEMDEDUP_TAU, F.lit(False)
+            ).alias("is_dup"),
+        )
+    )
+
+
 #: quality-weighted sampling bucket: a third independent odd multiplier
 #: (xxhash prime3) so acceptance is uncorrelated with both the uniform
 #: sample bucket and the split bucket. 2^31 * 3266489917 ~ 7.0e18 < 2^63.
@@ -4080,4 +4178,129 @@ def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.col("n_active") / F.col("cohort_size").cast("double"), 6
         ).alias("retention_rate"),
+    )
+
+
+# --- round-6 late additions (second session) -----------------------------------
+
+_FILTERED_LABELS = (2, 5, 7)
+
+_FILTERED_TOPK_ORACLE = f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT vec_id, label,
+         round(
+           list_aggregate(list_transform(range(1, len(embedding) + 1),
+             i -> CAST(embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)), 'sum')
+           / (sqrt(list_aggregate(list_transform(range(1, len(embedding) + 1),
+                i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), 'sum'))
+              * sqrt(list_aggregate(list_transform(range(1, len(qe) + 1),
+                  i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)), 'sum'))),
+           6) AS cosine_sim
+  FROM embeddings, q
+  WHERE label IN {_FILTERED_LABELS}
+    AND embedding IS NOT NULL
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0
+)
+SELECT vec_id, label, cosine_sim
+FROM scored
+WHERE cosine_sim IS NOT NULL
+ORDER BY cosine_sim DESC, vec_id, label
+LIMIT 10
+"""
+
+
+@register(
+    "similarity_filtered_topk",
+    oracle=_FILTERED_TOPK_ORACLE,
+    doc="Metadata-filtered vector search (the 'filtered ANN' problem): "
+    "exact top-10 cosine neighbors of vec_id=0 restricted to rows "
+    "whose label is in a small allow-set. PRE-filtering, not "
+    "post-filtering: the label predicate is applied to the scan "
+    "before the cosine fold, so it reaches the parquet reader as a "
+    "PushedFilters entry and the similarity arithmetic runs only on "
+    "survivors — at 100 TB the difference between scoring the whole "
+    "corpus and scoring the selected slice. Same zero-shuffle "
+    "TakeOrderedAndProject shape as similarity_topk_bruteforce; the "
+    "oracle applies the identical predicate inside its scored CTE.",
+)
+def similarity_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rabbithole_spark.operators.similarity import cosine_topk
+
+    qv = _query_vector(spark, sf_dir)
+    return cosine_topk(
+        table(spark, sf_dir, "embeddings").filter(
+            F.col("label").isin(*_FILTERED_LABELS)
+        ),
+        "embedding",
+        qv,
+        k=10,
+        id_cols=["vec_id", "label"],
+    )
+
+
+_NOVELTY_ORACLE = r"""
+WITH words AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+  FROM documents
+), grams AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, greatest(len(w) - 2, 1) + 1),
+           i -> array_to_string(list_slice(w, i, i + 2), ' ')
+         ))) AS g
+  FROM words
+), firsts AS (
+  SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY g
+), novel AS (
+  SELECT first_doc AS doc_id, CAST(count(*) AS BIGINT) AS n_novel
+  FROM firsts GROUP BY first_doc
+), tot AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+  FROM grams GROUP BY doc_id
+)
+SELECT tot.doc_id, n_grams,
+       CAST(coalesce(n_novel, 0) AS BIGINT) AS n_novel,
+       round(coalesce(n_novel, 0) / CAST(n_grams AS DOUBLE), 6)
+         AS novelty_ratio
+FROM tot LEFT JOIN novel ON novel.doc_id = tot.doc_id
+"""
+
+
+@register(
+    "text_ngram_novelty",
+    oracle=_NOVELTY_ORACLE,
+    doc="N-gram novelty scoring: for every document, the fraction of "
+    "its distinct word-3-grams whose FIRST corpus occurrence (minimum "
+    "doc_id) is this document — the memorization/novelty signal a "
+    "curation pipeline uses to down-weight documents that only repeat "
+    "earlier text. Deliberately NOT a window over the gram key: "
+    "min(doc_id) per gram is a partial-aggregable groupBy, so a "
+    "mega-hot gram (boilerplate) collapses map-side instead of "
+    "funneling every occurrence through one window partition; the "
+    "novel-count then rolls up from the small (gram, first_doc) "
+    "relation via a second groupBy, never joining back to the "
+    "exploded grams. One tokenize/explode pass is localCheckpointed "
+    "and shared by the totals and first-seen branches. Per-doc gram "
+    "sets are distinct by construction (word_shingles ends in "
+    "array_distinct), matching the oracle's list_distinct.",
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), 3)).alias("g")
+    ).localCheckpoint(eager=False)
+    firsts = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    novel = firsts.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_novel")
+    )
+    tot = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    return tot.join(novel, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce(F.col("n_novel"), F.lit(0).cast("long")).alias("n_novel"),
+        F.round(
+            F.coalesce(F.col("n_novel"), F.lit(0).cast("long"))
+            / F.col("n_grams").cast("double"),
+            6,
+        ).alias("novelty_ratio"),
     )

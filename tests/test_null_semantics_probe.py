@@ -276,6 +276,7 @@ _EMPTY_RAISES = {
     "similarity_range_search", "similarity_mmr_rerank",
     "similarity_ann_ivf", "similarity_ann_quantized",
     "similarity_ann_ivf_batch", "similarity_kmeans_clusters",
+    "dedup_semantic_semdedup", "similarity_filtered_topk",
 }
 
 
