@@ -139,6 +139,8 @@ _PRIORITY_ORDER = (
     "dedup_semantic_semdedup",
     "similarity_filtered_topk",
     "text_ngram_novelty",
+    "stats_mad_outliers",
+    "text_vocab_oov_rate",
     "window_range_frame",
     "window_rank_orders",
     "dedup_components",

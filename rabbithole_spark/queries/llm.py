@@ -37,6 +37,7 @@ from rabbithole_spark.operators.text_analysis import (
     scrub_pii,
     stopword_ratio,
     token_count,
+    tokens,
 )
 from rabbithole_spark.session import table
 
@@ -4303,4 +4304,74 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_grams").cast("double"),
             6,
         ).alias("novelty_ratio"),
+    )
+
+
+_VOCAB_K = 1000
+
+_OOV_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+  FROM documents
+), counts AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY w
+), vocab AS (
+  SELECT w FROM counts ORDER BY c DESC, w LIMIT {_VOCAB_K}
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN vocab.w IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov,
+       round(sum(CASE WHEN vocab.w IS NULL THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS oov_rate
+FROM toks LEFT JOIN vocab ON toks.w = vocab.w
+GROUP BY doc_id
+"""
+
+
+@register(
+    "text_vocab_oov_rate",
+    oracle=_OOV_ORACLE,
+    doc="Vocabulary coverage: build the corpus top-1000 word vocabulary "
+    "(frequency desc, word asc — a total order, so the cut is "
+    "identical on both engines) and score every document by its "
+    "out-of-vocabulary token rate — the coverage check run before "
+    "committing to a tokenizer vocab size. One tokenize/explode pass "
+    "is localCheckpointed and shared by the count and scoring "
+    "branches; the word count is one partial-aggregated shuffle; the "
+    "1000-row vocab comes back via TakeOrderedAndProject and joins as "
+    "a BROADCAST left join (the corpus-side relation never "
+    "re-shuffles on the word key, so a mega-hot token costs nothing "
+    "extra); the per-doc rollup is the one remaining doc_id exchange.",
+)
+def text_vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+        .localCheckpoint(eager=False)
+    )
+    vocab = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "w")
+        .limit(_VOCAB_K)
+        .select("w", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+            ).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.round(
+                F.col("n_oov") / F.col("n_tokens").cast("double"), 6
+            ).alias("oov_rate"),
+        )
     )

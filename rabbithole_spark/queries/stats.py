@@ -368,3 +368,98 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
             "AS (col_name, n_rows, null_count, n_distinct, min_value, max_value)"
         )
     )
+
+
+# --- robust outlier gate (round 6) ---------------------------------------------
+
+#: Scale factor making MAD a consistent sigma estimator for normal
+#: data (1 / Phi^-1(3/4)); 3 sigma-equivalents is the conventional cut.
+_MAD_K = 3 * 1.4826
+
+_MAD_ORACLE = f"""
+WITH d AS (
+  SELECT lang, n_chars FROM documents
+  WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+), med AS (
+  SELECT lang, quantile_cont(n_chars, 0.5) AS med FROM d GROUP BY lang
+), dev AS (
+  SELECT d.lang, abs(n_chars - med) AS adev, med
+  FROM d JOIN med USING (lang)
+), mad AS (
+  SELECT lang, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY lang
+)
+SELECT v.lang, CAST(count(*) AS BIGINT) AS n_docs,
+       round(v.med, 6) AS median_chars,
+       round(q.mad, 6) AS mad_chars,
+       CAST(sum(CASE WHEN v.adev > {_MAD_K} * q.mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers,
+       round(sum(CASE WHEN v.adev > {_MAD_K} * q.mad THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS outlier_rate
+FROM dev v JOIN mad q USING (lang)
+GROUP BY v.lang, v.med, q.mad
+"""
+
+
+@register(
+    "stats_mad_outliers",
+    oracle=_MAD_ORACLE,
+    doc="Robust document-length outlier gate: per-language median and "
+    "median-absolute-deviation of n_chars, flagging documents whose "
+    "absolute deviation exceeds 3 sigma-equivalents (MAD x 1.4826) — "
+    "the data-quality filter that survives the heavy-tailed length "
+    "distributions where mean/stddev gates break. Three passes over "
+    "ONE localCheckpointed 2-column projection (median, MAD of "
+    "deviations, outlier count), each a groupBy on the same lang key "
+    "with the tiny per-lang result broadcast back between passes; the "
+    "deviation relation is checkpointed so the median subtree is "
+    "computed once, not re-derived per consumer. "
+    "Exact percentile buffers each group's values (documented "
+    "group-bounded, as agg_median_iqr); at open cardinality swap in "
+    "approx_percentile/KLL — the MAD shape is unchanged. The "
+    "comparison adev > k*mad is multiply-then-compare on doubles in "
+    "one fixed operand order, bit-identical across engines.",
+)
+def stats_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("lang").isNotNull() & F.col("n_chars").isNotNull())
+        .select("lang", "n_chars")
+        .localCheckpoint(eager=False)
+    )
+    med = d.groupBy("lang").agg(
+        F.percentile("n_chars", F.lit(0.5)).alias("med")
+    )
+    # checkpointed: dev feeds BOTH the MAD aggregate and the final
+    # outlier count — without the cut, Spark re-derives the median
+    # subtree (a whole extra corpus pass) under the second consumer
+    dev = (
+        d.join(F.broadcast(med), "lang")
+        .select(
+            "lang",
+            F.abs(F.col("n_chars") - F.col("med")).alias("adev"),
+            "med",
+        )
+        .localCheckpoint(eager=False)
+    )
+    mad = dev.groupBy("lang").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad")
+    )
+    is_out = F.col("adev") > F.lit(_MAD_K) * F.col("mad")
+    return (
+        dev.join(F.broadcast(mad), "lang")
+        .groupBy("lang", "med", "mad")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(is_out, 1).otherwise(0)).alias("n_outliers"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            F.round(F.col("med"), 6).alias("median_chars"),
+            F.round(F.col("mad"), 6).alias("mad_chars"),
+            "n_outliers",
+            F.round(
+                F.col("n_outliers") / F.col("n_docs").cast("double"), 6
+            ).alias("outlier_rate"),
+        )
+    )

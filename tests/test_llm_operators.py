@@ -653,3 +653,67 @@ def test_mmr_rerank_invariants(spark):
     top = _mmr_pool(spark, sf).collect()[0]
     first = next(r for r in rows if r["rank"] == 1)
     assert first["vec_id"] == top["vec_id"]
+
+
+def test_ngram_novelty_on_planted_repeat(spark, tmp_path):
+    """A doc that only repeats an earlier doc's text has novelty 0;
+    the first doc of the corpus is fully novel; a doc mixing one
+    repeated gram among fresh ones scores the exact fraction."""
+    import glob
+    import shutil
+
+    from rabbithole_spark.catalog import load_all
+
+    sf = str(tmp_path)
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "embeddings"):
+        shutil.copy(f"/root/testdata/sf0.001/{t}.parquet", f"{sf}/{t}.parquet")
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta", "en", "s0", 0),
+            (2, "alpha beta gamma delta", "en", "s0", 0),
+            # grams: [alpha beta gamma] (seen), [beta gamma zeta],
+            # [gamma zeta eta] (novel) -> 2/3
+            (3, "alpha beta gamma zeta eta", "en", "s0", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(f"{sf}/_docs")
+    shutil.copy(glob.glob(f"{sf}/_docs/part-*.parquet")[0], f"{sf}/documents.parquet")
+    out = {
+        r["doc_id"]: (r["n_grams"], r["n_novel"], r["novelty_ratio"])
+        for r in load_all()["text_ngram_novelty"].fn(spark, sf).collect()
+    }
+    assert out[1] == (2, 2, 1.0), out       # both grams first here
+    assert out[2] == (2, 0, 0.0), out       # pure repeat
+    assert out[3] == (3, 2, round(2 / 3, 6)), out
+
+
+def test_mad_outliers_on_constant_and_spiked_lengths(spark, tmp_path):
+    """Constant lengths -> MAD 0 and no outliers (0 > 0 is false);
+    one extreme length among many equal ones is flagged."""
+    import glob
+    import shutil
+
+    from rabbithole_spark.catalog import load_all
+
+    sf = str(tmp_path)
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "embeddings"):
+        shutil.copy(f"/root/testdata/sf0.001/{t}.parquet", f"{sf}/{t}.parquet")
+    rows = [(i, "t", "en", "s0", 100) for i in range(9)]
+    rows.append((9, "t", "en", "s0", 100000))      # the spike
+    rows += [(10 + i, "t", "fr", "s0", 50) for i in range(4)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(f"{sf}/_docs")
+    shutil.copy(glob.glob(f"{sf}/_docs/part-*.parquet")[0], f"{sf}/documents.parquet")
+    out = {
+        r["lang"]: r for r in load_all()["stats_mad_outliers"].fn(spark, sf).collect()
+    }
+    assert out["fr"]["mad_chars"] == 0.0 and out["fr"]["n_outliers"] == 0
+    # en: median 100, MAD 0 (9 of 10 values equal) -> the spike's
+    # deviation 99900 > 4.4478 * 0 flags exactly one outlier
+    assert out["en"]["median_chars"] == 100.0
+    assert out["en"]["n_outliers"] == 1 and out["en"]["n_docs"] == 10
