@@ -141,6 +141,7 @@ _PRIORITY_ORDER = (
     "text_ngram_novelty",
     "stats_mad_outliers",
     "text_vocab_oov_rate",
+    "dedup_minhash_incremental",
     "window_range_frame",
     "window_rank_orders",
     "dedup_components",

@@ -204,18 +204,16 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
+def lsh_banded(
     df: DataFrame,
     id_col: str,
     signature_col: str = "signature",
     bands: int = 16,
     rows_per_band: int = 4,
 ) -> DataFrame:
-    """LSH banding: docs sharing any band hash become candidate pairs.
-
-    Explodes to one row per (doc, band), buckets by (band, band_hash)
-    — a linear shuffle — then self-joins within buckets and dedups the
-    pair list. Returns (id_a, id_b) with id_a < id_b.
+    """One row per (doc, band) with the band's bucket hash —
+    xxhash64 over the comma-joined decimal rendering of the band's
+    signature slice (the rendering the SQL oracles replay verbatim).
 
     Validates ``bands * rows_per_band <= len(signature)`` against the
     first row: bands sliced past the signature end would all hash the
@@ -243,10 +241,31 @@ def lsh_candidate_pairs(
             for b in range(bands)
         ]
     )
-    banded = df.select(
+    return df.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(band_arr).alias("band", "band_hash"),
     )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    signature_col: str = "signature",
+    bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """LSH banding: docs sharing any band hash become candidate pairs.
+
+    Explodes to one row per (doc, band), buckets by (band, band_hash)
+    — a linear shuffle — then self-joins within buckets and dedups the
+    pair list. Returns (id_a, id_b) with id_a < id_b.
+
+    Validates ``bands * rows_per_band <= len(signature)`` against the
+    first row: bands sliced past the signature end would all hash the
+    empty string, silently making EVERY doc pair a candidate — the
+    full O(n^2) blowup LSH exists to avoid.
+    """
+    banded = lsh_banded(df, id_col, signature_col, bands, rows_per_band)
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (

@@ -4375,3 +4375,128 @@ def text_vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("oov_rate"),
         )
     )
+
+
+_INGEST_MOD = 10  # doc_id % 10 == 0 -> the "new batch"; else corpus
+_INGEST_TAU = 0.2
+
+
+def _minhash_incremental_oracle() -> str:
+    """Full xxhash64 MinHash+LSH replay (same kernel as
+    _minhash_lsh_oracle) with the self-join replaced by the
+    batch-vs-corpus cross join on the doc_id % mod split."""
+    from rabbithole_spark.functions.xxh64_sql import xxh64_unsigned_sql
+    from rabbithole_spark.operators.dedup import _MINHASH_P, _minhash_coeffs
+
+    p = _MINHASH_P
+    base = (
+        f"list_transform([{xxh64_unsigned_sql('s')}], __u -> "
+        f"(((CASE WHEN __u >= {1 << 63}::HUGEINT THEN __u - {1 << 64}::HUGEINT"
+        f" ELSE __u END) % {p} + {p}) % {p}))[1]::BIGINT"
+    )
+    mins = ",\n         ".join(
+        f"min(({a} * h + {b}) % {p})" for a, b in _minhash_coeffs(64)
+    )
+    band_str = (
+        "array_to_string(list_slice(ms, t.range * 4 + 1, t.range * 4 + 4), ',')"
+    )
+    jac = (
+        "CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)"
+        " / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE)"
+    )
+    return f"""
+WITH {_SHINGLES_CTE},
+hx AS (
+  SELECT doc_id, {base} AS h
+  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)
+),
+sig AS (
+  SELECT doc_id, [{mins}] AS ms
+  FROM hx GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id, t.range AS band, {xxh64_unsigned_sql(band_str)} AS bh
+  FROM sig CROSS JOIN range(0, 16) t
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS batch_id, r.doc_id AS corpus_id
+  FROM banded l JOIN banded r
+    ON l.band = r.band AND l.bh = r.bh
+  WHERE l.doc_id % {_INGEST_MOD} = 0 AND r.doc_id % {_INGEST_MOD} <> 0
+)
+SELECT c.batch_id, c.corpus_id, round({jac}, 6) AS jaccard
+FROM cand c
+JOIN sh a ON a.doc_id = c.batch_id
+JOIN sh b ON b.doc_id = c.corpus_id
+WHERE {jac} >= {_INGEST_TAU}
+"""
+
+
+@register(
+    "dedup_minhash_incremental",
+    oracle=_minhash_incremental_oracle(),
+    doc="Incremental near-dup screening of an ingest batch against the "
+    "existing corpus (batch = doc_id % 10 == 0, the stand-in for "
+    "'today's crawl'): MinHash signatures on both sides, then the "
+    "BATCH band relation — small by construction — broadcasts "
+    "against the corpus bands, so the corpus never shuffles on the "
+    "bucket key; candidates are verified by exact Jaccard recomputed "
+    "only for matched docs via broadcast semi-joins. At 100 TB the "
+    "corpus signatures/bands would be a persisted incremental index "
+    "(one-time cost, appended per batch) and this query is the "
+    "per-batch probe; the digest-exact streaming twin is "
+    "stream_ingest_dedup_against_corpus. Oracle: full xxhash64 "
+    "replay, same kernel as dedup_minhash_lsh.",
+)
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rabbithole_spark.operators.dedup import lsh_banded
+
+    d = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    is_batch = F.col("doc_id") % _INGEST_MOD == 0
+    batch, corpus = d.filter(is_batch), d.filter(~is_batch)
+
+    def bands(side: DataFrame) -> DataFrame:
+        sh = side.select(
+            "doc_id", word_shingles(F.col("text"), 3).alias("shingles")
+        )
+        return lsh_banded(
+            minhash_signatures(sh, "doc_id", "shingles", 64),
+            "doc_id",
+            bands=16,
+            rows_per_band=4,
+        )
+
+    cand = (
+        bands(corpus)
+        .join(
+            F.broadcast(
+                bands(batch).select(
+                    F.col("doc_id").alias("batch_id"), "band", "band_hash"
+                )
+            ),
+            ["band", "band_hash"],
+        )
+        .select("batch_id", F.col("doc_id").alias("corpus_id"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    ids_a = cand.select(F.col("batch_id").alias("doc_id")).distinct()
+    ids_b = cand.select(F.col("corpus_id").alias("doc_id")).distinct()
+    sh_a = d.join(F.broadcast(ids_a), "doc_id").select(
+        F.col("doc_id").alias("batch_id"),
+        word_shingles(F.col("text"), 3).alias("sh_a"),
+    )
+    sh_b = d.join(F.broadcast(ids_b), "doc_id").select(
+        F.col("doc_id").alias("corpus_id"),
+        word_shingles(F.col("text"), 3).alias("sh_b"),
+    )
+    raw = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        F.array_union("sh_a", "sh_b")
+    ).cast("double")
+    return (
+        cand.join(F.broadcast(sh_a), "batch_id")
+        .join(F.broadcast(sh_b), "corpus_id")
+        .withColumn("_raw", raw)
+        .filter(F.col("_raw") >= _INGEST_TAU)
+        .select("batch_id", "corpus_id", F.round("_raw", 6).alias("jaccard"))
+    )
