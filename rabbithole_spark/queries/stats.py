@@ -271,24 +271,63 @@ def lateral_posexplode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Deterministic coordinated-sample predicate for the approximate
+#: percentile: keep a row iff a multiplicative hash of its UNIQUE row
+#: key (l_orderkey*8 + l_linenumber — l_linenumber is 1..7) lands in
+#: the bottom 25% of the 32-bit bucket space. (key % 2^31) * odd32
+#: stays under 2^62, so the arithmetic is ANSI-overflow-safe on both
+#: engines; 2654435761 is the Knuth 32-bit multiplier, a different
+#: family member from the doc samplers so the selections are
+#: uncorrelated.
+_APCT_SAMPLE_SQL = (
+    "(((l_orderkey * 8 + l_linenumber) % 2147483648) * 2654435761)"
+    " % 4294967296 % 100 < 25"
+)
+
+_APPROX_PCT_ORACLE = f"""
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS price_p50_approx,
+       ROUND(quantile_cont(l_extendedprice, 0.9), 6) AS price_p90_approx
+FROM lineitem
+WHERE {_APCT_SAMPLE_SQL}
+GROUP BY l_returnflag
+"""
+
+
 @register(
     "agg_approx_percentile",
-    oracle=None,  # sketch-based — tolerance-tested in pytest, rows-only here
-    doc="approx_percentile (t-digest style sketch): partial-aggregable, "
-    "bounded memory — the 100 TB replacement for exact percentiles; "
-    "accuracy/cost dial via the accuracy parameter. Tolerance vs "
-    "exact is externally hash-verified every round by "
-    "sketch_tolerance_audit (same accuracy/column/grouping).",
+    oracle=_APPROX_PCT_ORACLE,
+    doc="Approximate grouped percentiles via a DETERMINISTIC mergeable "
+    "quantile summary: a hash-coordinated row sample (keep iff "
+    "multiplicative-hash(row key) falls in the bottom 25% of bucket "
+    "space) followed by exact interpolated percentiles over the "
+    "sample. Rank error is O(1/sqrt(sample)), same regime as a GK/ "
+    "t-digest sketch at equivalent size — but unlike Spark's builtin "
+    "approx_percentile (GK, whose compaction depends on shuffle-fetch "
+    "merge order and is genuinely nondeterministic run-to-run, NOTES "
+    "r6), this summary is a pure function of the data multiset: the "
+    "sample-of-a-union IS the union-of-samples, so partial aggregates "
+    "merge in any order to the identical result and the DuckDB oracle "
+    "replays it hash-exactly. Scale shape: the sample predicate is "
+    "scan-local (row-key arithmetic, no shuffle, pushes past nothing "
+    "it needs to), only sampled rows reach the group agg, and the "
+    "keep-rate is the accuracy/memory dial — at 100 TB set it to "
+    "~m/n_group. The builtin GK path stays tolerance-audited every "
+    "round by sketch_tolerance_audit's gk_price_* rows.",
 )
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias(
-            "price_p50_approx"
-        ),
-        F.approx_percentile("l_extendedprice", F.lit(0.9), F.lit(10000)).alias(
-            "price_p90_approx"
-        ),
+    return (
+        li.filter(F.expr(_APCT_SAMPLE_SQL))
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias(
+                "price_p50_approx"
+            ),
+            F.round(F.percentile("l_extendedprice", F.lit(0.9)), 6).alias(
+                "price_p90_approx"
+            ),
+        )
     )
 
 

@@ -370,8 +370,12 @@ JOIN part ON p_partkey = ps_partkey
 WHERE p_brand <> 'Brand#13'
   AND p_type <> 'MEDIUM'
   AND p_size IN {_Q16_SIZES}
-  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier
-                         WHERE s_acctbal < 0)
+  -- NOT EXISTS, not NOT IN: the Spark side is a LEFT ANTI join, and
+  -- NOT IN would collapse to zero rows if the subquery ever produced
+  -- a NULL key (round-7 advice pin; same class as stats.py's
+  -- NULL-safe-join switch in round 6)
+  AND NOT EXISTS (SELECT 1 FROM supplier
+                  WHERE s_acctbal < 0 AND s_suppkey = ps_suppkey)
 GROUP BY p_brand, p_type, p_size
 """
 

@@ -1,0 +1,108 @@
+"""Registry-hygiene invariants for the external verification window.
+
+The external harness checks a 50-query prefix of the registry order per
+round. With 186+ registered queries, full-registry refresh takes ~4
+rounds; these tests pin the ordering discipline so no query's external
+correctness row can silently go stale beyond that horizon.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+
+import pytest
+
+from rabbithole_spark import catalog
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WINDOW = 50  # external harness checks this many queries per round
+
+
+def _correctness_history() -> tuple[int, dict[str, int]]:
+    """(latest completed round, query -> latest round externally checked)."""
+    latest: dict[str, int] = {}
+    max_round = 0
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        m = re.search(r"_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        max_round = max(max_round, rnd)
+        with open(path) as f:
+            for name in json.load(f):
+                latest[name] = max(latest.get(name, 0), rnd)
+    return max_round, latest
+
+
+def test_priority_order_names_are_registered():
+    """Every name in _PRIORITY_ORDER refers to a registered query.
+
+    A typo here silently burns a window slot (unknown names are
+    ignored by load_all), so pin exact membership.
+    """
+    registered = set(catalog.load_all())
+    unknown = [n for n in catalog._PRIORITY_ORDER if n not in registered]
+    assert unknown == [], f"priority-order names not registered: {unknown}"
+
+
+def test_priority_order_has_no_duplicates():
+    po = catalog._PRIORITY_ORDER
+    dupes = [n for n in set(po) if po.count(n) > 1]
+    assert dupes == [], f"duplicate priority-order names: {dupes}"
+
+
+def test_registry_prefix_is_priority_order():
+    """load_all() must actually emit the priority order as its prefix."""
+    ordered = list(catalog.load_all())
+    assert tuple(ordered[: len(catalog._PRIORITY_ORDER)]) == catalog._PRIORITY_ORDER
+
+
+def test_no_query_staler_than_four_rounds():
+    """Staleness invariant: with a 50-slot window, every registered
+    query must either (a) have an external correctness row within the
+    last 4 completed rounds, or (b) sit inside the upcoming window's
+    50-query prefix (i.e., be queued for a fresh row next round).
+
+    This is the documented catalog.py ordering contract; breaking it
+    means some query's last external verification silently ages out.
+    """
+    max_round, latest = _correctness_history()
+    if max_round == 0:
+        pytest.skip("no CORRECTNESS_r*.json files present")
+    queued = set(catalog._PRIORITY_ORDER[:WINDOW])
+    stale = []
+    for name in catalog.load_all():
+        last = latest.get(name, 0)
+        if last >= max_round - 3:  # checked within the last 4 rounds
+            continue
+        if name in queued:  # scheduled for the next window
+            continue
+        stale.append((name, last or "never"))
+    assert stale == [], (
+        f"queries stale >4 rounds and not queued in the next "
+        f"{WINDOW}-slot window: {stale}"
+    )
+
+
+def test_never_checked_queries_lead_the_window():
+    """Queries with no external row ever must occupy the earliest
+    window slots — a first external verification outranks a refresh."""
+    max_round, latest = _correctness_history()
+    if max_round == 0:
+        pytest.skip("no CORRECTNESS_r*.json files present")
+    ordered = list(catalog.load_all())
+    never = [n for n in ordered if n not in latest]
+    if not never:
+        pytest.skip("all registered queries have an external row")
+    window = ordered[:WINDOW]
+    missed = [n for n in never if n not in window]
+    # Allow overflow only when there are more never-checked queries
+    # than window slots.
+    if len(never) <= WINDOW:
+        assert missed == [], (
+            f"never-externally-checked queries missing from the "
+            f"{WINDOW}-slot window: {missed}"
+        )

@@ -134,6 +134,11 @@ _EMBEDDING_QUERIES = (
     "similarity_topk_bruteforce",
     "similarity_range_search",
     "similarity_embedding_near_dup",
+    # SemDeDup joined the sweep in round 7 after its oracle gained the
+    # malformed-vector exclusion — it is the probe's representative for
+    # the Lloyd fit/assign family (NULL vector, NULL element, zero-norm
+    # rows must be excluded identically on both engines).
+    "dedup_semantic_semdedup",
 )
 
 _NEEDS_OTHER_TABLES: set[str] = set()
