@@ -55,12 +55,13 @@ _QUERY_MODULES = (
 #: locally 3-SF oracle-green before registration, per NOTES);
 #: (b) the 16-query staleness backlog oldest-first: the 2 r1-latest
 #: rows, dedup_components (r2), and the 13 r3-latest rows;
-#: (c) 3 queries whose code or oracle changes in round 7
+#: (c) 4 queries whose code or oracle changes in round 7
 #: (dedup_minhash_lsh + dedup_minhash_recall_audit share the
 #: restructured minhash_signatures plan; agg_approx_percentile flips
-#: rows-only -> deterministic oracle) and therefore need a fresh
+#: rows-only -> deterministic oracle; similarity_kmeans_clusters
+#: gains the NULL-vector exclusion) and therefore need a fresh
 #: external row;
-#: (d) 11 of the 50 r4-latest rows, alphabetical. The remaining 39
+#: (d) 10 of the 50 r4-latest rows, alphabetical. The remaining 40
 #: r4 rows are listed below the cut so they lead the round-8 window
 #: automatically if this order is kept. Staleness invariant (pinned
 #: in tests/test_catalog_invariants.py): with a 50-slot window and
@@ -89,6 +90,7 @@ _PRIORITY_ORDER = (
     "stats_mad_outliers",
     "text_vocab_oov_rate",
     "dedup_minhash_incremental",
+    "dedup_repeated_span_coverage",
     "window_range_frame",
     "window_rank_orders",
     "dedup_components",
@@ -108,6 +110,7 @@ _PRIORITY_ORDER = (
     "dedup_minhash_lsh",
     "dedup_minhash_recall_audit",
     "agg_approx_percentile",
+    "similarity_kmeans_clusters",
     "agg_conditional",
     "agg_event_stats",
     "agg_rollup",
@@ -117,8 +120,8 @@ _PRIORITY_ORDER = (
     "dedup_edit_distance_prefix",
     "dedup_jaccard_prefix_filter",
     "funnel_conversion_stages",
-    "join_full_outer_nation_counts",
     "join_inner_enriched_orders",
+    "join_full_outer_nation_counts",
     "join_lateral_topn",
     "join_multiway_revenue",
     "join_range_quantity_bands",
@@ -133,7 +136,6 @@ _PRIORITY_ORDER = (
     "scalar_map_funcs",
     "similarity_ann_ivf",
     "similarity_ann_quantized",
-    "similarity_kmeans_clusters",
     "source_quality_rollup",
     "split_train_val_test",
     "sql_recursive_gapfill_days",

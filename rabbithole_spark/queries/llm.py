@@ -468,6 +468,143 @@ def dedup_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _span_coverage_oracle() -> str:
+    """Replays the repeated-span COVERAGE pass: the same per-position
+    20-token gram hashes as _dup_spans_oracle, corpus-wide multiplicity
+    via a window over the hash, then the classic gaps-and-islands merge
+    of the overlapping repeated windows [pos, pos+19] per doc and the
+    covered-word rollup."""
+    from rabbithole_spark.functions.xxh64_sql import xxh64_sql
+
+    k = _SPAN_K
+    grams = (
+        f"list_transform(range(1, greatest(len(w) - {k - 1}, 1) + 1), "
+        f"i -> {{'pos': CAST(i AS BIGINT), "
+        f"'gram': array_to_string(list_slice(w, i, i + {k - 1}), ' ')}})"
+    )
+    return f"""
+WITH g AS (
+  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words, unnest({grams}) AS u
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+        FROM documents WHERE text IS NOT NULL)
+), ex AS MATERIALIZED (
+  SELECT doc_id, u.pos AS pos,
+         least(u.pos + {k - 1}, n_words) AS fin,
+         {xxh64_sql("u.gram")} AS h
+  FROM g
+), marked AS (
+  SELECT doc_id, pos, fin,
+         max(fin) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING) AS prev_end
+  FROM (SELECT doc_id, pos, fin,
+               count(*) OVER (PARTITION BY h) AS n_occ FROM ex)
+  WHERE n_occ > 1
+), islands AS (
+  SELECT doc_id, pos, fin,
+         sum(CASE WHEN prev_end IS NULL OR pos > prev_end
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM marked
+), cov AS (
+  SELECT doc_id, island, max(fin) - min(pos) + 1 AS covered
+  FROM islands GROUP BY doc_id, island
+), per_doc AS (
+  SELECT doc_id, CAST(sum(covered) AS BIGINT) AS repeated_words
+  FROM cov GROUP BY doc_id
+), docs AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+           AS n_words
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT d.doc_id, d.n_words,
+       coalesce(p.repeated_words, CAST(0 AS BIGINT)) AS repeated_words,
+       round(CAST(coalesce(p.repeated_words, 0) AS DOUBLE)
+             / CAST(d.n_words AS DOUBLE), 6) AS repeated_frac
+FROM docs d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+@register(
+    "dedup_repeated_span_coverage",
+    oracle=_span_coverage_oracle(),
+    doc="Repeated-span COVERAGE (the removal-extent companion to "
+    "dedup_duplicate_ngram_spans, after Lee et al. 2022, "
+    "arXiv:2107.06499 'Deduplicating Training Data Makes Language "
+    "Models Better'): overlapping 20-token windows repeated anywhere "
+    "in the corpus are MERGED per doc (gaps-and-islands over window "
+    "positions), and each doc reports how many of its words an "
+    "exact-substring dedup pass would actually excise — overlapping "
+    "windows must not double-count, which the per-gram ratio cannot "
+    "express. Scale shape: one linear shuffle keys the corpus-wide "
+    "multiplicity window on the 8-byte gram hash, one more keys the "
+    "island merge on doc_id, and the groupBys reuse the doc_id "
+    "partitioning; only rows from REPEATED windows (typically a "
+    "small fraction) survive to the merge. The oracle replays gram "
+    "hashing (xxh64) and the island arithmetic bit-exactly.",
+)
+def dedup_repeated_span_coverage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    k = _SPAN_K
+    # NULL-text guard: see _lsh_verified_pairs
+    d = spread(
+        table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    )
+    words = F.split(F.trim(F.col("text")), r"[ \t\n\r\f]+")
+    n = F.size(words).cast("long")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(words) - (k - 1), F.lit(1)))
+    gram_hashes = F.transform(
+        idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i, k)))
+    )
+    ex = d.select(
+        "doc_id",
+        n.alias("n_words"),
+        F.posexplode_outer(gram_hashes).alias("p0", "h"),
+    ).select(
+        "doc_id",
+        (F.col("p0") + 1).cast("long").alias("pos"),
+        F.least(F.col("p0").cast("long") + k, F.col("n_words")).alias("fin"),
+        "h",
+    )
+    rep = ex.withColumn(
+        "n_occ", F.count(F.lit(1)).over(Window.partitionBy("h"))
+    ).filter(F.col("n_occ") > 1)
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max("fin").over(
+        wdoc.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = rep.withColumn(
+        "is_new",
+        F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0),
+    ).withColumn(
+        "island",
+        F.sum("is_new").over(wdoc.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_doc = (
+        islands.groupBy("doc_id", "island")
+        .agg((F.max("fin") - F.min("pos") + 1).alias("covered"))
+        .groupBy("doc_id")
+        .agg(F.sum("covered").alias("repeated_words"))
+    )
+    docs = d.select("doc_id", n.alias("n_words"))
+    return docs.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_words",
+        F.coalesce("repeated_words", F.lit(0)).cast("long").alias(
+            "repeated_words"
+        ),
+        F.round(
+            F.coalesce("repeated_words", F.lit(0)).cast("double")
+            / F.col("n_words").cast("double"),
+            6,
+        ).alias("repeated_frac"),
+    )
+
+
 def _simhash_oracle() -> str:
     """SimHash replay in the oracle dialect: xxh64 (unsigned) per
     distinct shingle, 64 per-bit +1/-1 vote sums, positive votes OR'd
@@ -2763,17 +2900,32 @@ _KMEANS_K = 10
 _KMEANS_ITERS = 4
 
 
+#: NULL-vector exclusion for the k-means fit/assign input. Without it
+#: the oracle's first-k-by-id seeding takes NULL-embedding rows as
+#: centroids (Spark's lloyd_init_first_k skips None), and a NULL row's
+#: assignment diverges (all-NULL distances order NULLS LAST in DuckDB
+#: -> cluster 0, but fold to a NULL cluster in Spark) — the same
+#: latent-divergence class the round-7 advice pinned for SemDeDup.
+#: Zero-norm vectors stay: squared-L2 geometry is well-defined for
+#: them (unlike cosine, so this is deliberately weaker than
+#: _SEMDEDUP_FIT_WHERE).
+_KMEANS_FIT_WHERE = (
+    "embedding IS NOT NULL"
+    " AND len(list_filter(embedding, x -> x IS NULL)) = 0"
+)
+
+
 def _kmeans_oracle() -> str:
     """DuckDB twin of the k-means rollup: replays the deterministic
-    Lloyd loop over the FULL corpus (same first-k-by-id seeding and
-    unrolled updates the IVF quantizer oracle uses), assigns every
-    vector to its nearest final centroid, and aggregates cluster size
-    + mean within-cluster squared distance. Cluster memberships are
-    integers separated by distance gaps far above cross-engine float
-    noise; dist2 is rounded per row and again after the mean on both
-    sides, so the hash-compare is stable."""
+    Lloyd loop over the NULL-excluded corpus (same first-k-by-id
+    seeding and unrolled updates the IVF quantizer oracle uses),
+    assigns every vector to its nearest final centroid, and aggregates
+    cluster size + mean within-cluster squared distance. Cluster
+    memberships are integers separated by distance gaps far above
+    cross-engine float noise; dist2 is rounded per row and again after
+    the mean on both sides, so the hash-compare is stable."""
     k, iters = _KMEANS_K, _KMEANS_ITERS
-    ctes, prev = _lloyd_replay_ctes(k, iters, None)
+    ctes, prev = _lloyd_replay_ctes(k, iters, _KMEANS_FIT_WHERE)
     d2 = _sq_l2_sql("f.e", "c.c")
     ctes.append(
         f"af AS (SELECT vec_id, cluster, d2 FROM (\n"
@@ -2809,8 +2961,15 @@ GROUP BY cluster
 def similarity_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rabbithole_spark.operators.similarity import kmeans_fit_assign
 
+    # same NULL-vector exclusion as _KMEANS_FIT_WHERE (a NULL or
+    # NULL-element vector has no position, so it can neither seed a
+    # centroid nor be assigned a cell)
+    emb = table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+        & ~F.exists("embedding", lambda x: x.isNull())
+    )
     assigned = kmeans_fit_assign(
-        table(spark, sf_dir, "embeddings"),
+        emb,
         "embedding",
         ["vec_id"],
         k=_KMEANS_K,

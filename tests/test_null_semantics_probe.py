@@ -134,11 +134,14 @@ _EMBEDDING_QUERIES = (
     "similarity_topk_bruteforce",
     "similarity_range_search",
     "similarity_embedding_near_dup",
-    # SemDeDup joined the sweep in round 7 after its oracle gained the
-    # malformed-vector exclusion — it is the probe's representative for
-    # the Lloyd fit/assign family (NULL vector, NULL element, zero-norm
-    # rows must be excluded identically on both engines).
+    # SemDeDup and the k-means rollup joined the sweep in round 7 after
+    # their oracles gained the malformed-vector exclusions — they are
+    # the probe's representatives for the Lloyd fit/assign family
+    # (NULL vector / NULL element rows must be excluded identically on
+    # both engines; SemDeDup additionally excludes zero-norm vectors
+    # because its pairwise stage is cosine).
     "dedup_semantic_semdedup",
+    "similarity_kmeans_clusters",
 )
 
 _NEEDS_OTHER_TABLES: set[str] = set()

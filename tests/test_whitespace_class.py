@@ -151,6 +151,7 @@ _DOCUMENTS_ONLY_QUERIES = [
     "dedup_incremental_new_docs",
     "dedup_jaccard_prefix_filter",
     "dedup_minhash_lsh",
+    "dedup_repeated_span_coverage",
     "dedup_minhash_recall_audit",
     "dedup_simhash",
     "mixture_js_divergence_by_source",
