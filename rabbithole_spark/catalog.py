@@ -111,6 +111,9 @@ _PRIORITY_ORDER = (
     "dedup_minhash_recall_audit",
     "agg_approx_percentile",
     "similarity_kmeans_clusters",
+    "similarity_ann_quantized",
+    "similarity_ann_ivf",
+    "similarity_ann_ivf_batch",
     "agg_conditional",
     "agg_event_stats",
     "agg_rollup",
@@ -134,8 +137,6 @@ _PRIORITY_ORDER = (
     "pricing_summary",
     "sample_quality_weighted",
     "scalar_map_funcs",
-    "similarity_ann_ivf",
-    "similarity_ann_quantized",
     "source_quality_rollup",
     "split_train_val_test",
     "sql_recursive_gapfill_days",

@@ -691,7 +691,13 @@ def ivf_topk_persisted_batch(
     sim = F.round(
         cosine(F.col(embedding_col), F.col("qvec")), 6
     ).alias("cosine_sim")
-    scored = joined.select("query_id", *id_cols, sim)
+    # NULL similarities (zero-norm vectors — they live in a cell but
+    # have no direction to rank) drop before the per-query window, the
+    # same contract as cosine_topk's isNotNull filter (round-7
+    # NULL-probe pin)
+    scored = joined.select("query_id", *id_cols, sim).filter(
+        F.col("cosine_sim").isNotNull()
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), *[F.col(c) for c in id_cols]
     )

@@ -762,7 +762,15 @@ WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
 qb AS (SELECT {_plane_sig_sql("qe")} AS qbucket FROM q),
 b AS (SELECT vec_id, label, embedding,
              {_plane_sig_sql("embedding")} AS bucket
-      FROM embeddings)
+      FROM embeddings
+      -- malformed-vector exclusion (round-7 pin): a NULL-element
+      -- vector gets a REAL bucket here (list_aggregate skips NULLs)
+      -- but a NULL one in Spark; a zero-norm vector's raw cosine is
+      -- NaN here (ranks above reals) but NULL there
+      WHERE embedding IS NOT NULL
+        AND len(list_filter(embedding, x -> x IS NULL)) = 0
+        AND list_aggregate(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') > 0)
 SELECT b.vec_id, b.label,
        round(
          list_aggregate(list_transform(range(1, len(b.embedding) + 1),
@@ -789,9 +797,17 @@ LIMIT 10
     "bucket-pruned top-10 is oracle-checked, not just rows-counted.",
 )
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rabbithole_spark.operators.similarity import dot
+
     qv = _query_vector(spark, sf_dir)
+    # same malformed-vector exclusion as the oracle's b CTE
+    emb = table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+        & ~F.exists("embedding", lambda x: x.isNull())
+        & (dot(F.col("embedding"), F.col("embedding")) > 0)
+    )
     return ann_topk(
-        table(spark, sf_dir, "embeddings"),
+        emb,
         "embedding",
         qv,
         _near_dup_planes(),
@@ -1069,6 +1085,28 @@ def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: vec_id, keeping ~50% of vectors. 31-bit fold before the multiply
 #: guards ANSI int64 overflow; the identical expression runs in DuckDB.
 _IVF_FIT_BUCKET_SQL = "((vec_id % 2147483648) * 2654435761) % 4294967296 % 100 < 50"
+
+#: malformed-vector exclusion for the IVF corpus (oracle dialect) — a
+#: NULL / NULL-element vector can neither seed the quantizer (the
+#: replay's first-k-by-id CTE would take it as a centroid where
+#: lloyd_init_first_k skips None) nor live in a cell (its assignment
+#: diverges: all-NULL distances order NULLS LAST in DuckDB -> cell 0,
+#: but fold to a NULL cell in Spark) — the kmeans-family instance of
+#: the round-7 SemDeDup advice pin. Spark twin: _ivf_corpus below.
+_IVF_VALID_SQL = (
+    "embedding IS NOT NULL"
+    " AND len(list_filter(embedding, x -> x IS NULL)) = 0"
+)
+_IVF_FIT_WHERE = f"{_IVF_FIT_BUCKET_SQL} AND {_IVF_VALID_SQL}"
+
+
+def _ivf_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embeddings corpus with the _IVF_VALID_SQL exclusion applied
+    Spark-side — every IVF build/probe input goes through this."""
+    return table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+        & ~F.exists("embedding", lambda x: x.isNull())
+    )
 _IVF_N_CENTROIDS = 16
 _IVF_NPROBE = 4
 _IVF_ITERS = 2
@@ -1149,7 +1187,7 @@ def _ivf_cache_path_and_fingerprint(sf_dir: str) -> tuple[str, str]:
     src = os.path.join(sf_dir, "embeddings.parquet")
     st = os.stat(src)
     fingerprint = (
-        f"{src}:{st.st_size}:{st.st_mtime_ns}:{_IVF_FIT_BUCKET_SQL}"
+        f"{src}:{st.st_size}:{st.st_mtime_ns}:{_IVF_FIT_WHERE}"
     )
     return index_path, fingerprint
 
@@ -1161,7 +1199,7 @@ def _ann_ivf_oracle() -> str:
     Assignments/probes are integers with distance gaps vastly above
     cross-engine float noise, so the replay is stable."""
     k, iters, nprobe = _IVF_N_CENTROIDS, _IVF_ITERS, _IVF_NPROBE
-    lloyd, prev = _lloyd_replay_ctes(k, iters, _IVF_FIT_BUCKET_SQL)
+    lloyd, prev = _lloyd_replay_ctes(k, iters, _IVF_FIT_WHERE)
     ctes = [
         "q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)",
         *lloyd,
@@ -1177,22 +1215,29 @@ def _ann_ivf_oracle() -> str:
         f"  SELECT v.vec_id, v.label, v.embedding, c.cluster,\n"
         f"         row_number() OVER (PARTITION BY v.vec_id ORDER BY\n"
         f"           {_sq_l2_sql('v.embedding', 'c.c')}, c.cluster) AS rn\n"
-        f"  FROM embeddings v CROSS JOIN {prev} c) WHERE rn = 1)"
+        f"  FROM (SELECT * FROM embeddings WHERE {_IVF_VALID_SQL}) v\n"
+        f"  CROSS JOIN {prev} c) WHERE rn = 1)"
     )
     with_sql = "WITH " + ",\n".join(ctes)
     return f"""{with_sql}
-SELECT b.vec_id, b.label,
-       round(
-         list_aggregate(list_transform(range(1, len(b.embedding) + 1),
-           i -> CAST(b.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)), 'sum')
-         / (sqrt(list_aggregate(list_transform(range(1, len(b.embedding) + 1),
-              i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum'))
-            * sqrt(list_aggregate(list_transform(range(1, len(q.qe) + 1),
-                i -> CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)), 'sum'))),
-         6) AS cosine_sim
-FROM cells b, q
-WHERE b.cluster IN (SELECT cluster FROM probes)
-ORDER BY cosine_sim DESC, b.vec_id, b.label
+SELECT vec_id, label, cosine_sim FROM (
+  SELECT b.vec_id, b.label,
+         round(
+           list_aggregate(list_transform(range(1, len(b.embedding) + 1),
+             i -> CAST(b.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)), 'sum')
+           / (sqrt(list_aggregate(list_transform(range(1, len(b.embedding) + 1),
+                i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum'))
+              * sqrt(list_aggregate(list_transform(range(1, len(q.qe) + 1),
+                  i -> CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)), 'sum'))),
+           6) AS cosine_sim
+  FROM cells b, q
+  WHERE b.cluster IN (SELECT cluster FROM probes))
+-- a zero-norm vector lives in a cell (L2 geometry is defined for it)
+-- but has no direction to RANK: its 0/0 cosine is NULL on both
+-- engines, and Spark's cosine_topk drops NULL similarities (round-7
+-- NULL-probe pin)
+WHERE cosine_sim IS NOT NULL
+ORDER BY cosine_sim DESC, vec_id, label
 LIMIT 10
 """
 
@@ -1218,7 +1263,7 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     index_path, fingerprint = _ivf_cache_path_and_fingerprint(sf_dir)
     return ivf_topk_persisted(
         spark,
-        table(spark, sf_dir, "embeddings"),
+        _ivf_corpus(spark, sf_dir),
         "embedding",
         qv,
         index_path,
@@ -1244,7 +1289,7 @@ def _ann_ivf_batch_oracle() -> str:
     probed cells."""
     k, iters, nprobe = _IVF_N_CENTROIDS, _IVF_ITERS, _IVF_NPROBE
     ids = ", ".join(str(i) for i in _IVF_BATCH_QUERY_IDS)
-    lloyd, prev = _lloyd_replay_ctes(k, iters, _IVF_FIT_BUCKET_SQL)
+    lloyd, prev = _lloyd_replay_ctes(k, iters, _IVF_FIT_WHERE)
     ctes = [
         f"q AS (SELECT vec_id AS query_id,\n"
         f"  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe\n"
@@ -1263,7 +1308,8 @@ def _ann_ivf_batch_oracle() -> str:
         f"  SELECT v.vec_id, v.label, v.embedding, c.cluster,\n"
         f"         row_number() OVER (PARTITION BY v.vec_id ORDER BY\n"
         f"           {_sq_l2_sql('v.embedding', 'c.c')}, c.cluster) AS rn\n"
-        f"  FROM embeddings v CROSS JOIN {prev} c) WHERE rn = 1)"
+        f"  FROM (SELECT * FROM embeddings WHERE {_IVF_VALID_SQL}) v\n"
+        f"  CROSS JOIN {prev} c) WHERE rn = 1)"
     )
     ctes.append(
         "scored AS (\n"
@@ -1285,7 +1331,9 @@ SELECT query_id, vec_id, label, cosine_sim FROM (
   SELECT query_id, vec_id, label, cosine_sim,
          row_number() OVER (PARTITION BY query_id
            ORDER BY cosine_sim DESC, vec_id, label) AS rn
-  FROM scored) WHERE rn <= 10
+  -- NULL cosines (zero-norm vectors) cannot rank — see the
+  -- single-query oracle
+  FROM scored WHERE cosine_sim IS NOT NULL) WHERE rn <= 10
 """
 
 
@@ -1318,7 +1366,7 @@ def similarity_ann_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     index_path, fingerprint = _ivf_cache_path_and_fingerprint(sf_dir)
     return ivf_topk_persisted_batch(
         spark,
-        table(spark, sf_dir, "embeddings"),
+        _ivf_corpus(spark, sf_dir),
         "embedding",
         qvecs,
         index_path,
@@ -2608,6 +2656,13 @@ b AS (
            i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), 'sum'))
            AS nrm
   FROM embeddings
+  -- malformed-vector exclusion (round-7 pin): a NULL-element vector
+  -- would rank here via NULL-skipping list_aggregate but sink to a
+  -- NULL dot in Spark; a zero-norm vector has no direction to rank
+  WHERE embedding IS NOT NULL
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0
+    AND list_aggregate(list_transform(embedding,
+          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') > 0
 ),
 scored AS (
   SELECT b.vec_id, b.label,
@@ -2639,11 +2694,17 @@ LIMIT 10
     "tests/test_llm_operators.py.",
 )
 def similarity_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rabbithole_spark.operators.similarity import quantized_topk
+    from rabbithole_spark.operators.similarity import dot, quantized_topk
 
     qv = _query_vector(spark, sf_dir)
+    # same malformed-vector exclusion as the oracle's b CTE
+    emb = table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+        & ~F.exists("embedding", lambda x: x.isNull())
+        & (dot(F.col("embedding"), F.col("embedding")) > 0)
+    )
     return quantized_topk(
-        table(spark, sf_dir, "embeddings"),
+        emb,
         "embedding",
         qv,
         k=10,

@@ -142,6 +142,13 @@ _EMBEDDING_QUERIES = (
     # because its pairwise stage is cosine).
     "dedup_semantic_semdedup",
     "similarity_kmeans_clusters",
+    # LSH-bucketed / quantized / IVF ANN joined in round 7 with the
+    # same exclusions (NULL-element vectors bucket/rank via DuckDB's
+    # NULL-skipping folds where Spark's propagate NULL).
+    "similarity_ann_lsh",
+    "similarity_ann_quantized",
+    "similarity_ann_ivf",
+    "similarity_ann_ivf_batch",
 )
 
 _NEEDS_OTHER_TABLES: set[str] = set()
