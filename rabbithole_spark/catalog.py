@@ -91,6 +91,7 @@ _PRIORITY_ORDER = (
     "text_vocab_oov_rate",
     "dedup_minhash_incremental",
     "dedup_repeated_span_coverage",
+    "text_vocab_coverage_curve",
     "window_range_frame",
     "window_rank_orders",
     "dedup_components",

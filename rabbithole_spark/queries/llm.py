@@ -4552,6 +4552,96 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _VOCAB_K = 1000
 
+_VOCAB_CURVE_TARGETS = (0.5, 0.9, 0.99)
+
+_VOCAB_CURVE_ORACLE = rf"""
+WITH wc AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+        FROM documents WHERE text IS NOT NULL)
+  GROUP BY w
+), tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM wc),
+ranked AS (
+  SELECT w, cnt,
+         row_number() OVER (ORDER BY cnt DESC, w) AS rnk,
+         CAST(sum(cnt) OVER (ORDER BY cnt DESC, w
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS cum
+  FROM wc
+), targets(coverage_target) AS (
+  VALUES {", ".join(f"(CAST({t} AS DOUBLE))" for t in _VOCAB_CURVE_TARGETS)}
+)
+SELECT t.coverage_target,
+       CAST(min(r.rnk) AS BIGINT) AS vocab_size,
+       round(min_by(r.cum, r.rnk) / min(tot.total), 6) AS actual_coverage
+FROM targets t, ranked r, tot
+WHERE r.cum >= t.coverage_target * tot.total
+GROUP BY t.coverage_target
+"""
+
+
+@register(
+    "text_vocab_coverage_curve",
+    oracle=_VOCAB_CURVE_ORACLE,
+    doc="Vocabulary coverage curve (the tokenizer-design question: how "
+    "many vocabulary entries cover X% of the corpus token mass?): "
+    "corpus word counts, words ranked by frequency (ties broken by "
+    "word — same binary string order on both engines), running "
+    "cumulative token mass, and for each coverage target (50/90/99%) "
+    "the smallest vocabulary size reaching it plus the exact coverage "
+    "achieved there. Scale shape: the corpus tokens collapse to one "
+    "(word, count) relation via a single partial-aggregated shuffle; "
+    "only the DISTINCT VOCABULARY (bounded by language, not corpus "
+    "size) passes through the global rank/cumsum window, so the "
+    "single-partition window is vocab-bounded, never corpus-bounded "
+    "— at 100 TB cap it with a frequency floor before the window if "
+    "the long tail matters.",
+)
+def text_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from rabbithole_spark.operators.text_analysis import tokens
+
+    d = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    wc = (
+        d.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        # consumed by BOTH the rank/cumsum window and the total-mass
+        # aggregate — materialize the small vocab relation once instead
+        # of re-executing the corpus token scan per branch (NOTES
+        # lesson 9)
+        .localCheckpoint(eager=False)
+    )
+    # global order over the (small) vocabulary relation — deliberately
+    # unpartitioned, see docstring
+    w = Window.orderBy(F.col("cnt").desc(), "w")
+    ranked = wc.select(
+        F.row_number().over(w).alias("rnk"),
+        F.sum("cnt")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("double")
+        .alias("cum"),
+    )
+    tot = wc.agg(F.sum("cnt").cast("double").alias("total"))
+    targets = spark.createDataFrame(
+        [(float(t),) for t in _VOCAB_CURVE_TARGETS],
+        "coverage_target double",
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .join(
+            F.broadcast(targets),
+            F.col("cum") >= F.col("coverage_target") * F.col("total"),
+        )
+        .groupBy("coverage_target")
+        .agg(
+            F.min("rnk").cast("long").alias("vocab_size"),
+            F.round(
+                F.min_by("cum", "rnk") / F.min("total"), 6
+            ).alias("actual_coverage"),
+        )
+    )
+
 _OOV_ORACLE = rf"""
 WITH toks AS (
   SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w

@@ -189,6 +189,7 @@ _DOCUMENTS_ONLY_QUERIES = [
     "text_tfidf_top_terms",
     "text_token_counts",
     "text_top_ngrams",
+    "text_vocab_coverage_curve",
     "text_winnow_fingerprints",
 ]
 
