@@ -92,6 +92,7 @@ _PRIORITY_ORDER = (
     "dedup_minhash_incremental",
     "dedup_repeated_span_coverage",
     "text_vocab_coverage_curve",
+    "sample_fixed_k_per_source",
     "window_range_frame",
     "window_rank_orders",
     "dedup_components",

@@ -1711,6 +1711,55 @@ def sample_stratified_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "n_chars")
 
 
+_KSAMPLE_K = 50
+
+#: rank key for the fixed-k sampler: yet another odd multiplier
+#: (Knuth 64-bit golden-ratio prime truncated to 32 bits would repeat
+#: 2654435761 — use the xxhash prime5 low word instead) so the
+#: per-source ranking is independent of every other sampler's bucket.
+#: 2^31 * 2870177450 ~ 6.2e18 < 2^63: overflow-safe.
+_KSAMPLE_RANK_SQL = "((doc_id % 2147483648) * 2870177450) % 4294967296"
+
+_KSAMPLE_ORACLE = f"""
+SELECT doc_id, source, lang FROM (
+  SELECT doc_id, source, lang,
+         row_number() OVER (PARTITION BY source
+           ORDER BY {_KSAMPLE_RANK_SQL}, doc_id) AS rn
+  FROM documents
+) WHERE rn <= {_KSAMPLE_K}
+"""
+
+
+@register(
+    "sample_fixed_k_per_source",
+    oracle=_KSAMPLE_ORACLE,
+    doc="Exactly-k-per-group deterministic sampling (balanced eval-set "
+    "construction: k docs from EVERY source regardless of source "
+    "size, where the fraction-based stratified sampler cannot bound "
+    "group counts): rank docs within each source by a multiplicative "
+    "hash of doc_id (ties broken by doc_id) and keep rank <= k. "
+    "Replayable byte-for-byte like the other hash-mod samplers, and "
+    "uncorrelated with them (distinct odd multiplier). Scale shape: "
+    "ONE shuffle keys the window on source; at 100 TB pre-filter with "
+    "a conservative hash-bucket threshold (rank is uniform, so "
+    "bucket < c*k/n_source keeps all winners with near-certainty) so "
+    "the window sorts a sliver, not the corpus.",
+)
+def sample_fixed_k_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.expr(_KSAMPLE_RANK_SQL), "doc_id"
+    )
+    return (
+        d.select("doc_id", "source", "lang")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KSAMPLE_K)
+        .drop("rn")
+    )
+
+
 #: Train/val/test assignment bucket: same 31-bit-fold hash-mod shape as
 #: _SAMPLE_BUCKET_SQL but with a DIFFERENT odd multiplier (xxhash
 #: prime2), so split membership is statistically independent of the

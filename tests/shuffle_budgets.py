@@ -105,6 +105,9 @@ SHUFFLE_BUDGETS = {
     "pivot_event_counts": 2,
     "pricing_summary": 2,
     "profile_orders_columns": 2,
+    # one window shuffle keyed on source (see docstring for the 100 TB
+    # pre-filter that keeps the sort a sliver)
+    "sample_fixed_k_per_source": 1,
     "sample_quality_weighted": 0,
     "sample_stratified_by_lang": 0,
     "sample_uniform_documents": 0,

@@ -167,6 +167,7 @@ _DOCUMENTS_ONLY_QUERIES = [
     "pii_redaction",
     "pipeline_clean_corpus",
     "pipeline_curation_full",
+    "sample_fixed_k_per_source",
     "sample_quality_weighted",
     "sample_stratified_by_lang",
     "sample_uniform_documents",
