@@ -116,6 +116,7 @@ _PRIORITY_ORDER = (
     "similarity_ann_quantized",
     "similarity_ann_ivf",
     "similarity_ann_ivf_batch",
+    "similarity_mmr_rerank",
     "agg_conditional",
     "agg_event_stats",
     "agg_rollup",

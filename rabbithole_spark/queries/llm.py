@@ -961,6 +961,13 @@ def _mmr_oracle() -> str:
          (sqrt({_dot_sql('embedding', 'embedding')}) * sqrt({_dot_sql('q.qe', 'q.qe')})) AS rel
   FROM embeddings, q
   WHERE vec_id <> 0
+    -- malformed-vector exclusion (round-7 pin): a NULL-element vector
+    -- gets a REAL rel here (list_aggregate skips NULLs) but a NULL one
+    -- in Spark, and an underfull LIMIT would admit NULL-rel rows
+    AND embedding IS NOT NULL
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0
+    AND list_aggregate(list_transform(embedding,
+          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') > 0
   ORDER BY rel DESC, vec_id
   LIMIT {_MMR_POOL})""",
         f"""pair AS MATERIALIZED (
@@ -1015,6 +1022,11 @@ def _mmr_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
             "embedding",
             cosine(F.col("embedding"), q).alias("rel"),
         )
+        # malformed vectors (NULL / NULL-element / zero-norm) fold to a
+        # NULL rel — drop them so an underfull pool never admits a row
+        # the driver fold cannot norm (round-7 NULL-probe pin; the
+        # oracle's cand CTE excludes the same triple)
+        .filter(F.col("rel").isNotNull())
         .orderBy(F.desc("rel"), "vec_id")
         .limit(_MMR_POOL)
     )

@@ -149,6 +149,7 @@ _EMBEDDING_QUERIES = (
     "similarity_ann_quantized",
     "similarity_ann_ivf",
     "similarity_ann_ivf_batch",
+    "similarity_mmr_rerank",
 )
 
 _NEEDS_OTHER_TABLES: set[str] = set()
