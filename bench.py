@@ -139,6 +139,23 @@ def main() -> None:
     # re-measuring.
     load_before = [round(x, 2) for x in os.getloadavg()]
 
+    def cpu_canary() -> float:
+        """Single-thread machine-speed probe: wall seconds for a fixed
+        pure-python workload. Round-7 measurement found the box's
+        effective speed swinging ~2x between same-code bench runs with
+        loadavg near zero (co-tenant/frequency effects invisible to
+        load average) — the canary gives a reader a direct
+        normalization factor: compare query times across rounds as
+        time/canary, not raw seconds."""
+        t0 = time.perf_counter()
+        acc = 0
+        for i in range(5_000_000):
+            acc += i * i
+        del acc
+        return round(time.perf_counter() - t0, 4)
+
+    canary_before = cpu_canary()
+
     spark = get_spark(app_name="rabbithole-spark-bench")
     specs = load_all()
     names = [n for n in HEADLINE if n in specs] or sorted(specs)
@@ -218,6 +235,8 @@ def main() -> None:
         "sf": sf,
         "loadavg_before": load_before,
         "loadavg_after": [round(x, 2) for x in os.getloadavg()],
+        "cpu_canary_sec_before": canary_before,
+        "cpu_canary_sec_after": cpu_canary(),
         "ncpus": os.cpu_count(),
         # contended = the box was already busy when the bench started;
         # recorded rounds show up to ~1.8x cold-total drift under
