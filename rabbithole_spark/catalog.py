@@ -48,25 +48,28 @@ _QUERY_MODULES = (
 #: external verification go FIRST. Recomputed at round 7 from the
 #: union of CORRECTNESS_r01-r06 (each query's LATEST external row).
 #: The 50-slot round-7 window is:
-#: (a) the 20 never-externally-checked queries (round-6 late
-#: additions: 8 analytics shapes, the 6 derived-partsupp TPC-H
-#: shapes Q2/Q9/Q11/Q12/Q16/Q20, SemDeDup, filtered top-k, n-gram
-#: novelty, MAD outliers, OOV rate, incremental MinHash — each
-#: locally 3-SF oracle-green before registration, per NOTES);
-#: (b) the 16-query staleness backlog oldest-first: the 2 r1-latest
-#: rows, dedup_components (r2), and the 13 r3-latest rows;
-#: (c) 4 queries whose code or oracle changes in round 7
-#: (dedup_minhash_lsh + dedup_minhash_recall_audit share the
-#: restructured minhash_signatures plan; agg_approx_percentile flips
-#: rows-only -> deterministic oracle; similarity_kmeans_clusters
-#: gains the NULL-vector exclusion) and therefore need a fresh
-#: external row;
-#: (d) 10 of the 50 r4-latest rows, alphabetical. The remaining 40
-#: r4 rows are listed below the cut so they lead the round-8 window
-#: automatically if this order is kept. Staleness invariant (pinned
-#: in tests/test_catalog_invariants.py): with a 50-slot window and
-#: this ordering discipline no oracle-backed query's latest external
-#: row may trail the current round by more than 4 rounds. Names
+#: (a) slots 0-22, the 23 never-externally-checked queries: the 20
+#: round-6 late additions (8 analytics shapes, the 6 derived-partsupp
+#: TPC-H shapes Q2/Q9/Q11/Q12/Q16/Q20, SemDeDup, filtered top-k,
+#: n-gram novelty, MAD outliers, OOV rate, incremental MinHash) plus
+#: the 3 round-7 new operators (repeated-span coverage, vocab
+#: coverage curve, fixed-k-per-source sampling) — each locally 3-SF
+#: oracle-green before registration, per NOTES;
+#: (b) slots 23-38, the 16-query staleness backlog oldest-first: the
+#: 2 r1-latest rows, dedup_components (r2), and the 13 r3-latest rows
+#: (similarity_ann_lsh, changed this round, also sits here);
+#: (c) slots 39-46, the 8 queries whose code or oracle changed in
+#: round 7 and therefore need a fresh external row: the minhash pair
+#: (restructured signatures/banding), agg_approx_percentile (rows-only
+#: -> deterministic oracle), and the kmeans/quantized/IVF/IVF-batch/
+#: MMR malformed-vector exclusions;
+#: (d) slots 47-49, the first 3 r4-latest rows alphabetical. The
+#: remaining 47 r4 rows lead the round-8 window below the cut.
+#: Staleness invariant (pinned in tests/test_catalog_invariants.py):
+#: with a 50-slot window and this ordering discipline no oracle-backed
+#: query's latest external row may trail the current round by more
+#: than 4 rounds, and never-checked queries must form the order's
+#: prefix. Names
 #: absent from this list follow in registration order; names listed
 #: but not registered are ignored.
 _PRIORITY_ORDER = (

@@ -35,7 +35,31 @@ __all__ = [
     "quantize_unit_int8",
     "quantized_topk",
     "kmeans_fit_assign",
+    "valid_embeddings",
 ]
+
+
+def valid_embeddings(
+    df: DataFrame, embedding_col: str = "embedding", require_norm: bool = True
+) -> DataFrame:
+    """The round-7 malformed-vector exclusion, in ONE place: drop NULL
+    vectors and vectors with NULL elements (DuckDB's list folds SKIP
+    NULL elements where Spark's propagate NULL — the one-sided
+    divergence class the round-7 audit closed), and with
+    ``require_norm`` also drop zero-norm vectors (no direction — raw
+    cosine is NaN in DuckDB, NULL in Spark). Cosine-ranking consumers
+    need the full triple; pure-L2 consumers (k-means fit/assign, IVF
+    cells) pass ``require_norm=False``. The oracle twin is
+    ``queries.llm._valid_embedding_sql`` — change BOTH or neither.
+    """
+    cond = F.col(embedding_col).isNotNull() & ~F.exists(
+        embedding_col, lambda x: x.isNull()
+    )
+    if require_norm:
+        cond = cond & (
+            dot(F.col(embedding_col), F.col(embedding_col)) > 0
+        )
+    return df.filter(cond)
 
 
 def dot(a: Column, b: Column) -> Column:

@@ -707,6 +707,22 @@ def _query_vector(spark: SparkSession, sf_dir: str) -> list[float]:
     return [float(x) for x in rows[0]["embedding"]]
 
 
+def _valid_embedding_sql(col: str = "embedding", require_norm: bool = True) -> str:
+    """DuckDB twin of operators.similarity.valid_embeddings — the
+    round-7 malformed-vector exclusion as oracle SQL, in ONE place.
+    Change BOTH or neither."""
+    base = (
+        f"{col} IS NOT NULL"
+        f" AND len(list_filter({col}, x -> x IS NULL)) = 0"
+    )
+    if require_norm:
+        base += (
+            f" AND list_aggregate(list_transform({col},"
+            f" x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') > 0"
+        )
+    return base
+
+
 _TOPK_ORACLE = """
 WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
 scored AS (
@@ -767,10 +783,7 @@ b AS (SELECT vec_id, label, embedding,
       -- vector gets a REAL bucket here (list_aggregate skips NULLs)
       -- but a NULL one in Spark; a zero-norm vector's raw cosine is
       -- NaN here (ranks above reals) but NULL there
-      WHERE embedding IS NOT NULL
-        AND len(list_filter(embedding, x -> x IS NULL)) = 0
-        AND list_aggregate(list_transform(embedding,
-              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') > 0)
+      WHERE {_valid_embedding_sql()})
 SELECT b.vec_id, b.label,
        round(
          list_aggregate(list_transform(range(1, len(b.embedding) + 1),
@@ -797,15 +810,11 @@ LIMIT 10
     "bucket-pruned top-10 is oracle-checked, not just rows-counted.",
 )
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rabbithole_spark.operators.similarity import dot
+    from rabbithole_spark.operators.similarity import valid_embeddings
 
     qv = _query_vector(spark, sf_dir)
     # same malformed-vector exclusion as the oracle's b CTE
-    emb = table(spark, sf_dir, "embeddings").filter(
-        F.col("embedding").isNotNull()
-        & ~F.exists("embedding", lambda x: x.isNull())
-        & (dot(F.col("embedding"), F.col("embedding")) > 0)
-    )
+    emb = valid_embeddings(table(spark, sf_dir, "embeddings"))
     return ann_topk(
         emb,
         "embedding",
@@ -964,10 +973,7 @@ def _mmr_oracle() -> str:
     -- malformed-vector exclusion (round-7 pin): a NULL-element vector
     -- gets a REAL rel here (list_aggregate skips NULLs) but a NULL one
     -- in Spark, and an underfull LIMIT would admit NULL-rel rows
-    AND embedding IS NOT NULL
-    AND len(list_filter(embedding, x -> x IS NULL)) = 0
-    AND list_aggregate(list_transform(embedding,
-          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') > 0
+    AND {_valid_embedding_sql()}
   ORDER BY rel DESC, vec_id
   LIMIT {_MMR_POOL})""",
         f"""pair AS MATERIALIZED (
@@ -1105,19 +1111,17 @@ _IVF_FIT_BUCKET_SQL = "((vec_id % 2147483648) * 2654435761) % 4294967296 % 100 <
 #: diverges: all-NULL distances order NULLS LAST in DuckDB -> cell 0,
 #: but fold to a NULL cell in Spark) — the kmeans-family instance of
 #: the round-7 SemDeDup advice pin. Spark twin: _ivf_corpus below.
-_IVF_VALID_SQL = (
-    "embedding IS NOT NULL"
-    " AND len(list_filter(embedding, x -> x IS NULL)) = 0"
-)
+_IVF_VALID_SQL = _valid_embedding_sql(require_norm=False)
 _IVF_FIT_WHERE = f"{_IVF_FIT_BUCKET_SQL} AND {_IVF_VALID_SQL}"
 
 
 def _ivf_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The embeddings corpus with the _IVF_VALID_SQL exclusion applied
     Spark-side — every IVF build/probe input goes through this."""
-    return table(spark, sf_dir, "embeddings").filter(
-        F.col("embedding").isNotNull()
-        & ~F.exists("embedding", lambda x: x.isNull())
+    from rabbithole_spark.operators.similarity import valid_embeddings
+
+    return valid_embeddings(
+        table(spark, sf_dir, "embeddings"), require_norm=False
     )
 _IVF_N_CENTROIDS = 16
 _IVF_NPROBE = 4
@@ -1725,12 +1729,13 @@ def sample_stratified_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KSAMPLE_K = 50
 
-#: rank key for the fixed-k sampler: yet another odd multiplier
-#: (Knuth 64-bit golden-ratio prime truncated to 32 bits would repeat
-#: 2654435761 — use the xxhash prime5 low word instead) so the
-#: per-source ranking is independent of every other sampler's bucket.
-#: 2^31 * 2870177450 ~ 6.2e18 < 2^63: overflow-safe.
-_KSAMPLE_RANK_SQL = "((doc_id % 2147483648) * 2870177450) % 4294967296"
+#: rank key for the fixed-k sampler: yet another odd multiplier — the
+#: actual low 32 bits of the xxhash prime5 constant
+#: (2870177450012600261 mod 2^32 = 374761413, odd as a multiplicative
+#: hash requires) — so the per-source ranking is independent of every
+#: other sampler's bucket. 2^31 * 374761413 ~ 8.0e17 < 2^63:
+#: overflow-safe.
+_KSAMPLE_RANK_SQL = "((doc_id % 2147483648) * 374761413) % 4294967296"
 
 _KSAMPLE_ORACLE = f"""
 SELECT doc_id, source, lang FROM (
@@ -2699,7 +2704,9 @@ def text_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.col("bm25").desc(), "doc_id").limit(10)
 
 
-_QUANTIZED_ORACLE = """
+_VALID_EMB_SQL = _valid_embedding_sql()
+
+_QUANTIZED_ORACLE = f"""
 WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
 qq AS (
   SELECT qe,
@@ -2720,10 +2727,7 @@ b AS (
   -- malformed-vector exclusion (round-7 pin): a NULL-element vector
   -- would rank here via NULL-skipping list_aggregate but sink to a
   -- NULL dot in Spark; a zero-norm vector has no direction to rank
-  WHERE embedding IS NOT NULL
-    AND len(list_filter(embedding, x -> x IS NULL)) = 0
-    AND list_aggregate(list_transform(embedding,
-          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') > 0
+  WHERE {_VALID_EMB_SQL}
 ),
 scored AS (
   SELECT b.vec_id, b.label,
@@ -2755,15 +2759,14 @@ LIMIT 10
     "tests/test_llm_operators.py.",
 )
 def similarity_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rabbithole_spark.operators.similarity import dot, quantized_topk
+    from rabbithole_spark.operators.similarity import (
+        quantized_topk,
+        valid_embeddings,
+    )
 
     qv = _query_vector(spark, sf_dir)
     # same malformed-vector exclusion as the oracle's b CTE
-    emb = table(spark, sf_dir, "embeddings").filter(
-        F.col("embedding").isNotNull()
-        & ~F.exists("embedding", lambda x: x.isNull())
-        & (dot(F.col("embedding"), F.col("embedding")) > 0)
-    )
+    emb = valid_embeddings(table(spark, sf_dir, "embeddings"))
     return quantized_topk(
         emb,
         "embedding",
@@ -3031,10 +3034,7 @@ _KMEANS_ITERS = 4
 #: Zero-norm vectors stay: squared-L2 geometry is well-defined for
 #: them (unlike cosine, so this is deliberately weaker than
 #: _SEMDEDUP_FIT_WHERE).
-_KMEANS_FIT_WHERE = (
-    "embedding IS NOT NULL"
-    " AND len(list_filter(embedding, x -> x IS NULL)) = 0"
-)
+_KMEANS_FIT_WHERE = _valid_embedding_sql(require_norm=False)
 
 
 def _kmeans_oracle() -> str:
@@ -3081,14 +3081,16 @@ GROUP BY cluster
     "is additionally asserted in tests/test_llm_operators.py.",
 )
 def similarity_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rabbithole_spark.operators.similarity import kmeans_fit_assign
+    from rabbithole_spark.operators.similarity import (
+        kmeans_fit_assign,
+        valid_embeddings,
+    )
 
     # same NULL-vector exclusion as _KMEANS_FIT_WHERE (a NULL or
     # NULL-element vector has no position, so it can neither seed a
     # centroid nor be assigned a cell)
-    emb = table(spark, sf_dir, "embeddings").filter(
-        F.col("embedding").isNotNull()
-        & ~F.exists("embedding", lambda x: x.isNull())
+    emb = valid_embeddings(
+        table(spark, sf_dir, "embeddings"), require_norm=False
     )
     assigned = kmeans_fit_assign(
         emb,
@@ -3111,12 +3113,7 @@ _SEMDEDUP_TAU = 0.35
 #: on zero-norm vectors (and DuckDB max() ranks NaN above reals) while
 #: the Spark side's cosine() guard returns NULL, which F.max ignores —
 #: a latent divergence on malformed corpora (round-7 advice pin).
-_SEMDEDUP_FIT_WHERE = (
-    "embedding IS NOT NULL"
-    " AND len(list_filter(embedding, x -> x IS NULL)) = 0"
-    " AND list_aggregate(list_transform(embedding,"
-    " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') > 0"
-)
+_SEMDEDUP_FIT_WHERE = _valid_embedding_sql()
 
 
 def _semdedup_oracle() -> str:
@@ -3176,18 +3173,14 @@ FROM af LEFT JOIN pairs p ON p.vec_id = af.vec_id
 def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rabbithole_spark.operators.similarity import (
         cosine,
-        dot,
         kmeans_fit_assign,
+        valid_embeddings,
     )
 
     # same malformed-vector exclusion as _SEMDEDUP_FIT_WHERE: a NULL
     # vector / NULL element / zero-norm vector has no direction, so it
     # can neither seed a centroid nor pair in the cosine stage
-    emb = table(spark, sf_dir, "embeddings").filter(
-        F.col("embedding").isNotNull()
-        & ~F.exists("embedding", lambda x: x.isNull())
-        & (dot(F.col("embedding"), F.col("embedding")) > 0)
-    )
+    emb = valid_embeddings(table(spark, sf_dir, "embeddings"))
     assigned = kmeans_fit_assign(
         emb,
         "embedding",

@@ -274,9 +274,11 @@ def lateral_posexplode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Deterministic coordinated-sample predicate for the approximate
 #: percentile: keep a row iff a multiplicative hash of its UNIQUE row
 #: key (l_orderkey*8 + l_linenumber — l_linenumber is 1..7) lands in
-#: the bottom 25% of the 32-bit bucket space. (key % 2^31) * odd32
-#: stays under 2^62, so the arithmetic is ANSI-overflow-safe on both
-#: engines; 2654435761 is the Knuth 32-bit multiplier, a different
+#: the bottom 25% of the 32-bit bucket space. (key % 2^31) * odd32 =
+#: (2^31-1) * 2654435761 ~ 5.7e18 < 2^63, so the arithmetic is
+#: ANSI-overflow-safe on both engines (int64, NOT under 2^62 — do not
+#: widen the fold or the multiplier without rechecking this bound);
+#: 2654435761 is the Knuth 32-bit multiplier, a different
 #: family member from the doc samplers so the selections are
 #: uncorrelated.
 _APCT_SAMPLE_SQL = (

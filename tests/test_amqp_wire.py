@@ -322,7 +322,11 @@ class MiniAmqpServer:
                         + _shortstr(content_type),
                     )
                 )
-                conn.sendall(_frame(FRAME_BODY, channel, body))
+                # AMQP 0-9-1: zero body octets means ZERO body frames —
+                # an unsolicited empty body frame desynchronizes the
+                # client's frame stream (real pika drops the connection)
+                if body:
+                    conn.sendall(_frame(FRAME_BODY, channel, body))
             else:
                 raise AssertionError(f"unscripted method {cm}")
 
@@ -543,6 +547,18 @@ def test_wire_messages_arriving_between_batches():
         ("metrics", "text/plain", "later")
     ]
     assert offset2 == {"delivered": 2}
+
+
+def test_wire_empty_body_message():
+    """Zero body octets means zero body frames (AMQP 0-9-1 §4.2.6) —
+    the message still delivers with its header-declared empty body."""
+    server = MiniAmqpServer([("logs", "application/json", b"")])
+    reader = _wire_reader(server)
+    rows, offset = reader.read(reader.initialOffset())
+    rows = list(rows)
+    assert rows == [("logs", "application/json", "")]
+    assert offset == {"delivered": 1}
+    assert server.errors == []
 
 
 def test_wire_replay_contract_is_at_most_once():

@@ -88,8 +88,10 @@ def test_no_query_staler_than_four_rounds():
 
 
 def test_never_checked_queries_lead_the_window():
-    """Queries with no external row ever must occupy the earliest
-    window slots — a first external verification outranks a refresh."""
+    """Queries with no external row ever must occupy the EARLIEST
+    window slots — a first external verification outranks a refresh,
+    so the never-checked set must be a contiguous prefix of the
+    registry order, not merely somewhere inside the window."""
     max_round, latest = _correctness_history()
     if max_round == 0:
         pytest.skip("no CORRECTNESS_r*.json files present")
@@ -97,12 +99,10 @@ def test_never_checked_queries_lead_the_window():
     never = [n for n in ordered if n not in latest]
     if not never:
         pytest.skip("all registered queries have an external row")
-    window = ordered[:WINDOW]
-    missed = [n for n in never if n not in window]
-    # Allow overflow only when there are more never-checked queries
-    # than window slots.
-    if len(never) <= WINDOW:
-        assert missed == [], (
-            f"never-externally-checked queries missing from the "
-            f"{WINDOW}-slot window: {missed}"
-        )
+    if len(never) > WINDOW:
+        never = never[:WINDOW]  # overflow: at least fill the window
+    positions = sorted(ordered.index(n) for n in never)
+    assert positions == list(range(len(never))), (
+        f"never-externally-checked queries must occupy slots "
+        f"0..{len(never) - 1}; found them at {positions}"
+    )
