@@ -239,11 +239,17 @@ def main() -> None:
         "cpu_canary_sec_after": cpu_canary(),
         "ncpus": os.cpu_count(),
         # contended = the box was already busy when the bench started;
-        # recorded rounds show up to ~1.8x cold-total drift under
-        # co-tenant load on identical code (r6 post-mortem), so a judge
-        # reading a slow total should check this flag before calling it
-        # a regression. Threshold: 1-min load > ncpus/4.
-        "contended": load_before[0] > (os.cpu_count() or 1) / 4,
+        # recorded rounds show up to ~2x cold-total drift under
+        # co-tenant load on identical code (r6 post-mortem; r7 measured
+        # cold 17.6 -> 35.2 s same-code when a test suite's load was
+        # still draining). The bench itself runs ~5 min, so the 5-min
+        # average matters as much as the 1-min: flag when 1-min load >
+        # ncpus/4 OR 5-min load > ncpus/8. Slow phases invisible to
+        # load average show up in cpu_canary_sec instead.
+        "contended": (
+            load_before[0] > (os.cpu_count() or 1) / 4
+            or load_before[1] > (os.cpu_count() or 1) / 8
+        ),
     }
     if failures:
         payload["failures"] = failures
