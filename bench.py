@@ -127,10 +127,40 @@ def etl_throughput(spark, sf_dir: str) -> dict:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _is_contended() -> bool:
+    """The bench runs ~5 min, so the 5-min load average matters as much
+    as the 1-min: busy when 1-min load > ncpus/4 OR 5-min load >
+    ncpus/8 (recorded rounds show up to ~2x cold-total drift under
+    co-tenant load on identical code — r6 post-mortem, r7 measured
+    cold 17.6 -> 35.2 s same-code while a test suite's load drained)."""
+    load = os.getloadavg()
+    ncpus = os.cpu_count() or 1
+    return load[0] > ncpus / 4 or load[1] > ncpus / 8
+
+
+def wait_for_quiet(max_wait_sec: float = 600.0, poll_sec: float = 20.0) -> float:
+    """Block until the box looks quiet (or the budget runs out).
+
+    Round 7's recorded bench ran contended and its numbers were ~1.5x
+    machine noise (VERDICT r7); rather than record-and-annotate, hold
+    the run until the load gates pass. Bounded: after max_wait_sec the
+    bench proceeds anyway and the `contended` flag tells the reader.
+    Returns seconds waited. Skip with SPARK_GRAFT_BENCH_NO_WAIT=1.
+    """
+    if os.environ.get("SPARK_GRAFT_BENCH_NO_WAIT"):
+        return 0.0
+    start = time.perf_counter()
+    while _is_contended() and time.perf_counter() - start < max_wait_sec:
+        time.sleep(poll_sec)
+    return round(time.perf_counter() - start, 1)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
+
+    waited = wait_for_quiet()
 
     # Machine-load context: recorded rounds have shown up to ~5x warm
     # drift on identical code under co-tenant load (NOTES r5), so the
@@ -238,22 +268,40 @@ def main() -> None:
         "cpu_canary_sec_before": canary_before,
         "cpu_canary_sec_after": cpu_canary(),
         "ncpus": os.cpu_count(),
-        # contended = the box was already busy when the bench started;
-        # recorded rounds show up to ~2x cold-total drift under
-        # co-tenant load on identical code (r6 post-mortem; r7 measured
-        # cold 17.6 -> 35.2 s same-code when a test suite's load was
-        # still draining). The bench itself runs ~5 min, so the 5-min
-        # average matters as much as the 1-min: flag when 1-min load >
-        # ncpus/4 OR 5-min load > ncpus/8. Slow phases invisible to
-        # load average show up in cpu_canary_sec instead.
+        # contended = the box was still busy when the bench started,
+        # i.e. wait_for_quiet exhausted its budget without the load
+        # gates passing. Slow phases invisible to load average show up
+        # in cpu_canary_sec instead.
         "contended": (
             load_before[0] > (os.cpu_count() or 1) / 4
             or load_before[1] > (os.cpu_count() or 1) / 8
         ),
+        "quiet_wait_sec": waited,
     }
     if failures:
         payload["failures"] = failures
-    print(json.dumps(payload))
+
+    # The external harness captures only a bounded tail of stdout
+    # (BENCH_r07 was recorded truncated and unparseable once the TPC-H
+    # block grew to 20 entries), so the full payload goes to a file and
+    # stdout carries a compact line guaranteed to round-trip: 2-decimal
+    # timings, and the per-query maps dropped in a fixed order if the
+    # line would still exceed the capture window.
+    with open(os.path.join(REPO_DIR, "BENCH_LOCAL.json"), "w") as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
+
+    def _r2(d: dict) -> dict:
+        return {k: round(v, 2) for k, v in d.items()}
+
+    compact = dict(payload)
+    compact["queries"] = _r2(timings)
+    compact["tpch"] = _r2(tpch)
+    del compact["queries_warm"]  # full map lives in BENCH_LOCAL.json
+    for drop in ("tpch", "queries"):
+        if len(json.dumps(compact)) > 1900:
+            del compact[drop]
+    compact["full"] = "BENCH_LOCAL.json"
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

@@ -45,26 +45,19 @@ _QUERY_MODULES = (
 
 #: Registry emission order. External harnesses verify a bounded
 #: 50-query prefix of the registry per round, so queries needing
-#: external verification go FIRST. Recomputed at round 7 from the
-#: union of CORRECTNESS_r01-r06 (each query's LATEST external row).
-#: The 50-slot round-7 window is:
-#: (a) slots 0-22, the 23 never-externally-checked queries: the 20
-#: round-6 late additions (8 analytics shapes, the 6 derived-partsupp
-#: TPC-H shapes Q2/Q9/Q11/Q12/Q16/Q20, SemDeDup, filtered top-k,
-#: n-gram novelty, MAD outliers, OOV rate, incremental MinHash) plus
-#: the 3 round-7 new operators (repeated-span coverage, vocab
-#: coverage curve, fixed-k-per-source sampling) — each locally 3-SF
-#: oracle-green before registration, per NOTES;
-#: (b) slots 23-38, the 16-query staleness backlog oldest-first: the
-#: 2 r1-latest rows, dedup_components (r2), and the 13 r3-latest rows
-#: (similarity_ann_lsh, changed this round, also sits here);
-#: (c) slots 39-46, the 8 queries whose code or oracle changed in
-#: round 7 and therefore need a fresh external row: the minhash pair
-#: (restructured signatures/banding), agg_approx_percentile (rows-only
-#: -> deterministic oracle), and the kmeans/quantized/IVF/IVF-batch/
-#: MMR malformed-vector exclusions;
-#: (d) slots 47-49, the first 3 r4-latest rows alphabetical. The
-#: remaining 47 r4 rows lead the round-8 window below the cut.
+#: external verification go FIRST. Recomputed at round 8 as the full
+#: registry sorted by (latest external correctness round, name) over
+#: the union of CORRECTNESS_r01-r07 — every query's LATEST external
+#: row. The 50-slot round-8 window is therefore:
+#: (a) slots 0-43, the 44 queries whose latest external row is round 4
+#: (the staleness frontier — at the 4-round invariant's edge), led by
+#: corpus_snapshot_diff ... window_tumbling_hourly alphabetically;
+#: (b) slots 44-49, the 6 alphabetically-first round-5 rows
+#: (agg_approx_count_distinct, agg_bool_countif, agg_corr_regression,
+#: agg_grouping_sets, agg_hll_sketch_union — whose oracle is upgraded
+#: from rows-only this round and needs a fresh row — agg_minmax_by).
+#: Below the cut: the remaining 41 r5 rows, the 48 r6 rows, and the 50
+#: r7 rows, each block alphabetical — r5 leads the round-9 window.
 #: Staleness invariant (pinned in tests/test_catalog_invariants.py):
 #: with a 50-slot window and this ordering discipline no oracle-backed
 #: query's latest external row may trail the current round by more
@@ -73,64 +66,14 @@ _QUERY_MODULES = (
 #: absent from this list follow in registration order; names listed
 #: but not registered are ignored.
 _PRIORITY_ORDER = (
-    "mixture_js_divergence_by_source",
-    "text_collocation_pmi",
-    "stream_stream_right_outer",
-    "contamination_winnow_overlap",
-    "text_lm_cross_entropy",
-    "diagnostic_join_key_skew",
-    "timeseries_user_profile_outliers",
-    "cohort_weekly_retention",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q9_product_profit",
-    "tpch_q11_important_stock",
-    "tpch_q12_priority_lines",
-    "tpch_q16_supplier_part_counts",
-    "tpch_q20_excess_stock",
-    "dedup_semantic_semdedup",
-    "similarity_filtered_topk",
-    "text_ngram_novelty",
-    "stats_mad_outliers",
-    "text_vocab_oov_rate",
-    "dedup_minhash_incremental",
-    "dedup_repeated_span_coverage",
-    "text_vocab_coverage_curve",
-    "sample_fixed_k_per_source",
-    "window_range_frame",
-    "window_rank_orders",
-    "dedup_components",
-    "dedup_incremental_new_docs",
-    "sample_stratified_by_lang",
-    "sample_uniform_documents",
-    "scalar_try_arithmetic",
-    "similarity_ann_lsh",
-    "similarity_embedding_near_dup",
-    "stream_count_or_time_batcher",
-    "udf_grouped_zscore",
-    "udf_pandas_vectorized",
-    "udf_python_rowwise",
-    "udf_udtf_lateral_split",
-    "window_running_totals",
-    "window_session_per_user",
-    "dedup_minhash_lsh",
-    "dedup_minhash_recall_audit",
-    "agg_approx_percentile",
-    "similarity_kmeans_clusters",
-    "similarity_ann_quantized",
-    "similarity_ann_ivf",
-    "similarity_ann_ivf_batch",
-    "similarity_mmr_rerank",
-    "agg_conditional",
-    "agg_event_stats",
-    "agg_rollup",
     "corpus_snapshot_diff",
     "curriculum_phase_stats",
     "dedup_canonical_survivors",
     "dedup_edit_distance_prefix",
     "dedup_jaccard_prefix_filter",
     "funnel_conversion_stages",
-    "join_inner_enriched_orders",
     "join_full_outer_nation_counts",
+    "join_inner_enriched_orders",
     "join_lateral_topn",
     "join_multiway_revenue",
     "join_range_quantity_bands",
@@ -167,6 +110,151 @@ _PRIORITY_ORDER = (
     "tpch_q3_shipping_priority",
     "udf_cogrouped_asof",
     "window_tumbling_hourly",
+    "agg_approx_count_distinct",
+    "agg_bool_countif",
+    "agg_corr_regression",
+    "agg_grouping_sets",
+    "agg_hll_sketch_union",
+    "agg_minmax_by",
+    "agg_percentiles",
+    "agg_stats_moments",
+    "agg_string_collect",
+    "agg_theta_sketch_setops",
+    "contamination_ngram_overlap",
+    "dedup_duplicate_ngram_spans",
+    "dedup_exact_documents",
+    "dedup_fingerprint",
+    "dedup_simhash",
+    "embedding_centroids",
+    "join_attribution_clicks",
+    "join_left_customer_orders",
+    "join_salted_skew",
+    "lateral_posexplode_words",
+    "mixture_resample_by_lang",
+    "mixture_token_budget",
+    "multimodal_binary_stats",
+    "multimodal_feature_extract",
+    "multimodal_frame_sample",
+    "multimodal_resize_pipeline",
+    "pii_redaction",
+    "pipeline_clean_corpus",
+    "pipeline_param_mapping",
+    "profile_orders_columns",
+    "similarity_range_search",
+    "similarity_topk_bruteforce",
+    "stream_sliding_counts",
+    "stream_stream_left_semi",
+    "temporal_calendar_funcs",
+    "text_bm25_ranking",
+    "text_chunk_documents",
+    "text_lang_id",
+    "text_pii_scrub",
+    "text_readability_scores",
+    "text_repetition_filter",
+    "text_token_counts",
+    "text_top_ngrams",
+    "tpch_q14_promo_share",
+    "tpch_q4_exists_shape",
+    "tpch_q6_revenue_delta",
+    "window_sliding_hourly",
+    "agg_cube",
+    "agg_distinct_pairs",
+    "agg_having",
+    "agg_kll_quantile_sketch",
+    "agg_median_iqr",
+    "dedup_edit_distance_prefix_sparse",
+    "join_anti_no_big_order",
+    "join_asof_events",
+    "join_cross_region_nation",
+    "layout_zorder_clustering",
+    "pivot_event_counts",
+    "scalar_array_funcs",
+    "scalar_array_hof",
+    "scalar_conditional",
+    "scalar_json_funcs",
+    "scalar_math_funcs",
+    "scalar_null_semantics",
+    "scalar_string_funcs",
+    "scalar_variant_json",
+    "setop_except",
+    "setop_except_all",
+    "setop_intersect",
+    "setop_intersect_all",
+    "setop_union_all",
+    "setop_union_distinct",
+    "shard_shuffle_assignment",
+    "sketch_tolerance_audit",
+    "sort_limit_top_orders",
+    "sort_nulls_first",
+    "source_overlap_matrix",
+    "stream_count_or_time_sizes",
+    "stream_ingest_dedup_against_corpus",
+    "stream_stream_full_outer",
+    "subquery_correlated",
+    "subquery_scalar",
+    "text_winnow_fingerprints",
+    "topk_per_group",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity",
+    "tpch_q19_disjunctive_pushdown",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_global_sales_opportunity",
+    "tpch_q7_nation_volume",
+    "tpch_q8_market_share",
+    "unpivot_customer_metrics",
+    "window_distribution",
+    "window_lag_lead",
+    "agg_approx_percentile",
+    "agg_conditional",
+    "agg_event_stats",
+    "agg_rollup",
+    "cohort_weekly_retention",
+    "contamination_winnow_overlap",
+    "dedup_components",
+    "dedup_incremental_new_docs",
+    "dedup_minhash_incremental",
+    "dedup_minhash_lsh",
+    "dedup_minhash_recall_audit",
+    "dedup_repeated_span_coverage",
+    "dedup_semantic_semdedup",
+    "diagnostic_join_key_skew",
+    "mixture_js_divergence_by_source",
+    "sample_fixed_k_per_source",
+    "sample_stratified_by_lang",
+    "sample_uniform_documents",
+    "scalar_try_arithmetic",
+    "similarity_ann_ivf",
+    "similarity_ann_ivf_batch",
+    "similarity_ann_lsh",
+    "similarity_ann_quantized",
+    "similarity_embedding_near_dup",
+    "similarity_filtered_topk",
+    "similarity_kmeans_clusters",
+    "similarity_mmr_rerank",
+    "stats_mad_outliers",
+    "stream_count_or_time_batcher",
+    "stream_stream_right_outer",
+    "text_collocation_pmi",
+    "text_lm_cross_entropy",
+    "text_ngram_novelty",
+    "text_vocab_coverage_curve",
+    "text_vocab_oov_rate",
+    "timeseries_user_profile_outliers",
+    "tpch_q11_important_stock",
+    "tpch_q12_priority_lines",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q20_excess_stock",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_profit",
+    "udf_grouped_zscore",
+    "udf_pandas_vectorized",
+    "udf_python_rowwise",
+    "udf_udtf_lateral_split",
+    "window_range_frame",
+    "window_rank_orders",
+    "window_running_totals",
+    "window_session_per_user",
 )
 
 

@@ -188,15 +188,34 @@ def minhash_signatures(
     and the signature stage no longer shuffles at all (at 100 TB the
     signature becomes a pure map over the corpus scan).
 
-    Callers must pre-filter NULL/empty shingle arrays (both registered
-    callers do): a NULL array yields an all-NULL signature here, where
-    the old aggregate shape hashed the NULL itself.
+    NULL/empty shingle arrays are a contract violation and RAISE at
+    execution time (distributed, via a conditional raise_error branch —
+    no extra pass over the data): an all-NULL signature min-hashes
+    like any other and would silently band every such doc into the
+    same bucket. Callers filter such rows first (both registered
+    callers do via word_shingles, which yields >=1 shingle for any
+    non-NULL text).
     """
     base_hashes = F.transform(
         F.col(shingle_col),
         lambda s: F.pmod(F.xxhash64(s), F.lit(_MINHASH_P)),
     )
-    hashed = df.select(F.col(id_col), base_hashes.alias("__hs"))
+    guarded = F.when(
+        F.col(shingle_col).isNotNull() & (F.size(F.col(shingle_col)) > 0),
+        base_hashes,
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "minhash_signatures: NULL/empty shingle array for "
+                    f"{id_col}="
+                ),
+                F.col(id_col).cast("string"),
+                F.lit(" — pre-filter such rows before signing"),
+            )
+        )
+    )
+    hashed = df.select(F.col(id_col), guarded.alias("__hs"))
 
     def _family_min(a: int, b: int):
         return F.array_min(

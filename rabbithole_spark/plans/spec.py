@@ -16,6 +16,7 @@ maps that to exit code 1 (cli.py parity).
 
 from __future__ import annotations
 
+import json
 import os
 from dataclasses import dataclass, field
 from typing import Any
@@ -109,6 +110,32 @@ class PipelineSpec:
         return cls.from_dict(cfg)
 
 
+def _amqp_reader_options(src: Block, src_ref: FlowEndpoint, policy) -> dict:
+    """Flat option map for the rabbithole-amqp reader from one flow.
+
+    Reference parity (amqp.py:55-72, docs/usage.rst:120-133): any flow
+    kwargs beyond ``exchange`` (e.g. ``exchange_type``, ``durable``)
+    pass straight through to ``exchange_declare``, JSON-encoded because
+    Spark DataSource options are flat strings. ``url`` is emitted only
+    when configured — an unconditional empty string would shadow the
+    reader's documented localhost default with an unparseable value.
+    """
+    options = {
+        "exchanges": src_ref.kwargs.get("exchange", ""),
+        "max_messages_per_batch": str(
+            src.kwargs.get("max_messages_per_batch", policy.size_limit)
+        ),
+    }
+    declare_kwargs = {
+        k: v for k, v in src_ref.kwargs.items() if k != "exchange"
+    }
+    if declare_kwargs:
+        options["exchange_declare_kwargs"] = json.dumps(declare_kwargs)
+    if src.kwargs.get("url"):
+        options["url"] = src.kwargs["url"]
+    return options
+
+
 def _require(kwargs: dict, key: str, block: str) -> Any:
     """Required block kwarg — a missing key is a CONFIG error and must
     surface as PipelineError (the CLI's documented clean exit-1 path),
@@ -192,23 +219,11 @@ def compile_pipeline(
         elif src.type == "amqp":
             if not register_amqp_source(spark):
                 raise PipelineError("AMQP source needs the Python DataSource API")
-            reader = (
-                spark.readStream.format("rabbithole-amqp")
-                .option("exchanges", src_ref.kwargs.get("exchange", ""))
-                .option(
-                    "max_messages_per_batch",
-                    str(
-                        src.kwargs.get(
-                            "max_messages_per_batch", spec.policy.size_limit
-                        )
-                    ),
-                )
-            )
-            # only pass url when configured: an unconditional
-            # option("url", "") would shadow the reader's documented
-            # localhost default with an unparseable empty string
-            if src.kwargs.get("url"):
-                reader = reader.option("url", src.kwargs["url"])
+            reader = spark.readStream.format("rabbithole-amqp")
+            for key, val in _amqp_reader_options(
+                src, src_ref, spec.policy
+            ).items():
+                reader = reader.option(key, val)
             env = reader.load()
             exchange = src_ref.kwargs.get("exchange")
             if exchange:

@@ -248,22 +248,42 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HLL_UNION_ORACLE = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS approx_users
+FROM events GROUP BY event_type
+UNION ALL
+SELECT 'ALL' AS event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS approx_users
+FROM events
+"""
+
+
 @register(
     "agg_hll_sketch_union",
-    oracle=None,  # sketch-library specific binary — rows-only
+    oracle=_HLL_UNION_ORACLE,
     doc="Mergeable Datasketches HLL: per-group sketches built in one "
     "pass then UNIONED into a corpus-wide estimate without rescanning "
     "— the re-aggregatable cardinality primitive (persist sketches "
     "per partition/day, merge on demand) that approx_count_distinct "
-    "alone cannot express. Tolerance vs exact is asserted in "
-    "tests/test_llm_operators.py AND externally hash-verified every "
-    "round by sketch_tolerance_audit.",
+    "alone cannot express. Oracle-backed since round 8 (was "
+    "rows-only): at lgConfigK=14 the Datasketches sketch stays in "
+    "coupon (LIST/SET) mode up to k/4 = 4096 distinct values per "
+    "sketch, where the estimate is value-EXACT — the driver corpus "
+    "tops out at 1500 distinct users per group and overall (measured "
+    "EXACT at all three SFs, lgK 14 and 15; NOTES r8), so the oracle "
+    "is the exact distinct count. Outside that regime (per-sketch "
+    "cardinality > 4096) the sketch promotes to dense HLL and this "
+    "oracle would diverge — the same measured-regime contract class "
+    "as the HLL++ linear-counting oracle above. Accuracy-vs-exact at "
+    "scale additionally hash-verified every round by "
+    "sketch_tolerance_audit.",
 )
 def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     sk = (
         table(spark, sf_dir, "events")
         .groupBy("event_type")
-        .agg(F.hll_sketch_agg("user_id").alias("sketch"))
+        .agg(F.hll_sketch_agg("user_id", 14).alias("sketch"))
     )
     per_group = sk.select(
         "event_type",

@@ -149,9 +149,50 @@ class AmqpStreamReader(SimpleDataSourceStreamReader):
             e.strip() for e in exchanges.split(",") if e.strip()
         ]
         self.max_messages = int(options.get("max_messages_per_batch", "5"))
+        # Arbitrary exchange_declare kwargs, reference parity: the
+        # reference forwards any extra flow kwargs straight to
+        # pika.channel.Channel.exchange_declare (amqp.py:55-72,
+        # docs/usage.rst:128-133 — e.g. ``durable: true``). Spark
+        # DataSource options are flat strings, so they arrive here as a
+        # JSON object: either flat kwargs applied to every exchange
+        # ({"durable": true}) or a per-exchange map when every key is a
+        # configured exchange name ({"logs": {"durable": true}}).
+        self.declare_kwargs = self._parse_declare_kwargs(
+            options.get("exchange_declare_kwargs", ""), self.exchanges
+        )
         self._channel = None
         self._queue = None
         self._count = 0
+
+    @staticmethod
+    def _parse_declare_kwargs(raw: str, exchanges: list) -> dict:
+        """``exchange name -> exchange_declare kwargs`` (``None`` key =
+        flat default for every exchange). Raises on malformed JSON —
+        a silently-dropped ``durable: true`` is the exact config-parity
+        bug this option exists to close.
+
+        Per-exchange only when every KEY is a configured exchange name
+        (and every value an object): "all values are dicts" alone would
+        misread flat kwargs like pika's ``arguments`` (whose value IS a
+        dict, e.g. {"arguments": {"x-message-ttl": 60000}}) as a map
+        for an exchange named "arguments"."""
+        if not raw:
+            return {}
+        import json
+
+        parsed = json.loads(raw)
+        if not isinstance(parsed, dict):
+            raise ValueError(
+                "exchange_declare_kwargs must be a JSON object, got "
+                f"{type(parsed).__name__}"
+            )
+        if (
+            parsed
+            and all(k in exchanges for k in parsed)
+            and all(isinstance(v, dict) for v in parsed.values())
+        ):
+            return parsed  # per-exchange map
+        return {None: parsed}  # flat kwargs for all exchanges
 
     def _ensure_channel(self):
         if self._channel is not None:
@@ -165,7 +206,13 @@ class AmqpStreamReader(SimpleDataSourceStreamReader):
         result = self._channel.queue_declare(queue="", auto_delete=True)
         self._queue = result.method.queue
         for exchange in self.exchanges:
-            self._channel.exchange_declare(exchange=exchange, exchange_type="fanout")
+            # fanout default, overridable per config (reference parity:
+            # extra flow kwargs pass through to exchange_declare)
+            kwargs = {"exchange_type": "fanout"}
+            kwargs.update(
+                self.declare_kwargs.get(exchange, self.declare_kwargs.get(None, {}))
+            )
+            self._channel.exchange_declare(exchange=exchange, **kwargs)
             self._channel.queue_bind(exchange=exchange, queue=self._queue)
         return self._channel
 

@@ -31,9 +31,10 @@ class FakeChannel:
         out.method = FakeMethod("")
         return out
 
-    def exchange_declare(self, exchange, exchange_type):
-        assert exchange_type == "fanout"
+    def exchange_declare(self, exchange, **kwargs):
         self.declared_exchanges.append(exchange)
+        self.declare_kwargs = getattr(self, "declare_kwargs", {})
+        self.declare_kwargs[exchange] = kwargs
 
     def queue_bind(self, exchange, queue):
         self.bound.append((exchange, queue))
@@ -105,6 +106,132 @@ def test_exchanges_declared_and_bound():
     reader.read(reader.initialOffset())
     assert channel.declared_exchanges == ["logs", "metrics"]
     assert [e for e, _ in channel.bound] == ["logs", "metrics"]
+    # default declare shape when no kwargs are configured
+    assert channel.declare_kwargs == {
+        "logs": {"exchange_type": "fanout"},
+        "metrics": {"exchange_type": "fanout"},
+    }
+
+
+def test_exchange_declare_kwargs_passthrough_flat():
+    """Reference parity (amqp.py:55-72, docs/usage.rst:128-133): extra
+    config kwargs like ``durable: true`` must reach exchange_declare."""
+    reader = AmqpStreamReader(
+        {
+            "exchanges": "logs,metrics",
+            "exchange_declare_kwargs": json.dumps(
+                {"durable": True, "exchange_type": "topic"}
+            ),
+        }
+    )
+    channel = FakeChannel([])
+    reader._pika = FakePika(channel)
+    reader.read(reader.initialOffset())
+    assert channel.declare_kwargs == {
+        "logs": {"exchange_type": "topic", "durable": True},
+        "metrics": {"exchange_type": "topic", "durable": True},
+    }
+
+
+def test_exchange_declare_kwargs_per_exchange_map():
+    reader = AmqpStreamReader(
+        {
+            "exchanges": "logs,metrics",
+            "exchange_declare_kwargs": json.dumps(
+                {"logs": {"durable": True}}
+            ),
+        }
+    )
+    channel = FakeChannel([])
+    reader._pika = FakePika(channel)
+    reader.read(reader.initialOffset())
+    assert channel.declare_kwargs == {
+        "logs": {"exchange_type": "fanout", "durable": True},
+        "metrics": {"exchange_type": "fanout"},
+    }
+
+
+def test_exchange_declare_kwargs_arguments_dict_is_flat():
+    """pika's ``arguments`` kwarg is itself a dict
+    ({"arguments": {"x-message-ttl": 60000}}); it must be read as FLAT
+    kwargs for every exchange, not as a per-exchange map for an
+    exchange named "arguments" (per-exchange shape requires every key
+    to be a configured exchange name)."""
+    args = {"x-message-ttl": 60000}
+    reader = AmqpStreamReader(
+        {
+            "exchanges": "logs,metrics",
+            "exchange_declare_kwargs": json.dumps({"arguments": args}),
+        }
+    )
+    channel = FakeChannel([])
+    reader._pika = FakePika(channel)
+    reader.read(reader.initialOffset())
+    assert channel.declare_kwargs == {
+        "logs": {"exchange_type": "fanout", "arguments": args},
+        "metrics": {"exchange_type": "fanout", "arguments": args},
+    }
+
+
+def test_exchange_declare_kwargs_malformed_raises():
+    import pytest
+
+    with pytest.raises(ValueError):
+        AmqpStreamReader(
+            {"exchanges": "logs", "exchange_declare_kwargs": "[1, 2]"}
+        )
+
+
+def test_spec_forwards_exchange_declare_kwargs():
+    """A flow config with extra input kwargs (the documented reference
+    shape, usage.rst:120-133) compiles them into the AMQP reader's
+    exchange_declare_kwargs option — and an end-to-end check that the
+    compiled option map drives a reader whose declare call carries the
+    configured kwargs."""
+    from rabbithole_spark.plans.spec import (
+        PipelineSpec,
+        _amqp_reader_options,
+    )
+
+    spec = PipelineSpec.from_dict(
+        {
+            "blocks": [
+                {"name": "in", "type": "amqp",
+                 "kwargs": {"url": "amqp://h/"}},
+                {"name": "out", "type": "memory", "kwargs": {}},
+            ],
+            "flows": [
+                [
+                    {
+                        "name": "in",
+                        "kwargs": {
+                            "exchange": "logs",
+                            "exchange_type": "fanout",
+                            "durable": True,
+                        },
+                    },
+                    {"name": "out", "kwargs": {"table": "t_declare_kwargs"}},
+                ]
+            ],
+        }
+    )
+    src_ref, _ = spec.flows[0]
+    options = _amqp_reader_options(
+        spec.blocks[src_ref.name], src_ref, spec.policy
+    )
+    assert json.loads(options["exchange_declare_kwargs"]) == {
+        "exchange_type": "fanout",
+        "durable": True,
+    }
+    assert options["url"] == "amqp://h/"
+    # the compiled options, fed to the reader, reach exchange_declare
+    reader = AmqpStreamReader(options)
+    channel = FakeChannel([])
+    reader._pika = FakePika(channel)
+    reader.read(reader.initialOffset())
+    assert channel.declare_kwargs == {
+        "logs": {"exchange_type": "fanout", "durable": True},
+    }
 
 
 def test_no_replay_between_offsets():

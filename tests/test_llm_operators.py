@@ -43,6 +43,24 @@ def test_minhash_lsh_finds_planted_near_dups(docs_with_dups):
     assert planted <= found
 
 
+def test_minhash_signatures_raise_on_null_or_empty_shingles(spark):
+    """The documented pre-filter contract is enforced, not just
+    docstring'd (ADVICE r7): a NULL or empty shingle array raises at
+    execution instead of silently emitting an all-NULL signature that
+    would band every such doc into one bucket."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    schema = "doc_id long, shingles array<string>"
+    for bad in ([(1, None)], [(2, [])]):
+        df = spark.createDataFrame(bad, schema)
+        with pytest.raises(SparkRuntimeException, match="pre-filter"):
+            minhash_signatures(df, "doc_id", "shingles", 8).collect()
+    # valid rows still sign normally alongside the guard
+    ok = spark.createDataFrame([(3, ["a", "b"])], schema)
+    sig = minhash_signatures(ok, "doc_id", "shingles", 8).collect()[0]
+    assert len(sig.signature) == 8 and all(v is not None for v in sig.signature)
+
+
 def test_simhash_near_dups_close(spark, docs_with_dups):
     sigs = {r.doc_id: r.simhash for r in simhash(docs_with_dups, "text", "doc_id").collect()}
     hamming = lambda a, b: bin((a ^ b) & (2**64 - 1)).count("1")
