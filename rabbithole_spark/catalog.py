@@ -49,14 +49,16 @@ _QUERY_MODULES = (
 #: registry sorted by (latest external correctness round, name) over
 #: the union of CORRECTNESS_r01-r07 — every query's LATEST external
 #: row. The 50-slot round-8 window is therefore:
-#: (a) slots 0-43, the 44 queries whose latest external row is round 4
+#: (a) the round-8 NEW queries, never externally checked (each locally
+#: 3-SF oracle-green before registration, per NOTES r8);
+#: (b) the 44 queries whose latest external row is round 4
 #: (the staleness frontier — at the 4-round invariant's edge), led by
 #: corpus_snapshot_diff ... window_tumbling_hourly alphabetically;
-#: (b) slots 44-49, the 6 alphabetically-first round-5 rows
+#: (c) the remaining slots from the alphabetically-first round-5 rows
 #: (agg_approx_count_distinct, agg_bool_countif, agg_corr_regression,
 #: agg_grouping_sets, agg_hll_sketch_union — whose oracle is upgraded
-#: from rows-only this round and needs a fresh row — agg_minmax_by).
-#: Below the cut: the remaining 41 r5 rows, the 48 r6 rows, and the 50
+#: from rows-only this round and needs a fresh row).
+#: Below the cut: the remaining r5 rows, the 48 r6 rows, and the 50
 #: r7 rows, each block alphabetical — r5 leads the round-9 window.
 #: Staleness invariant (pinned in tests/test_catalog_invariants.py):
 #: with a 50-slot window and this ordering discipline no oracle-backed
@@ -66,6 +68,12 @@ _QUERY_MODULES = (
 #: absent from this list follow in registration order; names listed
 #: but not registered are ignored.
 _PRIORITY_ORDER = (
+    "embedding_random_projection",
+    "retrieval_hybrid_rrf",
+    "similarity_hard_negatives",
+    # changed this round: the oracle upgrade (rows-only -> exact-count
+    # replay) needs a fresh external row in THIS round's window
+    "agg_hll_sketch_union",
     "corpus_snapshot_diff",
     "curriculum_phase_stats",
     "dedup_canonical_survivors",
@@ -114,7 +122,6 @@ _PRIORITY_ORDER = (
     "agg_bool_countif",
     "agg_corr_regression",
     "agg_grouping_sets",
-    "agg_hll_sketch_union",
     "agg_minmax_by",
     "agg_percentiles",
     "agg_stats_moments",

