@@ -71,6 +71,7 @@ _PRIORITY_ORDER = (
     "embedding_random_projection",
     "retrieval_hybrid_rrf",
     "similarity_hard_negatives",
+    "pack_length_buckets",
     # changed this round: the oracle upgrade (rows-only -> exact-count
     # replay) needs a fresh external row in THIS round's window
     "agg_hll_sketch_union",

@@ -3840,6 +3840,96 @@ def pack_sequences_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: length-bucketed inference batching: bucket width (tokens), bucket
+#: cap, docs per batch, docs per shard (same bounded-window-partition
+#: rationale as _PACK_SHARD_DOCS, scaled up since rows here are two
+#: ints, not text)
+_LENBUCKET_WIDTH = 16
+_LENBUCKET_CAP = 7
+_LENBATCH_DOCS = 32
+_LENBUCKET_SHARD_DOCS = 1024
+
+_LENBUCKET_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(doc_id // {_LENBUCKET_SHARD_DOCS} AS BIGINT) AS shard,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+  WHERE text IS NOT NULL
+), bucketed AS (
+  SELECT doc_id, shard, n_tokens,
+         CAST(least(n_tokens // {_LENBUCKET_WIDTH}, {_LENBUCKET_CAP})
+              AS BIGINT) AS bucket
+  FROM toks
+), batched AS (
+  SELECT bucket, shard, n_tokens,
+         CAST((row_number() OVER (
+            PARTITION BY bucket, shard ORDER BY doc_id
+          ) - 1) // {_LENBATCH_DOCS} AS BIGINT) AS batch
+  FROM bucketed
+)
+SELECT bucket, shard, batch,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       round(1.0 - CAST(sum(n_tokens) AS DOUBLE)
+                   / (count(*) * max(n_tokens)), 6) AS padding_frac
+FROM batched
+GROUP BY bucket, shard, batch
+"""
+
+
+@register(
+    "pack_length_buckets",
+    oracle=_LENBUCKET_ORACLE,
+    doc="Length-bucketed inference batching (the dynamic-batching "
+    "shape serving stacks use): documents bucket by token-count band "
+    f"(width {_LENBUCKET_WIDTH}, capped at {_LENBUCKET_CAP}), fill "
+    f"deterministic {_LENBATCH_DOCS}-doc batches in doc_id order "
+    "within each (bucket, shard), and each batch reports its padded "
+    "waste — 1 - sum(tokens)/(n*max) — which is the quantity length "
+    "bucketing exists to minimize (the training-side twin is "
+    "pack_sequences_by_source; the padding audit over naive packing "
+    "is pack_padding_efficiency). Scale shape: the batch-number "
+    "window partitions on the BOUNDED (bucket, doc_id div "
+    f"{_LENBUCKET_SHARD_DOCS}) key — never bare bucket, which would "
+    "serialize a popular length band through one task — and the "
+    "rollup groups on a superset of the window key, so the whole "
+    "query is ONE shuffle; everything upstream is a scan-side map.",
+)
+def pack_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    bucketed = d.select(
+        "doc_id",
+        F.expr(f"doc_id div {_LENBUCKET_SHARD_DOCS}").alias("shard"),
+        token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+    ).withColumn(
+        "bucket",
+        F.least(
+            F.expr(f"n_tokens div {_LENBUCKET_WIDTH}"),
+            F.lit(_LENBUCKET_CAP).cast("bigint"),
+        ),
+    )
+    w = Window.partitionBy("bucket", "shard").orderBy("doc_id")
+    batched = bucketed.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "batch", F.expr(f"(__rn - 1) div {_LENBATCH_DOCS}").cast("bigint")
+    )
+    return batched.groupBy("bucket", "shard", "batch").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("n_tokens").alias("max_tokens"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(
+            F.lit(1.0)
+            - F.sum("n_tokens").cast("double")
+            / (F.count(F.lit(1)) * F.max("n_tokens")),
+            6,
+        ).alias("padding_frac"),
+    )
+
+
 _TOKEN_BUDGET_ORACLE = """
 WITH avail AS (
   SELECT lang,

@@ -158,6 +158,9 @@ SHUFFLE_BUDGETS = {
     "embedding_random_projection": 0,
     # shard-local top-k window + bounded global re-rank window
     "similarity_hard_negatives": 2,
+    # one (bucket, shard) window; the rollup groups on a superset of
+    # the window key and reuses its partitioning
+    "pack_length_buckets": 1,
     "text_chunk_documents": 1,
     "text_lang_id": 1,
     "text_lm_cross_entropy": 2,

@@ -842,3 +842,37 @@ def test_hard_negatives_two_phase_equals_single_window(spark):
         per_anchor.setdefault(r.anchor_id, []).append(r.rank)
     for ranks in per_anchor.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_length_bucket_batches_bound_padding(spark):
+    """Per-batch invariants for the inference batcher: batch sizes
+    never exceed the configured cap, padding_frac is consistent with
+    (n_docs, max_tokens, total_tokens), and within a bucket the token
+    spread is bounded by the bucket width (except the capped top
+    bucket, which is open-ended by design)."""
+    from rabbithole_spark.queries.llm import (
+        _LENBATCH_DOCS,
+        _LENBUCKET_CAP,
+        _LENBUCKET_WIDTH,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = load_all()["pack_length_buckets"].fn(spark, sf).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.n_docs <= _LENBATCH_DOCS
+        assert r.total_tokens <= r.n_docs * r.max_tokens
+        expect = 1.0 - r.total_tokens / (r.n_docs * r.max_tokens)
+        assert abs(r.padding_frac - round(expect, 6)) < 1e-9
+        if r.bucket < _LENBUCKET_CAP:
+            # all docs in a non-top bucket lie in one width-16 band,
+            # so padded waste per doc is < width/max
+            assert (
+                r.n_docs * r.max_tokens - r.total_tokens
+                < r.n_docs * _LENBUCKET_WIDTH
+            )
+    # every document lands in exactly one batch
+    n_docs_total = sum(r.n_docs for r in rows)
+    assert n_docs_total == spark.read.parquet(
+        f"{sf}/documents.parquet"
+    ).filter(F.col("text").isNotNull()).count()
