@@ -127,13 +127,15 @@ def etl_throughput(spark, sf_dir: str) -> dict:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-def _is_contended() -> bool:
+def _is_contended(load=None) -> bool:
     """The bench runs ~5 min, so the 5-min load average matters as much
     as the 1-min: busy when 1-min load > ncpus/4 OR 5-min load >
     ncpus/8 (recorded rounds show up to ~2x cold-total drift under
     co-tenant load on identical code — r6 post-mortem, r7 measured
-    cold 17.6 -> 35.2 s same-code while a test suite's load drained)."""
-    load = os.getloadavg()
+    cold 17.6 -> 35.2 s same-code while a test suite's load drained).
+    ONE definition for both the wait gate and the recorded
+    ``contended`` flag — pass the snapshot to evaluate, default now."""
+    load = os.getloadavg() if load is None else load
     ncpus = os.cpu_count() or 1
     return load[0] > ncpus / 4 or load[1] > ncpus / 8
 
@@ -272,10 +274,7 @@ def main() -> None:
         # i.e. wait_for_quiet exhausted its budget without the load
         # gates passing. Slow phases invisible to load average show up
         # in cpu_canary_sec instead.
-        "contended": (
-            load_before[0] > (os.cpu_count() or 1) / 4
-            or load_before[1] > (os.cpu_count() or 1) / 8
-        ),
+        "contended": _is_contended(load_before),
         "quiet_wait_sec": waited,
     }
     if failures:
@@ -285,10 +284,23 @@ def main() -> None:
     # (BENCH_r07 was recorded truncated and unparseable once the TPC-H
     # block grew to 20 entries), so the full payload goes to a file and
     # stdout carries a compact line guaranteed to round-trip: 2-decimal
-    # timings, and the per-query maps dropped in a fixed order if the
-    # line would still exceed the capture window.
+    # timings, failure text truncated, and whole maps dropped in a
+    # fixed order (least-essential first) until the line fits — the
+    # length check runs AFTER every key, including the "full" pointer,
+    # is in place.
     with open(os.path.join(REPO_DIR, "BENCH_LOCAL.json"), "w") as f:
         json.dump(payload, f, indent=1, sort_keys=True)
+
+    print(compact_line(payload, timings, tpch, failures))
+
+
+def compact_line(
+    payload: dict, timings: dict, tpch: dict, failures: dict
+) -> str:
+    """One JSON line bounded to the harness capture window (~2000
+    chars): 2-decimal per-query maps, failure text clipped, then whole
+    maps dropped least-essential-first until it fits — measured AFTER
+    every key (including the "full" pointer) is in place."""
 
     def _r2(d: dict) -> dict:
         return {k: round(v, 2) for k, v in d.items()}
@@ -296,12 +308,23 @@ def main() -> None:
     compact = dict(payload)
     compact["queries"] = _r2(timings)
     compact["tpch"] = _r2(tpch)
-    del compact["queries_warm"]  # full map lives in BENCH_LOCAL.json
-    for drop in ("tpch", "queries"):
-        if len(json.dumps(compact)) > 1900:
-            del compact[drop]
+    compact.pop("queries_warm", None)  # full map lives in BENCH_LOCAL
     compact["full"] = "BENCH_LOCAL.json"
-    print(json.dumps(compact))
+    if failures:
+        # failures are unbounded (one traceback head per broken
+        # query): keep a count plus the first few, each clipped
+        compact["failures"] = {
+            "n": len(failures),
+            **{k: str(v)[:80] for k, v in list(failures.items())[:3]},
+        }
+    for drop in ("tpch", "queries", "failures"):
+        if len(json.dumps(compact)) <= 1900:
+            break
+        if drop == "failures" and "failures" in compact:
+            compact["failures"] = {"n": len(failures)}  # keep the signal
+        elif drop in compact:
+            del compact[drop]
+    return json.dumps(compact)
 
 
 if __name__ == "__main__":

@@ -49,15 +49,15 @@ _QUERY_MODULES = (
 #: registry sorted by (latest external correctness round, name) over
 #: the union of CORRECTNESS_r01-r07 — every query's LATEST external
 #: row. The 50-slot round-8 window is therefore:
-#: (a) the round-8 NEW queries, never externally checked (each locally
-#: 3-SF oracle-green before registration, per NOTES r8);
-#: (b) the 44 queries whose latest external row is round 4
+#: (a) slots 0-3, the 4 round-8 NEW queries, never externally checked
+#: (each locally 3-SF oracle-green before registration, per NOTES r8);
+#: (b) slot 4, agg_hll_sketch_union — oracle upgraded from rows-only
+#: this round, needs a fresh external row;
+#: (c) slots 5-48, the 44 queries whose latest external row is round 4
 #: (the staleness frontier — at the 4-round invariant's edge), led by
 #: corpus_snapshot_diff ... window_tumbling_hourly alphabetically;
-#: (c) the remaining slots from the alphabetically-first round-5 rows
-#: (agg_approx_count_distinct, agg_bool_countif, agg_corr_regression,
-#: agg_grouping_sets, agg_hll_sketch_union — whose oracle is upgraded
-#: from rows-only this round and needs a fresh row).
+#: (d) slot 49, agg_approx_count_distinct, the alphabetically-first
+#: round-5 row.
 #: Below the cut: the remaining r5 rows, the 48 r6 rows, and the 50
 #: r7 rows, each block alphabetical — r5 leads the round-9 window.
 #: Staleness invariant (pinned in tests/test_catalog_invariants.py):

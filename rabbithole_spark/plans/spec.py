@@ -130,7 +130,17 @@ def _amqp_reader_options(src: Block, src_ref: FlowEndpoint, policy) -> dict:
         k: v for k, v in src_ref.kwargs.items() if k != "exchange"
     }
     if declare_kwargs:
-        options["exchange_declare_kwargs"] = json.dumps(declare_kwargs)
+        try:
+            options["exchange_declare_kwargs"] = json.dumps(declare_kwargs)
+        except TypeError as exc:
+            # YAML can produce values JSON cannot carry (e.g. an
+            # unquoted date) — that is a CONFIG error and must surface
+            # as PipelineError (the CLI's clean exit-1 contract), not
+            # a TypeError traceback
+            raise PipelineError(
+                "flow input kwargs must be JSON-encodable to pass "
+                f"through to exchange_declare: {exc}"
+            ) from exc
     if src.kwargs.get("url"):
         options["url"] = src.kwargs["url"]
     return options

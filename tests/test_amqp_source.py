@@ -234,6 +234,45 @@ def test_spec_forwards_exchange_declare_kwargs():
     }
 
 
+def test_spec_non_json_declare_kwarg_is_config_error():
+    """YAML can yield values JSON cannot carry (an unquoted date);
+    that must surface as PipelineError (the CLI's clean exit-1
+    contract), never a TypeError traceback."""
+    import datetime
+
+    import pytest
+
+    from rabbithole_spark.plans.spec import (
+        PipelineError,
+        PipelineSpec,
+        _amqp_reader_options,
+    )
+
+    spec = PipelineSpec.from_dict(
+        {
+            "blocks": [
+                {"name": "in", "type": "amqp", "kwargs": {}},
+                {"name": "out", "type": "memory", "kwargs": {}},
+            ],
+            "flows": [
+                [
+                    {
+                        "name": "in",
+                        "kwargs": {
+                            "exchange": "logs",
+                            "expires": datetime.date(2024, 1, 1),
+                        },
+                    },
+                    {"name": "out", "kwargs": {"table": "t_bad_kwarg"}},
+                ]
+            ],
+        }
+    )
+    src_ref, _ = spec.flows[0]
+    with pytest.raises(PipelineError, match="JSON-encodable"):
+        _amqp_reader_options(spec.blocks[src_ref.name], src_ref, spec.policy)
+
+
 def test_no_replay_between_offsets():
     reader, _ = _reader([("logs", "application/json", b"{}")])
     assert list(reader.readBetweenOffsets({"delivered": 0}, {"delivered": 1})) == []
