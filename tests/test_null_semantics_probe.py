@@ -293,6 +293,10 @@ _EMPTY_RAISES = {
     "similarity_ann_ivf", "similarity_ann_quantized",
     "similarity_ann_ivf_batch", "similarity_kmeans_clusters",
     "dedup_semantic_semdedup", "similarity_filtered_topk",
+    # round 8: the vector leg / anchor set come from the corpus, so an
+    # empty corpus is broken upstream data and raises the same clear
+    # ValueError as the rest of the similarity family
+    "retrieval_hybrid_rrf", "similarity_hard_negatives",
 }
 
 
