@@ -2875,11 +2875,15 @@ def _proj_oracle() -> str:
     dims = []
     for j, signs in enumerate(_PROJ_SIGNS):
         lits = ", ".join(str(s) for s in signs)
+        # + 0.0 folds IEEE signed zeros: a tiny negative fold sum
+        # rounds to -0.0 here where Spark's BigDecimal round yields
+        # +0.0 (caught by the NULL-fixture probe on a planted vector)
         dims.append(
             f"round(list_aggregate(list_transform("
             f"range(1, {_PROJ_IN_DIM} + 1),"
             f" i -> CAST(embedding[i] AS DOUBLE) * ([{lits}])[i]),"
-            f" 'sum') / {float(_PROJ_OUT_DIM) ** 0.5}, 6) AS p{j:02d}"
+            f" 'sum') / {float(_PROJ_OUT_DIM) ** 0.5}, 6) + 0.0"
+            f" AS p{j:02d}"
         )
     cols = ",\n       ".join(dims)
     return f"""
@@ -2924,7 +2928,10 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        cols.append(F.round(comp / scale, 6).alias(f"p{j:02d}"))
+        # + 0.0 mirrors the oracle's signed-zero fold (see _proj_oracle)
+        cols.append(
+            (F.round(comp / scale, 6) + F.lit(0.0)).alias(f"p{j:02d}")
+        )
     return e.select("vec_id", "label", *cols)
 
 

@@ -150,6 +150,15 @@ _EMBEDDING_QUERIES = (
     "similarity_ann_ivf",
     "similarity_ann_ivf_batch",
     "similarity_mmr_rerank",
+    # round 8: the projection keeps zero-norm vectors
+    # (require_norm=False) but must drop NULL/NULL-element ones
+    # identically; hard negatives additionally exercise NULL labels
+    # (label <> anchor_label must drop them on BOTH engines); hybrid
+    # RRF runs its vector leg over the planted malformed vectors AND
+    # its BM25 leg over the NULL-text documents rows.
+    "embedding_random_projection",
+    "similarity_hard_negatives",
+    "retrieval_hybrid_rrf",
 )
 
 _NEEDS_OTHER_TABLES: set[str] = set()
