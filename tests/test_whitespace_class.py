@@ -162,6 +162,7 @@ _DOCUMENTS_ONLY_QUERIES = [
     "multimodal_feature_extract",
     "multimodal_frame_sample",
     "multimodal_resize_pipeline",
+    "pack_length_buckets",
     "pack_padding_efficiency",
     "pack_sequences_by_source",
     "pii_redaction",
