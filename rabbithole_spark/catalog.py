@@ -68,6 +68,7 @@ _QUERY_MODULES = (
 #: absent from this list follow in registration order; names listed
 #: but not registered are ignored.
 _PRIORITY_ORDER = (
+    "contamination_semantic_screen",
     "embedding_random_projection",
     "retrieval_hybrid_rrf",
     "similarity_hard_negatives",

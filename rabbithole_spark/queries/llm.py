@@ -2935,6 +2935,109 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select("vec_id", "label", *cols)
 
 
+# --- semantic contamination screening ------------------------------------------
+
+_SEMCON_N_BENCH = 16
+_SEMCON_TOPK = 20
+
+_SEMCON_ORACLE = f"""
+WITH b AS (
+  SELECT vec_id AS bench_id, embedding AS be
+  FROM embeddings
+  WHERE vec_id < {_SEMCON_N_BENCH} AND {_valid_embedding_sql()}
+), scored AS (
+  SELECT e.vec_id, e.label, b.bench_id,
+         round(
+           list_aggregate(list_transform(range(1, len(e.embedding) + 1),
+             i -> CAST(e.embedding[i] AS DOUBLE) * CAST(b.be[i] AS DOUBLE)), 'sum')
+           / (sqrt(list_aggregate(list_transform(range(1, len(e.embedding) + 1),
+                i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), 'sum'))
+              * sqrt(list_aggregate(list_transform(range(1, len(b.be) + 1),
+                  i -> CAST(b.be[i] AS DOUBLE) * CAST(b.be[i] AS DOUBLE)), 'sum'))),
+           6) AS sim
+  FROM embeddings e, b
+  WHERE e.vec_id >= {_SEMCON_N_BENCH} AND {_valid_embedding_sql("e.embedding")}
+), nearest AS (
+  SELECT vec_id, label, sim AS max_sim, bench_id AS nearest_bench
+  FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY sim DESC, bench_id DESC
+    ) AS rn
+    FROM scored
+  ) WHERE rn = 1
+)
+SELECT vec_id, label, max_sim, nearest_bench
+FROM nearest
+ORDER BY max_sim DESC, vec_id
+LIMIT {_SEMCON_TOPK}
+"""
+
+
+@register(
+    "contamination_semantic_screen",
+    oracle=_SEMCON_ORACLE,
+    doc="Embedding-tier decontamination screening — the semantic tier "
+    "above the n-gram (contamination_ngram_overlap) and fingerprint "
+    "(contamination_winnow_overlap) tiers: against a held-out "
+    f"benchmark set ({_SEMCON_N_BENCH} vectors), every corpus vector "
+    "gets its max benchmark cosine and nearest benchmark id, and the "
+    f"top-{_SEMCON_TOPK} closest matches surface for review (the "
+    "triage list a decontamination pass acts on; paraphrased benchmark "
+    "leakage has no n-gram overlap, which is why this tier exists). "
+    "Scale shape: the benchmark set is a bounded driver collect "
+    "embedded as plan literals (a broadcast join at real benchmark "
+    "sizes); the per-vector argmax is a row-local array_max over "
+    "(sim, bench_id) structs — lexicographic struct ordering IS the "
+    "tie-break, replayed in the oracle as ORDER BY sim DESC, bench_id "
+    "DESC — and the report is TakeOrderedAndProject: ZERO shuffles at "
+    "any corpus size.",
+)
+def contamination_semantic_screen(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from rabbithole_spark.operators.similarity import cosine
+
+    e = valid_embeddings(table(spark, sf_dir, "embeddings"))
+    bench = (
+        e.filter(F.col("vec_id") < _SEMCON_N_BENCH)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    if not bench:
+        raise ValueError(
+            f"no valid benchmark vectors (vec_id < {_SEMCON_N_BENCH}) "
+            "in embeddings — corpus empty or malformed"
+        )
+    candidates = F.array(
+        *[
+            F.struct(
+                F.round(
+                    cosine(
+                        F.col("embedding"),
+                        F.array(*[F.lit(float(x)) for x in b.embedding]),
+                    ),
+                    6,
+                ).alias("s"),
+                F.lit(b.vec_id).cast("bigint").alias("b"),
+            )
+            for b in bench
+        ]
+    )
+    best = F.array_max(candidates)
+    return (
+        e.filter(F.col("vec_id") >= _SEMCON_N_BENCH)
+        .select(
+            "vec_id",
+            "label",
+            best["s"].alias("max_sim"),
+            best["b"].alias("nearest_bench"),
+        )
+        .orderBy(F.col("max_sim").desc(), "vec_id")
+        .limit(_SEMCON_TOPK)
+    )
+
+
 # --- hard-negative mining (contrastive training data) --------------------------
 
 _HARDNEG_N_ANCHORS = 8

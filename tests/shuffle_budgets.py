@@ -161,6 +161,8 @@ SHUFFLE_BUDGETS = {
     # one (bucket, shard) window; the rollup groups on a superset of
     # the window key and reuses its partitioning
     "pack_length_buckets": 1,
+    # row-local argmax over benchmark literals + TakeOrderedAndProject
+    "contamination_semantic_screen": 0,
     "text_chunk_documents": 1,
     "text_lang_id": 1,
     "text_lm_cross_entropy": 2,

@@ -876,3 +876,45 @@ def test_length_bucket_batches_bound_padding(spark):
     assert n_docs_total == spark.read.parquet(
         f"{sf}/documents.parquet"
     ).filter(F.col("text").isNotNull()).count()
+
+
+def test_semantic_screen_argmax_matches_per_pair_replay(spark):
+    """The row-local struct-array argmax must equal a per-pair naive
+    replay: for each reported row, max_sim is the true max cosine over
+    the benchmark set and nearest_bench the tie-broken argmax (sim
+    desc, bench_id desc). Benchmark rows themselves never appear."""
+    from rabbithole_spark.operators.similarity import cosine, valid_embeddings
+    from rabbithole_spark.queries.llm import _SEMCON_N_BENCH
+
+    sf = "/root/testdata/sf0.001"
+    got = load_all()["contamination_semantic_screen"].fn(spark, sf).collect()
+    assert got and all(r.vec_id >= _SEMCON_N_BENCH for r in got)
+    sims = sorted((r.max_sim for r in got), reverse=True)
+    assert [r.max_sim for r in got] == sims  # report is sim-descending
+
+    e = valid_embeddings(spark.read.parquet(f"{sf}/embeddings.parquet"))
+    bench = e.filter(F.col("vec_id") < _SEMCON_N_BENCH).orderBy("vec_id").collect()
+    check = {r.vec_id: r for r in got[:5]}
+    for row in e.filter(F.col("vec_id").isin(*check)).collect():
+        cosines = [
+            (
+                spark.range(1)
+                .select(
+                    F.round(
+                        cosine(
+                            F.lit(None).cast("array<float>")
+                            if row.embedding is None
+                            else F.array(*[F.lit(float(x)) for x in row.embedding]),
+                            F.array(*[F.lit(float(x)) for x in b.embedding]),
+                        ),
+                        6,
+                    ).alias("s")
+                )
+                .collect()[0].s,
+                b.vec_id,
+            )
+            for b in bench
+        ]
+        best = max(cosines)
+        assert check[row.vec_id].max_sim == best[0]
+        assert check[row.vec_id].nearest_bench == best[1]

@@ -159,6 +159,7 @@ _EMBEDDING_QUERIES = (
     "embedding_random_projection",
     "similarity_hard_negatives",
     "retrieval_hybrid_rrf",
+    "contamination_semantic_screen",
 )
 
 _NEEDS_OTHER_TABLES: set[str] = set()
@@ -306,6 +307,7 @@ _EMPTY_RAISES = {
     # empty corpus is broken upstream data and raises the same clear
     # ValueError as the rest of the similarity family
     "retrieval_hybrid_rrf", "similarity_hard_negatives",
+    "contamination_semantic_screen",
 }
 
 
