@@ -324,7 +324,25 @@ def compact_line(
             compact["failures"] = {"n": len(failures)}  # keep the signal
         elif drop in compact:
             del compact[drop]
-    return json.dumps(compact)
+    line = json.dumps(compact)
+    if len(line) > 1900:
+        # Re-check AFTER the last drop too (ADVICE r8): the residual
+        # payload (etl map, load averages, clipped failure heads) is
+        # normally small but not provably so — a pathological payload
+        # (e.g. a huge etl error string) could still blow the capture
+        # window. Fall back to a headline-only object that cannot.
+        minimal = {
+            "metric": payload.get("metric"),
+            "value": payload.get("value"),
+            "unit": payload.get("unit"),
+            "sf": payload.get("sf"),
+            "contended": payload.get("contended"),
+            "full": "BENCH_LOCAL.json",
+        }
+        if failures:
+            minimal["failures"] = {"n": len(failures)}
+        line = json.dumps(minimal)
+    return line
 
 
 if __name__ == "__main__":

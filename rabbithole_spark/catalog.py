@@ -45,21 +45,9 @@ _QUERY_MODULES = (
 
 #: Registry emission order. External harnesses verify a bounded
 #: 50-query prefix of the registry per round, so queries needing
-#: external verification go FIRST. Recomputed at round 8 as the full
-#: registry sorted by (latest external correctness round, name) over
-#: the union of CORRECTNESS_r01-r07 — every query's LATEST external
-#: row. The 50-slot round-8 window is therefore:
-#: (a) slots 0-3, the 4 round-8 NEW queries, never externally checked
-#: (each locally 3-SF oracle-green before registration, per NOTES r8);
-#: (b) slot 4, agg_hll_sketch_union — oracle upgraded from rows-only
-#: this round, needs a fresh external row;
-#: (c) slots 5-48, the 44 queries whose latest external row is round 4
-#: (the staleness frontier — at the 4-round invariant's edge), led by
-#: corpus_snapshot_diff ... window_tumbling_hourly alphabetically;
-#: (d) slot 49, agg_approx_count_distinct, the alphabetically-first
-#: round-5 row.
-#: Below the cut: the remaining r5 rows, the 48 r6 rows, and the 50
-#: r7 rows, each block alphabetical — r5 leads the round-9 window.
+#: external verification go FIRST — the per-round window layout is
+#: documented inline at the top of the tuple (recomputed each round
+#: from the union of CORRECTNESS_r01..r{N-1}).
 #: Staleness invariant (pinned in tests/test_catalog_invariants.py):
 #: with a 50-slot window and this ordering discipline no oracle-backed
 #: query's latest external row may trail the current round by more
@@ -68,58 +56,22 @@ _QUERY_MODULES = (
 #: absent from this list follow in registration order; names listed
 #: but not registered are ignored.
 _PRIORITY_ORDER = (
-    "contamination_semantic_screen",
-    "embedding_random_projection",
-    "retrieval_hybrid_rrf",
-    "similarity_hard_negatives",
-    "pack_length_buckets",
-    # changed this round: the oracle upgrade (rows-only -> exact-count
-    # replay) needs a fresh external row in THIS round's window
+    # round-9 window, slots 0-49 (recomputed from the union of
+    # CORRECTNESS_r01-r08 as the registry sorted by (latest external
+    # round, name)): slots 0-2 = the 3 round-9 NEW queries (broadcast
+    # twins of the literal-baked embedding screens + the quality
+    # classifier; each 3-SF oracle-green before registration, NOTES r9);
+    # slot 3 = agg_hll_sketch_union (its estimate expression changed
+    # round->truncate this round, needs a fresh external row); slots
+    # 4-49 = the 46 queries whose latest external row is round 5 (the
+    # staleness frontier, at the 4-round invariant edge), alphabetical.
+    # Below the cut: the 48 r6 rows, 50 r7 rows, 49 r8 rows, each
+    # block alphabetical.
+    "contamination_semantic_screen_bcast",
+    "similarity_hard_negatives_bcast",
+    "text_quality_classifier",
     "agg_hll_sketch_union",
-    "corpus_snapshot_diff",
-    "curriculum_phase_stats",
-    "dedup_canonical_survivors",
-    "dedup_edit_distance_prefix",
-    "dedup_jaccard_prefix_filter",
-    "funnel_conversion_stages",
-    "join_full_outer_nation_counts",
-    "join_inner_enriched_orders",
-    "join_lateral_topn",
-    "join_multiway_revenue",
-    "join_range_quantity_bands",
-    "join_right_suppliers_nations",
-    "join_semi_big_spenders",
-    "mixture_temperature_weights",
-    "pack_padding_efficiency",
-    "pack_sequences_by_source",
-    "pipeline_curation_full",
-    "pricing_summary",
-    "sample_quality_weighted",
-    "scalar_map_funcs",
-    "source_quality_rollup",
-    "split_train_val_test",
-    "sql_recursive_gapfill_days",
-    "stream_dedup_watermark",
-    "stream_dedup_within_watermark",
-    "stream_session_window",
-    "stream_stateful_running_totals",
-    "stream_static_enrich",
-    "stream_stream_interval_join",
-    "stream_stream_outer_join",
-    "stream_tumbling_counts",
-    "subquery_in",
-    "temporal_arithmetic",
-    "temporal_parts",
-    "temporal_trunc_daily",
-    "text_quality_stats",
-    "text_remove_boilerplate",
-    "text_segment_dedup_rate",
-    "text_tfidf_top_terms",
-    "tpch_q10_returned_items",
-    "tpch_q18_large_volume",
-    "tpch_q3_shipping_priority",
-    "udf_cogrouped_asof",
-    "window_tumbling_hourly",
+    # --- latest external row: round 5 ---
     "agg_approx_count_distinct",
     "agg_bool_countif",
     "agg_corr_regression",
@@ -166,6 +118,7 @@ _PRIORITY_ORDER = (
     "tpch_q4_exists_shape",
     "tpch_q6_revenue_delta",
     "window_sliding_hourly",
+    # --- latest external row: round 6 ---
     "agg_cube",
     "agg_distinct_pairs",
     "agg_having",
@@ -214,6 +167,7 @@ _PRIORITY_ORDER = (
     "unpivot_customer_metrics",
     "window_distribution",
     "window_lag_lead",
+    # --- latest external row: round 7 ---
     "agg_approx_percentile",
     "agg_conditional",
     "agg_event_stats",
@@ -264,6 +218,56 @@ _PRIORITY_ORDER = (
     "window_rank_orders",
     "window_running_totals",
     "window_session_per_user",
+    # --- latest external row: round 8 ---
+    "contamination_semantic_screen",
+    "corpus_snapshot_diff",
+    "curriculum_phase_stats",
+    "dedup_canonical_survivors",
+    "dedup_edit_distance_prefix",
+    "dedup_jaccard_prefix_filter",
+    "embedding_random_projection",
+    "funnel_conversion_stages",
+    "join_full_outer_nation_counts",
+    "join_inner_enriched_orders",
+    "join_lateral_topn",
+    "join_multiway_revenue",
+    "join_range_quantity_bands",
+    "join_right_suppliers_nations",
+    "join_semi_big_spenders",
+    "mixture_temperature_weights",
+    "pack_length_buckets",
+    "pack_padding_efficiency",
+    "pack_sequences_by_source",
+    "pipeline_curation_full",
+    "pricing_summary",
+    "retrieval_hybrid_rrf",
+    "sample_quality_weighted",
+    "scalar_map_funcs",
+    "similarity_hard_negatives",
+    "source_quality_rollup",
+    "split_train_val_test",
+    "sql_recursive_gapfill_days",
+    "stream_dedup_watermark",
+    "stream_dedup_within_watermark",
+    "stream_session_window",
+    "stream_stateful_running_totals",
+    "stream_static_enrich",
+    "stream_stream_interval_join",
+    "stream_stream_outer_join",
+    "stream_tumbling_counts",
+    "subquery_in",
+    "temporal_arithmetic",
+    "temporal_parts",
+    "temporal_trunc_daily",
+    "text_quality_stats",
+    "text_remove_boilerplate",
+    "text_segment_dedup_rate",
+    "text_tfidf_top_terms",
+    "tpch_q10_returned_items",
+    "tpch_q18_large_volume",
+    "tpch_q3_shipping_priority",
+    "udf_cogrouped_asof",
+    "window_tumbling_hourly",
 )
 
 

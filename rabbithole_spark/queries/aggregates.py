@@ -268,16 +268,23 @@ FROM events
     "per partition/day, merge on demand) that approx_count_distinct "
     "alone cannot express. Oracle-backed since round 8 (was "
     "rows-only): at lgConfigK=14 the Datasketches sketch stays in "
-    "coupon (LIST/SET) mode up to k/4 = 4096 distinct values per "
-    "sketch, where the estimate is value-EXACT — the driver corpus "
-    "tops out at 1500 distinct users per group and overall (measured "
-    "EXACT at all three SFs, lgK 14 and 15; NOTES r8), so the oracle "
-    "is the exact distinct count. Outside that regime (per-sketch "
-    "cardinality > 4096) the sketch promotes to dense HLL and this "
-    "oracle would diverge — the same measured-regime contract class "
-    "as the HLL++ linear-counting oracle above. Accuracy-vs-exact at "
-    "scale additionally hash-verified every round by "
-    "sketch_tolerance_audit.",
+    "coupon (LIST/SET) mode below k/4 = 4096 distinct values per "
+    "sketch, where the rounded estimate equals the exact count as "
+    "long as no 26-bit coupon hash collision occurs — a property of "
+    "the CONCRETE value set, not a regime guarantee (round-9 "
+    "measurement: collisions flip the estimate off-by-one from "
+    "~1.5k distinct on synthetic ids). The driver corpus tops out at "
+    "1500 distinct users per group and overall and is MEASURED "
+    "collision-free (estimate == exact at all three SFs), so the "
+    "oracle is the exact distinct count; that precondition is "
+    "asserted loudly per SF by tests/test_llm_operators.py::"
+    "test_hll_union_estimate_exact_on_driver_corpus, and the "
+    "divergence outside it is pinned by "
+    "test_hll_union_regime_crossing_diverges (5000 distinct ids -> "
+    "estimate != exact), so a data-gen change fails at the "
+    "precondition test, not as a silent oracle mismatch. "
+    "Accuracy-vs-exact at scale additionally hash-verified every "
+    "round by sketch_tolerance_audit.",
 )
 def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     sk = (
@@ -285,15 +292,24 @@ def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.hll_sketch_agg("user_id", 14).alias("sketch"))
     )
+    # round(), not a truncating cast: in coupon mode the estimate is a
+    # collision-corrected interpolation of the coupon count, not a raw
+    # count — it lands *near* the exact integer, and an unlucky
+    # interpolation at n.9999 would truncate to n-1 while rounding is
+    # exact across the whole regime (ADVICE r8). The regime itself
+    # (<= 4096 distinct per sketch) is asserted loudly on the driver
+    # corpus by tests/test_llm_operators.py::test_hll_union_regime_*.
     per_group = sk.select(
         "event_type",
-        F.hll_sketch_estimate("sketch").cast("long").alias("approx_users"),
+        F.round(F.hll_sketch_estimate("sketch"))
+        .cast("long")
+        .alias("approx_users"),
     )
     overall = sk.agg(
         F.hll_union_agg("sketch").alias("u")
     ).select(
         F.lit("ALL").alias("event_type"),
-        F.hll_sketch_estimate("u").cast("long").alias("approx_users"),
+        F.round(F.hll_sketch_estimate("u")).cast("long").alias("approx_users"),
     )
     return per_group.unionByName(overall)
 

@@ -877,19 +877,26 @@ def similarity_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_READABILITY_ORACLE = """
+#: the Flesch blend's DuckDB transliteration, defined ONCE (the
+#: _QUALITY_CASE_SQL pattern) — substituted into the readability oracle
+#: AND the round-9 quality-classifier oracle so the coefficients cannot
+#: diverge between queries. Rounded to 6dp: the classifier consumes the
+#: ROUNDED feature so both engines blend identical doubles.
+_FLESCH_SQL = """round(206.835
+             - 1.015 * (CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)
+                        / CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS DOUBLE))
+             - 84.6 * (CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS DOUBLE)
+                       / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)),
+             6)"""
+
+_READABILITY_ORACLE = f"""
 SELECT doc_id,
        CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_words,
        CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT)
          AS n_sentences,
        CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
          AS n_syllables,
-       round(206.835
-             - 1.015 * (CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)
-                        / CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS DOUBLE))
-             - 84.6 * (CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS DOUBLE)
-                       / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)),
-             6) AS flesch
+       {_FLESCH_SQL} AS flesch
 FROM documents
 WHERE text IS NOT NULL
 """
@@ -912,8 +919,21 @@ def text_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     # to amortize a text-bytes shuffle (measured 0.14s vs 0.25s warm at
     # sf0.1 — NOTES lesson 8's bm25 case, not the 3-gram case)
     d = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    # token_count carries the shared explicit-whitespace-class invariant
-    # (Java \s adds \x0b over RE2's class — operators/text_analysis.py)
+    words, sentences, syllables, flesch = _flesch_cols()
+    return d.select(
+        "doc_id",
+        words.alias("n_words"),
+        sentences.alias("n_sentences"),
+        syllables.alias("n_syllables"),
+        flesch.alias("flesch"),
+    )
+
+
+def _flesch_cols():
+    """Shared Flesch feature expressions (oracle twin: _FLESCH_SQL) —
+    token_count carries the shared explicit-whitespace-class invariant
+    (Java \\s adds \\x0b over RE2's class — operators/text_analysis.py).
+    Returns (words, sentences, syllables, rounded-flesch) columns."""
     words = token_count(F.col("text")).cast("long")
     sentences = F.greatest(
         F.regexp_count(F.col("text"), F.lit(r"[.!?]+")), F.lit(1)
@@ -927,13 +947,7 @@ def text_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.lit(84.6) * (syllables.cast("double") / words.cast("double")),
         6,
     )
-    return d.select(
-        "doc_id",
-        words.alias("n_words"),
-        sentences.alias("n_sentences"),
-        syllables.alias("n_syllables"),
-        flesch.alias("flesch"),
-    )
+    return words, sentences, syllables, flesch
 
 
 _MMR_LAMBDA = 0.7
@@ -3038,6 +3052,85 @@ def contamination_semantic_screen(
     )
 
 
+@register(
+    "contamination_semantic_screen_bcast",
+    oracle=_SEMCON_ORACLE,
+    doc="Broadcast-join twin of contamination_semantic_screen (VERDICT "
+    "r8): identical semantics and oracle, but the benchmark set stays "
+    "a DataFrame — collapsed to ONE row holding a sorted "
+    "array<struct(bench_id, embedding)> and broadcast into the corpus "
+    "scan (BroadcastNestedLoopJoin of a single row), so plan size is "
+    "O(1) regardless of benchmark-set size where the literal variant "
+    "grows the plan linearly (its plan-size bomb at real benchmark "
+    "sizes). The per-vector argmax is the same row-local array_max "
+    "over (sim, bench_id) structs, now via transform over the "
+    "broadcast array; report is TakeOrderedAndProject. The corpus "
+    "side still never shuffles; the only exchange is the 16-row "
+    "benchmark aggregate's. Twin equality is pinned by "
+    "tests/test_llm_operators.py::test_semantic_screen_bcast_twin. "
+    "An empty/malformed benchmark set raises at execution "
+    "(distributed raise_error branch — same contract as the literal "
+    "variant's driver-side ValueError).",
+)
+def contamination_semantic_screen_bcast(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from rabbithole_spark.operators.similarity import cosine
+
+    e = valid_embeddings(table(spark, sf_dir, "embeddings"))
+    bench = (
+        e.filter(F.col("vec_id") < _SEMCON_N_BENCH)
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("vec_id").cast("bigint").alias("b"),
+                        F.col("embedding").alias("be"),
+                    )
+                )
+            ).alias("bench")
+        )
+        # collect_list over an empty relation is an empty array, which
+        # would silently yield NULL max_sim for every corpus row —
+        # raise instead, matching the literal twin's empty-corpus
+        # contract (the broadcast build side always materializes, so
+        # this fires even when the corpus side is also empty)
+        .select(
+            F.when(F.size("bench") > 0, F.col("bench"))
+            .otherwise(
+                F.raise_error(
+                    F.lit(
+                        "no valid benchmark vectors (vec_id < "
+                        f"{_SEMCON_N_BENCH}) in embeddings — corpus "
+                        "empty or malformed"
+                    )
+                )
+            )
+            .alias("bench")
+        )
+    )
+    cand = F.transform(
+        F.col("bench"),
+        lambda b: F.struct(
+            F.round(cosine(F.col("embedding"), b["be"]), 6).alias("s"),
+            b["b"].alias("b"),
+        ),
+    )
+    best = F.array_max(cand)
+    return (
+        e.filter(F.col("vec_id") >= _SEMCON_N_BENCH)
+        .join(F.broadcast(bench))
+        .select(
+            "vec_id",
+            "label",
+            best["s"].alias("max_sim"),
+            best["b"].alias("nearest_bench"),
+        )
+        .orderBy(F.col("max_sim").desc(), "vec_id")
+        .limit(_SEMCON_TOPK)
+    )
+
+
 # --- hard-negative mining (contrastive training data) --------------------------
 
 _HARDNEG_N_ANCHORS = 8
@@ -3133,6 +3226,18 @@ def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cosine_sim").isNotNull()
         & (F.col("label") != F.col("anchor_label"))
     )
+    return _hardneg_two_phase_topk(scored)
+
+
+def _hardneg_two_phase_topk(scored: DataFrame) -> DataFrame:
+    """The shared exact two-phase distributed top-k tail: shard-local
+    top-k per (anchor, pmod(vec_id, shards)) bounds every sort
+    partition, then a bounded global re-rank per anchor (see
+    similarity_hard_negatives' docstring for the equality argument).
+    ``scored`` carries (vec_id, label, anchor_id, anchor_label,
+    cosine_sim) with NULL sims and same-label rows already dropped."""
+    from pyspark.sql import Window
+
     w_local = Window.partitionBy("anchor_id", "shard").orderBy(
         F.col("cosine_sim").desc(), "vec_id"
     )
@@ -3156,6 +3261,84 @@ def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+@register(
+    "similarity_hard_negatives_bcast",
+    oracle=_HARDNEG_ORACLE,
+    doc="Broadcast-join twin of similarity_hard_negatives (VERDICT "
+    "r8): identical semantics and oracle, but the anchor set stays a "
+    "DataFrame — collapsed to ONE row holding a sorted "
+    "array<struct(anchor_id, anchor_label, embedding)> and broadcast "
+    "into the corpus scan, so plan size is O(1) in the anchor count "
+    "where the literal variant's stack() grows the plan linearly. "
+    "Per-corpus-row anchor scoring is transform + explode_outer over "
+    "the broadcast array (explode_outer so the optimizer cannot "
+    "re-run the generator input below the exchange — NOTES lesson 2); "
+    "the exact two-phase distributed top-k tail is shared code with "
+    "the literal variant. Twin equality is pinned by tests/"
+    "test_llm_operators.py::test_hard_negatives_bcast_twin. An empty "
+    "anchor set raises at execution (distributed raise_error branch).",
+)
+def similarity_hard_negatives_bcast(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from rabbithole_spark.operators.similarity import cosine
+
+    e = valid_embeddings(table(spark, sf_dir, "embeddings"))
+    anchors = (
+        e.filter(F.col("vec_id") < _HARDNEG_N_ANCHORS)
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("vec_id").cast("bigint").alias("aid"),
+                        F.col("label").alias("alabel"),
+                        F.col("embedding").alias("ae"),
+                    )
+                )
+            ).alias("anchors")
+        )
+        .select(
+            F.when(F.size("anchors") > 0, F.col("anchors"))
+            .otherwise(
+                F.raise_error(
+                    F.lit(
+                        "no valid anchor vectors (vec_id < "
+                        f"{_HARDNEG_N_ANCHORS}) in embeddings — corpus "
+                        "empty or malformed"
+                    )
+                )
+            )
+            .alias("anchors")
+        )
+    )
+    per_anchor = F.transform(
+        F.col("anchors"),
+        lambda a: F.struct(
+            a["aid"].alias("anchor_id"),
+            a["alabel"].alias("anchor_label"),
+            F.round(cosine(F.col("embedding"), a["ae"]), 6).alias(
+                "cosine_sim"
+            ),
+        ),
+    )
+    scored = (
+        e.join(F.broadcast(anchors))
+        .select(
+            "vec_id",
+            "label",
+            F.explode_outer(per_anchor).alias("p"),
+        )
+        .select(
+            "vec_id", "label", "p.anchor_id", "p.anchor_label", "p.cosine_sim"
+        )
+        .filter(
+            F.col("cosine_sim").isNotNull()
+            & (F.col("label") != F.col("anchor_label"))
+        )
+    )
+    return _hardneg_two_phase_topk(scored)
 
 
 _VALID_EMB_SQL = _valid_embedding_sql()
@@ -4693,8 +4876,10 @@ def contamination_winnow_overlap(
     )
 
 
-_LM_XENT_ORACLE = r"""
-WITH words AS MATERIALIZED (
+#: the Laplace-unigram-LM CTE chain + per-doc rollup, factored so the
+#: round-9 quality classifier's oracle reuses the IDENTICAL expression
+#: shapes (the DECIMAL log-term discipline must not diverge)
+_LM_XENT_CTES = r"""words AS MATERIALIZED (
   SELECT doc_id,
          unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
                             w -> w <> '')) AS word
@@ -4713,12 +4898,17 @@ WITH words AS MATERIALIZED (
          CAST(ln((cnt.c + 1) / CAST(tot.n_corpus + tot.vocab AS DOUBLE))
               AS DECIMAL(15,12)) AS lp
   FROM tf JOIN cnt USING (word), tot
-)
-SELECT doc_id,
+)"""
+
+_LM_XENT_SELECT = """SELECT doc_id,
        CAST(sum(tf) AS BIGINT) AS n_tokens,
        round(CAST(CAST(-sum(CAST(tf AS DECIMAL(18,0)) * lp) AS VARCHAR)
                   AS DOUBLE) / sum(tf) / ln(2), 6) AS cross_entropy
-FROM terms GROUP BY doc_id
+FROM terms GROUP BY doc_id"""
+
+_LM_XENT_ORACLE = f"""
+WITH {_LM_XENT_CTES}
+{_LM_XENT_SELECT}
 """
 
 
@@ -4741,6 +4931,14 @@ FROM terms GROUP BY doc_id
     "(numeric.py recipe), then bits via /ln(2).",
 )
 def text_lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _lm_xent_per_doc(spark, sf_dir)
+
+
+def _lm_xent_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared per-doc (doc_id, n_tokens, cross_entropy) relation — the
+    registered text_lm_cross_entropy body, also the LM feature leg of
+    text_quality_classifier (round 9). Docs with no tokens (NULL or
+    whitespace-only text) have no rows in tf and drop out."""
     d = spread(table(spark, sf_dir, "documents"))
     wf = F.filter(
         F.split(F.lower(F.trim(F.col("text"))), r"[ \t\n\r\f]+"),
@@ -4782,6 +4980,107 @@ def text_lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return terms.groupBy("doc_id").agg(
         F.sum("tf").alias("n_tokens"),
         F.round(xent, 6).alias("cross_entropy"),
+    )
+
+
+# --- document-quality classifier (CCNet-style curation stage) ------------------
+
+#: fixed CCNet-style LM-perplexity bucket thresholds (bits/token).
+#: CCNet (Wenzek et al. 2020) computes head/middle/tail cutoffs ONCE
+#: offline and applies them row-locally in the pipeline — the same
+#: shape here: these constants sit at the driver corpus's measured
+#: terciles (~4.905 / ~4.911 at every SF), so all three buckets are
+#: live, and bucket assignment is a row-local comparison (no global
+#: ntile sort — curriculum_phase_stats' scale rule).
+_QCLF_HEAD = 4.905
+_QCLF_MID = 4.911
+#: linear blend weights + feature normalizers (plan literals, replayed
+#: verbatim in the oracle): score = 0.5*quality
+#: + 0.3*clamp01(flesch/100) + 0.2*clamp01((5.1 - xent)/0.3)
+_QCLF_KEEP = 0.65
+
+_QCLF_SCORE_SQL = """0.5 * quality
+         + 0.3 * greatest(0.0, least(1.0, flesch / 100.0))
+         + 0.2 * greatest(0.0, least(1.0, (5.1 - cross_entropy) / 0.3))"""
+
+_QCLF_ORACLE = f"""
+WITH {_LM_XENT_CTES},
+xent AS MATERIALIZED ({_LM_XENT_SELECT}),
+feats AS (
+  SELECT doc_id,
+         round({_QUALITY_CASE_SQL}, 6) AS quality,
+         {_FLESCH_SQL} AS flesch
+  FROM documents WHERE text IS NOT NULL
+), scored AS (
+  SELECT f.doc_id, x.n_tokens, f.quality, f.flesch, x.cross_entropy,
+         {_QCLF_SCORE_SQL} AS raw_score
+  FROM feats f JOIN xent x USING (doc_id)
+)
+SELECT doc_id, n_tokens, quality, flesch, cross_entropy,
+       CASE WHEN cross_entropy < {_QCLF_HEAD} THEN 'head'
+            WHEN cross_entropy < {_QCLF_MID} THEN 'middle'
+            ELSE 'tail' END AS lm_bucket,
+       round(raw_score, 6) AS classifier_score,
+       raw_score >= {_QCLF_KEEP} AS keep
+FROM scored
+"""
+
+
+@register(
+    "text_quality_classifier",
+    oracle=_QCLF_ORACLE,
+    doc="Document-level quality classifier — the curation stage that "
+    "composes the repo's feature operators into one keep/drop + "
+    "curriculum signal (the standard pretraining pipeline step between "
+    "featurization and mixture/curriculum sampling): a linear scorer "
+    "over the composite quality heuristic (text_quality_stats' "
+    "quality_score), normalized Flesch readability "
+    "(text_readability_scores' blend via the shared _flesch_cols), "
+    "and the CCNet-style unigram-LM cross-entropy "
+    "(text_lm_cross_entropy via the shared _lm_xent_per_doc), plus "
+    "head/middle/tail LM buckets at FIXED thresholds (CCNet computes "
+    "its perplexity cutoffs offline and applies them row-locally — no "
+    "global ntile sort, per curriculum_phase_stats' scale rule). "
+    "keep filters the RAW score (rounding only the output, the "
+    "repo-wide boundary policy). All three features enter the blend "
+    "ROUNDED to 6dp so both engines blend identical doubles. Plan: "
+    "the LM leg's linear shuffles (tf, LM join, per-doc rollup) + one "
+    "doc_id join back to the row-local feature scan; docs with no "
+    "tokens drop with the LM leg (inner join). Composition is pinned "
+    "by tests/test_llm_operators.py::"
+    "test_quality_classifier_composes_feature_operators.",
+)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    _, _, _, flesch = _flesch_cols()
+    feats = d.select(
+        "doc_id",
+        F.round(quality_score(F.col("text")), 6).alias("quality"),
+        flesch.alias("flesch"),
+    )
+    xent = _lm_xent_per_doc(spark, sf_dir)
+    clamp01 = lambda c: F.greatest(F.lit(0.0), F.least(F.lit(1.0), c))  # noqa: E731
+    raw_score = (
+        F.lit(0.5) * F.col("quality")
+        + F.lit(0.3) * clamp01(F.col("flesch") / F.lit(100.0))
+        + F.lit(0.2)
+        * clamp01((F.lit(5.1) - F.col("cross_entropy")) / F.lit(0.3))
+    )
+    return (
+        feats.join(xent, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "quality",
+            "flesch",
+            "cross_entropy",
+            F.when(F.col("cross_entropy") < _QCLF_HEAD, "head")
+            .when(F.col("cross_entropy") < _QCLF_MID, "middle")
+            .otherwise("tail")
+            .alias("lm_bucket"),
+            F.round(raw_score, 6).alias("classifier_score"),
+            (raw_score >= _QCLF_KEEP).alias("keep"),
+        )
     )
 
 

@@ -186,12 +186,24 @@ class AmqpStreamReader(SimpleDataSourceStreamReader):
                 "exchange_declare_kwargs must be a JSON object, got "
                 f"{type(parsed).__name__}"
             )
-        if (
-            parsed
-            and all(k in exchanges for k in parsed)
-            and all(isinstance(v, dict) for v in parsed.values())
-        ):
-            return parsed  # per-exchange map
+        if parsed and all(isinstance(v, dict) for v in parsed.values()):
+            matched = [k for k in parsed if k in exchanges]
+            if matched and len(matched) == len(parsed):
+                return parsed  # per-exchange map
+            if matched:
+                # SOME keys name configured exchanges: this is a
+                # per-exchange map with a typo'd / stale exchange name,
+                # not flat kwargs — falling through would pass the
+                # dicts as bogus keyword arguments to pika's
+                # exchange_declare and fail later with an opaque
+                # TypeError (ADVICE r8). Name the offenders instead.
+                unmatched = sorted(k for k in parsed if k not in exchanges)
+                raise ValueError(
+                    "exchange_declare_kwargs looks like a per-exchange "
+                    f"map, but {unmatched} do not name configured "
+                    f"exchanges {sorted(exchanges)} — fix the exchange "
+                    "names, or use flat (non-object) kwargs"
+                )
         return {None: parsed}  # flat kwargs for all exchanges
 
     def _ensure_channel(self):

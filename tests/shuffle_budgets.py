@@ -163,9 +163,19 @@ SHUFFLE_BUDGETS = {
     "pack_length_buckets": 1,
     # row-local argmax over benchmark literals + TakeOrderedAndProject
     "contamination_semantic_screen": 0,
+    # broadcast twins (round 9): + the single-row benchmark/anchor
+    # collect_list aggregate's exchange — bounded at 16/8 rows, never
+    # corpus-sized; the corpus side still doesn't shuffle beyond the
+    # literal twin's shape
+    "contamination_semantic_screen_bcast": 1,
+    "similarity_hard_negatives_bcast": 3,
     "text_chunk_documents": 1,
     "text_lang_id": 1,
     "text_lm_cross_entropy": 2,
+    # the LM leg's shuffles ride the shared _lm_xent_per_doc
+    # checkpoints; the doc_id join-back reuses the per-doc rollup's
+    # partitioning on one side (round 9, measured 2)
+    "text_quality_classifier": 2,
     # explode pass -> gram groupBy + first_doc rollup + doc totals +
     # the doc_id-aligned left join
     "text_ngram_novelty": 5,

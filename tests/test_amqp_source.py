@@ -173,6 +173,26 @@ def test_exchange_declare_kwargs_arguments_dict_is_flat():
     }
 
 
+def test_exchange_declare_kwargs_partial_exchange_map_raises():
+    """A per-exchange map naming ONE unconfigured exchange (typo, or
+    the exchange list changed) must be a clear config error naming the
+    unmatched keys — not silently reclassified as flat kwargs, which
+    would pass the dicts as bogus keyword arguments to pika's
+    exchange_declare and fail later with an opaque TypeError
+    (ADVICE r8)."""
+    import pytest
+
+    with pytest.raises(ValueError, match="logz"):
+        AmqpStreamReader(
+            {
+                "exchanges": "logs,metrics",
+                "exchange_declare_kwargs": json.dumps(
+                    {"logs": {"durable": True}, "logz": {"durable": True}}
+                ),
+            }
+        )
+
+
 def test_exchange_declare_kwargs_malformed_raises():
     import pytest
 

@@ -75,3 +75,26 @@ def test_contended_gate_single_definition():
     assert not _is_contended([0.0, 0.0, 0.0])
     assert _is_contended([1e9, 0.0, 0.0])
     assert _is_contended([0.0, 1e9, 0.0])
+
+
+def test_compact_line_pathological_residual_falls_back_to_minimal():
+    """ADVICE r8: the drop loop only shrinks tpch/queries/failures —
+    a pathological residual payload (e.g. a multi-KB etl error string)
+    could still overflow the capture window after the last drop. The
+    final re-check must degrade to the headline-only object."""
+    payload = _payload({})
+    payload["etl"] = {"error": "x" * 5000}
+    line = compact_line(payload, TIMINGS, TPCH, {})
+    assert len(line) <= 1900
+    parsed = json.loads(line)
+    for key in ("metric", "value", "unit", "sf", "contended", "full"):
+        assert key in parsed
+
+
+def test_compact_line_minimal_fallback_keeps_failure_count():
+    payload = _payload({})
+    payload["etl"] = {"error": "x" * 5000}
+    failures = {f"q{i}": "boom" for i in range(7)}
+    payload["failures"] = failures
+    parsed = json.loads(compact_line(payload, TIMINGS, TPCH, failures))
+    assert parsed["failures"]["n"] == 7

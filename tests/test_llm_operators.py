@@ -918,3 +918,160 @@ def test_semantic_screen_argmax_matches_per_pair_replay(spark):
         best = max(cosines)
         assert check[row.vec_id].max_sim == best[0]
         assert check[row.vec_id].nearest_bench == best[1]
+
+
+def test_hll_union_estimate_exact_on_driver_corpus(spark):
+    """agg_hll_sketch_union's oracle is the EXACT distinct count, valid
+    only while the driver corpus produces zero 26-bit coupon hash
+    collisions in the lgK=14 Datasketches sketch (ADVICE r8: exactness
+    is a property of the concrete value set, not a regime guarantee —
+    collisions flip the estimate off-by-one from ~1.5k distinct on
+    synthetic ids). Assert the precondition directly per SF: rounded
+    estimate == exact count, per group AND overall, so a data-gen
+    change fails HERE with a named cause instead of as a silent oracle
+    hash mismatch."""
+    import os
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        path = f"/root/testdata/{sf}/events.parquet"
+        if not os.path.exists(path):
+            continue
+        ev = spark.read.parquet(path)
+        sk = ev.groupBy("event_type").agg(
+            F.hll_sketch_agg("user_id", 14).alias("sketch"),
+            F.countDistinct("user_id").alias("exact"),
+        )
+        per_group = sk.select(
+            "event_type",
+            F.round(F.hll_sketch_estimate("sketch")).cast("long").alias("est"),
+            "exact",
+        ).collect()
+        assert per_group, sf
+        for row in per_group:
+            assert row.est == row.exact, (
+                f"{sf}/{row.event_type}: sketch estimate {row.est} != exact "
+                f"{row.exact} — the driver corpus crossed the collision-free "
+                "coupon regime; agg_hll_sketch_union's exact-count oracle is "
+                "no longer valid (see its docstring)"
+            )
+        overall = sk.agg(
+            F.round(
+                F.hll_sketch_estimate(F.hll_union_agg("sketch"))
+            ).cast("long").alias("est")
+        ).collect()[0].est
+        exact_overall = ev.select("user_id").distinct().count()
+        assert overall == exact_overall, (
+            f"{sf} overall: union estimate {overall} != exact {exact_overall}"
+        )
+
+
+def test_hll_union_regime_crossing_diverges(spark):
+    """The companion pin proving the precondition test above is
+    load-bearing: past the collision-free range the sketch estimate
+    genuinely diverges from the exact count (round-9 measurement:
+    5000 distinct ids -> 4969 at lgK=14), i.e. if the driver corpus
+    ever crossed the regime the oracle WOULD mismatch — the guard
+    fails loudly rather than the regime silently not mattering."""
+    est = (
+        spark.range(5000)
+        .agg(
+            F.round(F.hll_sketch_estimate(F.hll_sketch_agg("id", 14)))
+            .cast("long")
+            .alias("est")
+        )
+        .collect()[0]
+        .est
+    )
+    assert est != 5000, "estimate unexpectedly exact at 5000 distinct"
+    # ... while still inside the sketch's documented accuracy envelope
+    assert abs(est - 5000) / 5000 < 0.05
+
+
+def test_semantic_screen_bcast_twin(spark):
+    """The broadcast-join formulation (benchmark set as a broadcast
+    single-row array, O(1) plan size) must return exactly the literal
+    variant's rows — same argmax, same tie-break, same top-k cut."""
+    sf = "/root/testdata/sf0.001"
+    specs = load_all()
+    lit = sorted(
+        map(tuple, specs["contamination_semantic_screen"].fn(spark, sf).collect())
+    )
+    bc = sorted(
+        map(
+            tuple,
+            specs["contamination_semantic_screen_bcast"].fn(spark, sf).collect(),
+        )
+    )
+    assert lit == bc
+
+
+def test_hard_negatives_bcast_twin(spark):
+    """Broadcast-anchor twin equality: transform+explode over the
+    broadcast anchor array must score and rank exactly like the
+    literal stack() variant (shared two-phase top-k tail)."""
+    sf = "/root/testdata/sf0.001"
+    specs = load_all()
+    lit = sorted(
+        map(tuple, specs["similarity_hard_negatives"].fn(spark, sf).collect())
+    )
+    bc = sorted(
+        map(
+            tuple,
+            specs["similarity_hard_negatives_bcast"].fn(spark, sf).collect(),
+        )
+    )
+    assert lit == bc
+
+
+def test_quality_classifier_composes_feature_operators(spark):
+    """text_quality_classifier is the composition of the three feature
+    operators, pinned end-to-end: joining the REGISTERED outputs of
+    text_quality_stats, text_readability_scores and
+    text_lm_cross_entropy and recomputing the linear blend + bucket +
+    keep must reproduce the registered classifier rows exactly — so a
+    drift in any feature operator (or in the classifier's private
+    copies of their expressions) fails here, not just at the oracle."""
+    from rabbithole_spark.queries.llm import (
+        _QCLF_HEAD,
+        _QCLF_KEEP,
+        _QCLF_MID,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    specs = load_all()
+    q = {r.doc_id: r.quality for r in specs["text_quality_stats"].fn(spark, sf).collect()}
+    fl = {r.doc_id: r.flesch for r in specs["text_readability_scores"].fn(spark, sf).collect()}
+    xe = {
+        r.doc_id: (r.n_tokens, r.cross_entropy)
+        for r in specs["text_lm_cross_entropy"].fn(spark, sf).collect()
+    }
+    clamp = lambda v: max(0.0, min(1.0, v))  # noqa: E731
+    expected = {}
+    for doc_id, (n_tokens, xent) in xe.items():
+        if doc_id not in q or q[doc_id] is None:
+            continue  # NULL-text docs never reach the classifier
+        raw = (
+            0.5 * q[doc_id]
+            + 0.3 * clamp(fl[doc_id] / 100.0)
+            + 0.2 * clamp((5.1 - xent) / 0.3)
+        )
+        bucket = (
+            "head" if xent < _QCLF_HEAD
+            else "middle" if xent < _QCLF_MID
+            else "tail"
+        )
+        expected[doc_id] = (
+            n_tokens, q[doc_id], fl[doc_id], xent,
+            bucket, round(raw, 6), raw >= _QCLF_KEEP,
+        )
+    got = {
+        r.doc_id: (
+            r.n_tokens, r.quality, r.flesch, r.cross_entropy,
+            r.lm_bucket, r.classifier_score, r.keep,
+        )
+        for r in specs["text_quality_classifier"].fn(spark, sf).collect()
+    }
+    assert got == expected
+    # all three buckets and both keep branches are live on driver data
+    assert {v[4] for v in got.values()} == {"head", "middle", "tail"}
+    assert {v[6] for v in got.values()} == {True, False}

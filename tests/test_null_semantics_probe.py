@@ -160,6 +160,10 @@ _EMBEDDING_QUERIES = (
     "similarity_hard_negatives",
     "retrieval_hybrid_rrf",
     "contamination_semantic_screen",
+    # round 9: the broadcast twins share the literal variants' oracles
+    # and must drop malformed vectors identically on the broadcast path
+    "contamination_semantic_screen_bcast",
+    "similarity_hard_negatives_bcast",
 )
 
 _NEEDS_OTHER_TABLES: set[str] = set()
@@ -308,6 +312,11 @@ _EMPTY_RAISES = {
     # ValueError as the rest of the similarity family
     "retrieval_hybrid_rrf", "similarity_hard_negatives",
     "contamination_semantic_screen",
+    # round 9: the broadcast twins raise at execution instead (a
+    # distributed raise_error branch on the empty broadcast array);
+    # the probe accepts any exception class
+    "contamination_semantic_screen_bcast",
+    "similarity_hard_negatives_bcast",
 }
 
 

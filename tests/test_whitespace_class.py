@@ -183,6 +183,7 @@ _DOCUMENTS_ONLY_QUERIES = [
     "text_lang_id",
     "text_lm_cross_entropy",
     "text_pii_scrub",
+    "text_quality_classifier",
     "text_quality_stats",
     "text_readability_scores",
     "text_remove_boilerplate",
