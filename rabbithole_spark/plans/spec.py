@@ -30,6 +30,8 @@ from rabbithole_spark.streaming.batcher import BatchPolicy
 from rabbithole_spark.streaming.sinks import (
     decode_messages,
     dead_letter_split,
+    idempotent_jdbc_table_sink,
+    jdbc_table_sink,
     sql_sink,
 )
 from rabbithole_spark.streaming.sources import (
@@ -38,7 +40,7 @@ from rabbithole_spark.streaming.sources import (
 )
 
 INPUT_TYPES = ("spool", "amqp", "rate")
-OUTPUT_TYPES = ("sql", "parquet", "memory", "spool")
+OUTPUT_TYPES = ("sql", "jdbc", "parquet", "memory", "spool")
 
 
 class PipelineError(ValueError):
@@ -283,6 +285,47 @@ def compile_pipeline(
                 return df.writeStream.foreachBatch(_cb).trigger(
                     **trigger_kwargs
                 )
+
+        elif dst.type == "jdbc":
+            # server-database sink, the scale path past sqlite: plain
+            # per-partition parallel appends (at-least-once under
+            # replay), or with ``idempotent: true`` the staging-table
+            # exactly-once publish (batch-id-keyed transactional swap,
+            # no driver-side collect — see
+            # sinks.idempotent_jdbc_table_sink for the target-table
+            # contract)
+            jdbc_url = _require(dst.kwargs, "url", dst.name)
+            jdbc_table = _require(
+                {**dst.kwargs, **dst_ref.kwargs}, "table", dst.name
+            )
+            jdbc_driver = dst_ref.kwargs.get(
+                "driver", dst.kwargs.get("driver")
+            )
+            jdbc_options = {"driver": jdbc_driver} if jdbc_driver else None
+            if dst_ref.kwargs.get("idempotent", dst.kwargs.get("idempotent")):
+
+                def writer_factory(
+                    df: DataFrame,
+                    _url=jdbc_url,
+                    _tbl=jdbc_table,
+                    _drv=jdbc_driver,
+                ):
+                    cb = idempotent_jdbc_table_sink(
+                        _url, _tbl, list(df.columns), driver=_drv
+                    )
+                    return df.writeStream.foreachBatch(cb).trigger(
+                        **trigger_kwargs
+                    )
+
+            else:
+                callback = jdbc_table_sink(
+                    jdbc_url, jdbc_table, options=jdbc_options
+                )
+
+                def writer_factory(df: DataFrame, _cb=callback):
+                    return df.writeStream.foreachBatch(_cb).trigger(
+                        **trigger_kwargs
+                    )
 
         elif dst.type == "parquet":
 

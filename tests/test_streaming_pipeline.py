@@ -422,3 +422,74 @@ def test_spool_writer_sweeps_orphaned_staging(tmp_path):
     assert os.path.exists(os.path.join(path, "batch-0000000003-00000.jsonl"))
     assert not os.path.exists(orphan)  # swept
     assert os.listdir(writer.stage) == []
+
+
+def test_jdbc_idempotent_flow_end_to_end_replay_safe(spark, spool, tmp_path):
+    """The config-surface route to the DISTRIBUTED exactly-once sink:
+    spool -> decode -> mapper -> jdbc (idempotent) on embedded Derby,
+    then a full checkpoint wipe + re-run — the harshest replay (every
+    batch id redelivered from scratch) must leave the target exactly
+    once. The plain sqlite 'sql' sink would double every row here."""
+    url = f"jdbc:derby:{tmp_path}/flowdb;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    jvm = spark._jvm
+    jvm.java.lang.Class.forName(driver)
+    con = jvm.java.sql.DriverManager.getConnection(url)
+    con.createStatement().executeUpdate(
+        'CREATE TABLE logs_jdbc (ts VARCHAR(64), msg VARCHAR(256), '
+        '"__batch_id" BIGINT)'
+    )
+    con.close()
+
+    spec = PipelineSpec.from_dict(
+        {
+            "size_limit": 100,
+            "time_limit": 5,
+            "blocks": [
+                {"name": "input", "type": "spool", "kwargs": {"path": spool}},
+                {"name": "output", "type": "jdbc",
+                 "kwargs": {"url": url, "driver": driver}},
+            ],
+            "flows": [
+                [
+                    {"name": "input", "kwargs": {"exchange": "logs"}},
+                    {"name": "output", "kwargs": {
+                        "table": "logs_jdbc",
+                        "idempotent": True,
+                        "parameters": {
+                            "ts": "timestamp",
+                            "msg": "message.text",
+                        },
+                    }},
+                ]
+            ],
+        }
+    )
+
+    def run(ckpt):
+        runners = compile_pipeline(spark, spec, ckpt)
+        for q in runners[0].start(available_now=True):
+            q.awaitTermination(120)
+
+    def rows():
+        c = jvm.java.sql.DriverManager.getConnection(url)
+        try:
+            rs = c.createStatement().executeQuery(
+                "SELECT ts, msg FROM logs_jdbc"
+            )
+            out = []
+            while rs.next():
+                out.append((rs.getString(1), rs.getString(2)))
+            return sorted(out)
+        finally:
+            c.close()
+
+    import shutil
+
+    ckpt = str(tmp_path / "ckpt_jdbc")
+    run(ckpt)
+    first = rows()
+    assert len(first) == 7 and first[0] == ("2024-01-01T00:00:00", "msg-0")
+    shutil.rmtree(ckpt)  # total checkpoint loss -> full replay, same ids
+    run(ckpt)
+    assert rows() == first
