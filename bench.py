@@ -199,17 +199,29 @@ def main() -> None:
     except Exception:
         pass
 
+    # Per-query protocol (round 9, VERDICT r8 item 4): THREE full
+    # invocations (fresh DataFrame each — plan construction, analysis,
+    # optimization, execution; the first additionally pays codegen
+    # compile), headline value = per-query MEDIAN — single-sample cold
+    # noise was ~1.3x between same-code quiet runs (r8 21.9 vs 16.3 s).
+    # queries_cold_first keeps the first-invocation numbers (the r1-r8
+    # "queries" semantics) for cross-round comparison; queries_warm
+    # keeps its protocol: a repeat write of the last compiled plan.
     timings: dict[str, float] = {}
+    cold_first: dict[str, float] = {}
     warm: dict[str, float] = {}
     failures: dict[str, str] = {}
     for name in names:
-        start = time.perf_counter()
         try:
-            df = specs[name].fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - start, 4)
-            # second run on the compiled plan: steady-state number a
-            # long-running cluster sees (cold includes codegen compile)
+            runs = []
+            df = None
+            for _ in range(3):
+                start = time.perf_counter()
+                df = specs[name].fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                runs.append(time.perf_counter() - start)
+            cold_first[name] = round(runs[0], 4)
+            timings[name] = round(sorted(runs)[1], 4)
             start = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             warm[name] = round(time.perf_counter() - start, 4)
@@ -257,7 +269,10 @@ def main() -> None:
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
+        "protocol": "cold_median3",  # per-query median of 3 invocations
         "queries": timings,
+        "queries_cold_first": cold_first,
+        "value_cold_first": round(sum(cold_first.values()), 4),
         "queries_warm": warm,
         "value_warm": round(sum(warm.values()), 4),
         "etl": etl,
@@ -308,7 +323,8 @@ def compact_line(
     compact = dict(payload)
     compact["queries"] = _r2(timings)
     compact["tpch"] = _r2(tpch)
-    compact.pop("queries_warm", None)  # full map lives in BENCH_LOCAL
+    compact.pop("queries_warm", None)  # full maps live in BENCH_LOCAL
+    compact.pop("queries_cold_first", None)
     compact["full"] = "BENCH_LOCAL.json"
     if failures:
         # failures are unbounded (one traceback head per broken

@@ -391,7 +391,9 @@ def _broker_available():
 @pytest.mark.skipif(
     not _broker_available(),
     reason="no real AMQP broker: set RABBITHOLE_AMQP_URL to a reachable "
-    "broker (and install pika) to run the unmocked integration path",
+    "broker (and install pika) to run the unmocked integration path — "
+    "one-command bring-up in docs/USAGE.md § 'Running against a real "
+    "AMQP broker' (docker run rabbitmq:3)",
 )
 def test_amqp_source_against_real_broker(spark):
     """End-to-end against a REAL broker (reference amqp.py:36-118
