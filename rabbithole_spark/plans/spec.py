@@ -294,24 +294,34 @@ def compile_pipeline(
             # no driver-side collect — see
             # sinks.idempotent_jdbc_table_sink for the target-table
             # contract)
+            merged = {**dst.kwargs, **dst_ref.kwargs}
             jdbc_url = _require(dst.kwargs, "url", dst.name)
-            jdbc_table = _require(
-                {**dst.kwargs, **dst_ref.kwargs}, "table", dst.name
-            )
-            jdbc_driver = dst_ref.kwargs.get(
-                "driver", dst.kwargs.get("driver")
-            )
-            jdbc_options = {"driver": jdbc_driver} if jdbc_driver else None
-            if dst_ref.kwargs.get("idempotent", dst.kwargs.get("idempotent")):
+            jdbc_table = _require(merged, "table", dst.name)
+            jdbc_driver = merged.get("driver")
+            # every remaining kwarg (user, password, ssl, ...) is a
+            # JDBC option, forwarded to BOTH the Spark writer and (on
+            # the idempotent path) the publish connection's Properties
+            _reserved = {"url", "table", "idempotent", "parameters"}
+            jdbc_options = {
+                k: v for k, v in merged.items() if k not in _reserved
+            }
+            if merged.get("idempotent"):
 
                 def writer_factory(
                     df: DataFrame,
                     _url=jdbc_url,
                     _tbl=jdbc_table,
                     _drv=jdbc_driver,
+                    _opts=jdbc_options,
                 ):
                     cb = idempotent_jdbc_table_sink(
-                        _url, _tbl, list(df.columns), driver=_drv
+                        _url,
+                        _tbl,
+                        list(df.columns),
+                        driver=_drv,
+                        options={
+                            k: v for k, v in _opts.items() if k != "driver"
+                        },
                     )
                     return df.writeStream.foreachBatch(cb).trigger(
                         **trigger_kwargs

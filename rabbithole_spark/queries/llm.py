@@ -3052,6 +3052,27 @@ def contamination_semantic_screen(
     )
 
 
+def _bcast_sorted_struct_array(
+    df: DataFrame, struct_col, alias: str, err_msg: str
+) -> DataFrame:
+    """ONE-row relation holding the sorted array-of-structs to be
+    broadcast into a corpus scan — the shared scaffold of the round-9
+    broadcast twins. collect_list over an empty relation is an empty
+    array, which would silently yield NULL scores for every corpus
+    row — raise at execution instead, matching the literal twins'
+    empty-corpus contract (the broadcast build side always
+    materializes, so the raise fires even when the probe side is also
+    empty). sort_array makes the nondeterministic collect_list order
+    deterministic (struct field 0 is a unique id on both callers)."""
+    return df.agg(
+        F.sort_array(F.collect_list(struct_col)).alias(alias)
+    ).select(
+        F.when(F.size(alias) > 0, F.col(alias))
+        .otherwise(F.raise_error(F.lit(err_msg)))
+        .alias(alias)
+    )
+
+
 @register(
     "contamination_semantic_screen_bcast",
     oracle=_SEMCON_ORACLE,
@@ -3078,36 +3099,15 @@ def contamination_semantic_screen_bcast(
     from rabbithole_spark.operators.similarity import cosine
 
     e = valid_embeddings(table(spark, sf_dir, "embeddings"))
-    bench = (
-        e.filter(F.col("vec_id") < _SEMCON_N_BENCH)
-        .agg(
-            F.sort_array(
-                F.collect_list(
-                    F.struct(
-                        F.col("vec_id").cast("bigint").alias("b"),
-                        F.col("embedding").alias("be"),
-                    )
-                )
-            ).alias("bench")
-        )
-        # collect_list over an empty relation is an empty array, which
-        # would silently yield NULL max_sim for every corpus row —
-        # raise instead, matching the literal twin's empty-corpus
-        # contract (the broadcast build side always materializes, so
-        # this fires even when the corpus side is also empty)
-        .select(
-            F.when(F.size("bench") > 0, F.col("bench"))
-            .otherwise(
-                F.raise_error(
-                    F.lit(
-                        "no valid benchmark vectors (vec_id < "
-                        f"{_SEMCON_N_BENCH}) in embeddings — corpus "
-                        "empty or malformed"
-                    )
-                )
-            )
-            .alias("bench")
-        )
+    bench = _bcast_sorted_struct_array(
+        e.filter(F.col("vec_id") < _SEMCON_N_BENCH),
+        F.struct(
+            F.col("vec_id").cast("bigint").alias("b"),
+            F.col("embedding").alias("be"),
+        ),
+        "bench",
+        f"no valid benchmark vectors (vec_id < {_SEMCON_N_BENCH}) in "
+        "embeddings — corpus empty or malformed",
     )
     cand = F.transform(
         F.col("bench"),
@@ -3190,7 +3190,6 @@ FROM ranked WHERE rank <= {_HARDNEG_K}
     "oracle replays.",
 )
 def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
     from rabbithole_spark.operators.similarity import cosine
 
     e = valid_embeddings(table(spark, sf_dir, "embeddings"))
@@ -3286,32 +3285,16 @@ def similarity_hard_negatives_bcast(
     from rabbithole_spark.operators.similarity import cosine
 
     e = valid_embeddings(table(spark, sf_dir, "embeddings"))
-    anchors = (
-        e.filter(F.col("vec_id") < _HARDNEG_N_ANCHORS)
-        .agg(
-            F.sort_array(
-                F.collect_list(
-                    F.struct(
-                        F.col("vec_id").cast("bigint").alias("aid"),
-                        F.col("label").alias("alabel"),
-                        F.col("embedding").alias("ae"),
-                    )
-                )
-            ).alias("anchors")
-        )
-        .select(
-            F.when(F.size("anchors") > 0, F.col("anchors"))
-            .otherwise(
-                F.raise_error(
-                    F.lit(
-                        "no valid anchor vectors (vec_id < "
-                        f"{_HARDNEG_N_ANCHORS}) in embeddings — corpus "
-                        "empty or malformed"
-                    )
-                )
-            )
-            .alias("anchors")
-        )
+    anchors = _bcast_sorted_struct_array(
+        e.filter(F.col("vec_id") < _HARDNEG_N_ANCHORS),
+        F.struct(
+            F.col("vec_id").cast("bigint").alias("aid"),
+            F.col("label").alias("alabel"),
+            F.col("embedding").alias("ae"),
+        ),
+        "anchors",
+        f"no valid anchor vectors (vec_id < {_HARDNEG_N_ANCHORS}) in "
+        "embeddings — corpus empty or malformed",
     )
     per_anchor = F.transform(
         F.col("anchors"),

@@ -258,7 +258,13 @@ def idempotent_jdbc_table_sink(
             # make sure the driver is registered with DriverManager in
             # the JVM (Spark's writer loads it through its own loader)
             jvm.java.lang.Class.forName(driver)
-        con = jvm.java.sql.DriverManager.getConnection(url)
+        # the publish connection authenticates like the stage writer:
+        # every option (user, password, ssl, ...) goes into the
+        # java.util.Properties the driver reads
+        props = jvm.java.util.Properties()
+        for k, v in (options or {}).items():
+            props.setProperty(str(k), str(v))
+        con = jvm.java.sql.DriverManager.getConnection(url, props)
         try:
             con.setAutoCommit(False)
             st = con.createStatement()
@@ -273,21 +279,28 @@ def idempotent_jdbc_table_sink(
                     f"SELECT {stage_col_list}, {int(batch_id)} FROM {stage}"
                 )
                 con.commit()
+            except Exception:
+                try:  # a dead connection's rollback must not mask the
+                    con.rollback()  # original publish error
+                except Exception:
+                    pass
+                raise  # exactly-once sinks must FAIL the batch, not drop it
             finally:
                 st.close()
-        except Exception:
-            con.rollback()
-            raise  # exactly-once sinks must FAIL the batch, not drop it
+            try:
+                # cosmetic stage cleanup on the SAME connection (a
+                # per-batch extra connection would be pure churn);
+                # failure is fine — the next overwrite recreates it
+                st2 = con.createStatement()
+                try:
+                    st2.executeUpdate(f"DROP TABLE {stage}")
+                    con.commit()
+                finally:
+                    st2.close()
+            except Exception:
+                pass
         finally:
             con.close()
-        try:  # cosmetic: next overwrite recreates it anyway
-            con2 = jvm.java.sql.DriverManager.getConnection(url)
-            try:
-                con2.createStatement().executeUpdate(f"DROP TABLE {stage}")
-            finally:
-                con2.close()
-        except Exception:
-            pass
 
     return callback
 

@@ -932,10 +932,12 @@ def test_hll_union_estimate_exact_on_driver_corpus(spark):
     hash mismatch."""
     import os
 
+    checked = 0
     for sf in ("sf0.001", "sf0.01", "sf0.1"):
         path = f"/root/testdata/{sf}/events.parquet"
         if not os.path.exists(path):
             continue
+        checked += 1
         ev = spark.read.parquet(path)
         sk = ev.groupBy("event_type").agg(
             F.hll_sketch_agg("user_id", 14).alias("sketch"),
@@ -963,6 +965,9 @@ def test_hll_union_estimate_exact_on_driver_corpus(spark):
         assert overall == exact_overall, (
             f"{sf} overall: union estimate {overall} != exact {exact_overall}"
         )
+    # the guard must actually have run — a moved/renamed testdata root
+    # would otherwise turn this into a vacuous green
+    assert checked >= 1, "no events.parquet found at any SF"
 
 
 def test_hll_union_regime_crossing_diverges(spark):

@@ -243,7 +243,7 @@ def test_idempotent_jdbc_sink_distributed_exactly_once(spark, tmp_path):
     # ... and a stale partial STAGE from a dead attempt must be
     # overwritten by the replay, not published
     stale = spark.createDataFrame([(97, 9.7)], ["event_id", "value"])
-    (stale.withColumnRenamed("value", "value")
+    (stale
         .write.format("jdbc").option("url", url).option("driver", driver)
         .option("dbtable", "sink_t__stage").mode("overwrite").save())
 
