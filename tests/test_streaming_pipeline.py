@@ -493,3 +493,60 @@ def test_jdbc_idempotent_flow_end_to_end_replay_safe(spark, spool, tmp_path):
     shutil.rmtree(ckpt)  # total checkpoint loss -> full replay, same ids
     run(ckpt)
     assert rows() == first
+
+
+def test_jdbc_plain_flow_appends_and_missing_table_is_config_error(
+    spark, spool, tmp_path
+):
+    """The non-idempotent 'jdbc' block path: parallel appends land the
+    mapped rows; a flow that omits the table kwarg fails compilation
+    with the PipelineError clean-exit-1 contract, not a KeyError."""
+    url = f"jdbc:derby:{tmp_path}/plainflowdb;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    jvm = spark._jvm
+    jvm.java.lang.Class.forName(driver)
+    con = jvm.java.sql.DriverManager.getConnection(url)
+    con.createStatement().executeUpdate(
+        "CREATE TABLE logs_plain (ts VARCHAR(64), msg VARCHAR(256))"
+    )
+    con.close()
+
+    def config(flow_out_kwargs):
+        return {
+            "size_limit": 100,
+            "time_limit": 5,
+            "blocks": [
+                {"name": "input", "type": "spool", "kwargs": {"path": spool}},
+                {"name": "output", "type": "jdbc",
+                 "kwargs": {"url": url, "driver": driver}},
+            ],
+            "flows": [
+                [
+                    {"name": "input", "kwargs": {"exchange": "logs"}},
+                    {"name": "output", "kwargs": flow_out_kwargs},
+                ]
+            ],
+        }
+
+    spec = PipelineSpec.from_dict(config({
+        "table": "logs_plain",
+        "parameters": {"ts": "timestamp", "msg": "message.text"},
+    }))
+    runners = compile_pipeline(spark, spec, str(tmp_path / "ckpt_plain"))
+    for q in runners[0].start(available_now=True):
+        q.awaitTermination(120)
+    con = jvm.java.sql.DriverManager.getConnection(url)
+    rs = con.createStatement().executeQuery(
+        "SELECT count(*), min(msg) FROM logs_plain"
+    )
+    rs.next()
+    n, first = rs.getLong(1), rs.getString(2)
+    con.close()
+    assert n == 7 and first == "msg-0"
+
+    # missing table -> clean config error at compile time
+    bad = PipelineSpec.from_dict(config({
+        "parameters": {"ts": "timestamp", "msg": "message.text"},
+    }))
+    with pytest.raises(PipelineError):
+        compile_pipeline(spark, bad, str(tmp_path / "ckpt_bad"))
