@@ -174,10 +174,14 @@ _HOF_ORACLE = """
 SELECT vec_id,
        -- NULL-element guard (round-6 probe): Spark's aggregate fold
        -- propagates a NULL element into a NULL sum; DuckDB's
-       -- list_aggregate('sum') silently SKIPS NULL elements
+       -- list_aggregate('sum') silently SKIPS NULL elements. The
+       -- coalesce pins the EMPTY-array case (round-9 review): Spark's
+       -- fold returns its 0.0 seed over [], DuckDB's
+       -- list_aggregate([], 'sum') is NULL.
        CASE WHEN len(list_filter(embedding, x -> x IS NULL)) = 0
-            THEN round(list_aggregate(list_transform(embedding,
-                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'), 4)
+            THEN coalesce(round(list_aggregate(list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'), 4),
+                 0.0)
        END AS sq_norm,
        CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_positive,
        round(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 6) AS max_component
@@ -208,10 +212,20 @@ def scalar_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_JSON_ORACLE = """
+#: Spark's string->int TRY_CAST semantics, replayed (round-9 review +
+#: measurement): trims whitespace, accepts ONLY integral tokens
+#: ('12.5', '1.0', 'true' -> NULL where DuckDB's bare TRY_CAST rounds
+#: '12.5' to 13), int32 overflow -> NULL on both engines.
+_SPARK_TRY_INT_SQL = (
+    "CASE WHEN regexp_matches(trim({s}), '^[+-]?[0-9]+$') "
+    "THEN TRY_CAST(trim({s}) AS INTEGER) END"
+)
+
+_JSON_ORACLE = f"""
 SELECT event_id,
        json_extract_string(props, '$.k') AS k_str,
-       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+       {_SPARK_TRY_INT_SQL.format(s="json_extract_string(props, '$.k')")}
+           AS k_int,
        CAST(json_extract_string(props, '$.missing') AS VARCHAR) AS missing_key
 FROM events
 """
@@ -221,23 +235,51 @@ FROM events
     "scalar_json_funcs",
     oracle=_JSON_ORACLE,
     doc="JSON dotted-path extraction with missing->NULL semantics "
-    "(reference parity: sql.py:157-163, SURVEY.md §2C.1).",
+    "(reference parity: sql.py:157-163, SURVEY.md §2C.1). k_int uses "
+    "try_cast (round-9 review): under Spark 4's default ANSI mode a "
+    "plain cast of one non-integral token ('12.5') would kill the "
+    "whole job — the scalar_try_arithmetic one-poisoned-row policy "
+    "applies to casts too. Edge-token parity with the oracle is "
+    "pinned by tests/test_map_semantics.py.",
 )
 def scalar_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     return ev.select(
         "event_id",
         F.get_json_object("props", "$.k").alias("k_str"),
-        F.get_json_object("props", "$.k").cast("int").alias("k_int"),
+        F.get_json_object("props", "$.k").try_cast("int").alias("k_int"),
         F.get_json_object("props", "$.missing").alias("missing_key"),
     )
 
 
-_VARIANT_ORACLE = """
+#: try_variant_get(v, '$.k', 'int'), replayed per json_type (round-9
+#: review + measurement): BIGINT in int32 range -> value (overflow ->
+#: NULL); DOUBLE -> truncation TOWARD ZERO (12.5 -> 12, -12.5 -> -12,
+#: 13.7 -> 13; out-of-range -> NULL); BOOLEAN -> 1/0; VARCHAR -> the
+#: Spark string->int try_cast (integral tokens only — a QUOTED "12.5"
+#: is NULL where a bare 12.5 truncates); ARRAY/OBJECT/NULL -> NULL.
+_VARIANT_INT_SQL = (
+    "CASE json_type(json_extract(props, '$.k')) "
+    "WHEN 'BOOLEAN' THEN "
+    "  CASE WHEN json_extract_string(props, '$.k') = 'true' THEN 1 ELSE 0 END "
+    "WHEN 'DOUBLE' THEN "
+    "  CASE WHEN trunc(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE)) "
+    "            BETWEEN -2147483648 AND 2147483647 "
+    "       THEN CAST(trunc(TRY_CAST(json_extract_string(props, '$.k') "
+    "                 AS DOUBLE)) AS INTEGER) END "
+    "WHEN 'BIGINT' THEN "
+    "  TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) "
+    "WHEN 'UBIGINT' THEN "
+    "  TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) "
+    "WHEN 'VARCHAR' THEN "
+    + _SPARK_TRY_INT_SQL.format(s="json_extract_string(props, '$.k')")
+    + " END"
+)
+
+_VARIANT_ORACLE = f"""
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n,
-       ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INTEGER)), 6)
-           AS avg_k,
+       ROUND(AVG({_VARIANT_INT_SQL}), 6) AS avg_k,
        CAST(count(json_extract_string(props, '$.missing')) AS BIGINT)
            AS n_missing
 FROM events
@@ -408,10 +450,12 @@ def scalar_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.try_divide(
-            F.col("l_extendedprice"), F.nullif(F.col("l_discount"), F.lit(0.0))
-        ).alias("price_per_discount"),
+        # try_divide alone maps a zero divisor to NULL — a nullif
+        # wrapper here is dead weight (round-9 review, measured)
+        F.try_divide(F.col("l_extendedprice"), F.col("l_discount")).alias(
+            "price_per_discount"
+        ),
         F.floor(
-            F.try_divide(F.col("l_extendedprice"), F.nullif(F.col("l_quantity"), F.lit(0.0)))
+            F.try_divide(F.col("l_extendedprice"), F.col("l_quantity"))
         ).cast("bigint").alias("unit_price_floor"),
     )

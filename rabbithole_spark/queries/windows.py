@@ -88,7 +88,11 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RUNNING_ORACLE = """
 SELECT user_id, event_id, ts,
        CAST(count(*) OVER w AS BIGINT) AS running_events,
-       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_value,
+       -- VARCHAR hop = the numeric.py decimal->double policy: DuckDB's
+       -- direct decimal->double cast drifts 1 ulp past ~2^53/10^scale
+       -- (round-4 measurement); round-9 review aligned this oracle
+       CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS VARCHAR)
+            AS DOUBLE) AS running_value,
        ROUND(avg(value) OVER (
          PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
