@@ -45,6 +45,13 @@ def asof_join(
     window also orders by the payload, and last() takes the sort-max)
     — a total order, where pandas' "last in input order" is
     position-dependent and meaningless on a distributed engine.
+
+    NULL join keys never match (round-9 review): DuckDB ASOF's
+    equality condition is false on NULL = NULL (measured), but the
+    window partition would group NULL keys together and happily match
+    them — so the carried payload is guarded on every key being
+    non-NULL; NULL-key left rows come back unmatched like any SQL
+    equi-join.
     """
     keys = [on] if isinstance(on, str) else list(on)
     right_cols = right_cols or [
@@ -77,8 +84,14 @@ def asof_join(
         )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    keys_ok = F.lit(True)
+    for k in keys:
+        keys_ok = keys_ok & F.col(k).isNotNull()
     merged = r_tagged.unionByName(l_tagged).withColumn(
-        "__match", F.last("__rpay", ignorenulls=True).over(w)
+        "__match",
+        # NULL-key guard, see docstring (right NULL-key rows can only
+        # land in the NULL-key partition, which this nulls wholesale)
+        F.when(keys_ok, F.last("__rpay", ignorenulls=True).over(w)),
     )
     out_left = [F.col(f"__l_{c}").alias(c) for c in left.columns]
     out_right = [

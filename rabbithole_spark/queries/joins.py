@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from rabbithole_spark.catalog import register
 from rabbithole_spark.functions.numeric import dsum, sql_dsum
 from rabbithole_spark.operators.relational import asof_join, range_join
+from rabbithole_spark.operators.skew import salted_join
 from rabbithole_spark.session import table
 
 
@@ -103,7 +104,10 @@ def join_multiway_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LEFT_ORACLE = """
 SELECT c_custkey, c_name,
        count(o_orderkey) AS order_count,
-       CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_spend
+       -- VARCHAR hop = the numeric.py decimal->double policy (direct
+       -- cast drifts 1 ulp past ~2^53/10^scale; round-9 review)
+       CAST(CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), 0)
+                 AS VARCHAR) AS DOUBLE) AS total_spend
 FROM customer
 LEFT JOIN orders ON c_custkey = o_custkey
 GROUP BY c_custkey, c_name
@@ -373,7 +377,6 @@ GROUP BY c.c_nationkey, e.event_type
     "match.",
 )
 def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rabbithole_spark.operators.skew import salted_join
 
     events = table(spark, sf_dir, "events")
     customer = table(spark, sf_dir, "customer").select(

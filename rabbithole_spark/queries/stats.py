@@ -34,14 +34,18 @@ SELECT l_returnflag,
        round(stddev_pop(l_quantity), 6) AS qty_stddev_pop,
        round(var_pop(l_quantity), 6) AS qty_var_pop,
        -- zero-variance guard: Spark's skewness/kurtosis return NULL
-       -- when the central second moment is 0 (constant or singleton
-       -- group); an unguarded 0/0 here yields NaN instead — round-6
-       -- NULL-fixture pin
-       CASE WHEN avg(pow(l_quantity - m, 2)) > 0
+       -- when the central second moment is EXACTLY 0, which in its
+       -- streaming recurrence happens iff every value in the group is
+       -- identical — min < max is that predicate exactly. The old
+       -- avg(pow(x - m, 2)) > 0 guard could pass on 1-ulp float noise
+       -- for a constant non-dyadic group (two-pass mean != the value),
+       -- emitting skew ~ -1 where Spark yields NULL (round-9 review;
+       -- round-6 NULL-fixture pin covers the 0/0 -> NaN case)
+       CASE WHEN min(l_quantity) < max(l_quantity)
             THEN round(avg(pow(l_quantity - m, 3))
                        / pow(avg(pow(l_quantity - m, 2)), 1.5), 6)
        END AS qty_skew,
-       CASE WHEN avg(pow(l_quantity - m, 2)) > 0
+       CASE WHEN min(l_quantity) < max(l_quantity)
             THEN round(avg(pow(l_quantity - m, 4))
                        / pow(avg(pow(l_quantity - m, 2)), 2) - 3, 6)
        END AS qty_kurt

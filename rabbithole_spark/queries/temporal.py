@@ -182,14 +182,14 @@ def window_sliding_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SESSION_ORACLE = """
 WITH flagged AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, ts,
          CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
                    <= INTERVAL '30 minutes'
               THEN 0 ELSE 1 END AS new_session
   -- F.session_window drops NULL event times; mirror it (NULL pin)
   FROM events WHERE ts IS NOT NULL
 ), sessions AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, ts,
          sum(new_session) OVER (
            PARTITION BY user_id ORDER BY ts
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW

@@ -65,3 +65,70 @@ def test_asof_multi_key_and_renamed_cols(spark):
     assert row.value == 10.0
     assert row.value_r == 1.0
     assert row.ts_r == _ts("2024-01-01T00:30:00")
+
+
+def test_asof_null_keys_never_match(spark):
+    """SQL equi-join NULL semantics (round-9 review): a NULL join key
+    never matches — DuckDB's ASOF LEFT JOIN equality condition is
+    false on NULL = NULL (measured), so the window formulation must
+    not group NULL keys together and pair them. NULL-key left rows
+    come back unmatched; NULL-key right rows match nobody; non-NULL
+    partitions are unaffected."""
+    left = spark.createDataFrame(
+        [
+            (None, _ts("2024-01-01T10:00:00"), "l-null-key"),
+            (1, _ts("2024-01-01T10:00:00"), "l-real"),
+        ],
+        "k int, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [
+            (None, _ts("2024-01-01T09:00:00"), "r-null-key"),
+            (1, _ts("2024-01-01T09:30:00"), "r-real"),
+        ],
+        "k int, ts timestamp, rtag string",
+    )
+    out = asof_join(left, right, on="k", left_ts="ts", right_ts="ts",
+                    right_cols=["rtag"])
+    got = {r.tag: r.rtag for r in out.collect()}
+    assert got == {"l-null-key": None, "l-real": "r-real"}
+
+    # and the REGISTERED query agrees with its DuckDB ASOF oracle on a
+    # fixture with NULL-user error AND click rows (the case the sf
+    # corpora and the NULL probe never exercised together)
+    import duckdb
+    import tempfile, os
+    from rabbithole_spark.catalog import load_all
+
+    rows = [
+        (1, None, _ts("2024-01-01T09:00:00"), 1.0, "error"),
+        (2, None, _ts("2024-01-01T10:00:00"), 2.0, "click"),
+        (3, 7, _ts("2024-01-01T09:10:00"), 3.0, "error"),
+        (4, 7, _ts("2024-01-01T10:10:00"), 4.0, "click"),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows,
+            "event_id long, user_id int, ts timestamp, value double, "
+            "event_type string",
+        ).write.parquet(os.path.join(d, "events.parquet"))
+        spec = load_all()["join_asof_events"]
+        got2 = {
+            r.event_id: (r.error_ts, r.error_event_id)
+            for r in spec.fn(spark, d).collect()
+        }
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{d}/events.parquet/*.parquet')"
+        )
+        want = {
+            r[1]: (r[2], r[3])
+            for r in con.execute(
+                "SELECT user_id, event_id, error_ts, error_event_id "
+                "FROM (" + spec.oracle + ")"
+            ).fetchall()
+        }
+    assert got2 == want
+    assert got2[2] == (None, None)  # NULL-user click stays unmatched
+    assert got2[4][1] == 3  # real key still matches its prior error

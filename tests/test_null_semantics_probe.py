@@ -404,3 +404,44 @@ def test_queries_match_oracle_on_empty_tables(spark, empty_fixture):
     assert n_checked >= 140, f"sweep shrank: {n_checked}"
     assert not err, f"errors on empty tables: {err}"
     assert not bad, f"empty-table mismatches: {bad}"
+
+
+def test_stats_moments_constant_group_matches_oracle(spark, tmp_path):
+    """Round-9 review: Spark's skewness/kurtosis are NULL when the
+    streaming M2 is EXACTLY zero — i.e. every value in the group is
+    identical — even for non-dyadic constants (three rows of 0.1) where
+    a two-pass oracle's avg differs from the constant by ~1 ulp and an
+    avg(pow(x - m, 2)) > 0 guard would pass on that float noise and
+    emit skew ~ -1. The guard is now min < max; this drives the
+    REGISTERED query on a constant non-dyadic group plus a normal
+    group and hash-compares against the oracle."""
+    rows = [
+        ("A", 0.1), ("A", 0.1), ("A", 0.1),          # constant, non-dyadic
+        ("B", 1.0), ("B", 2.0), ("B", 4.0), ("B", 8.0),
+        ("C", 5.5),                                   # singleton
+    ]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        rows, "l_returnflag string, l_quantity double"
+    ).write.parquet(f"{sf_dir}/lineitem.parquet")
+    spec = load_all()["agg_stats_moments"]
+    got = {
+        r.l_returnflag: (r.qty_skew, r.qty_kurt)
+        for r in spec.fn(spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/lineitem.parquet/*.parquet')"
+    )
+    want = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(
+            "SELECT l_returnflag, qty_skew, qty_kurt FROM ("
+            + spec.oracle + ")"
+        ).fetchall()
+    }
+    assert got == want
+    assert got["A"] == (None, None)  # constant group -> NULL moments
+    assert got["C"] == (None, None)  # singleton -> NULL moments
+    assert got["B"][0] is not None  # real spread still computes
