@@ -113,10 +113,10 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_GSETS_ORACLE = """
+_GSETS_ORACLE = f"""
 SELECT o_orderstatus, o_orderpriority,
        count(*) AS orders,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+       {sql_dsum("o_totalprice", "total_price", 2)}
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 """
@@ -314,6 +314,25 @@ def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_group.unionByName(overall)
 
 
+def _kll_fold(sketches: DataFrame, col: str):
+    """Fold a relation of per-group KLL sketches into ONE merged sketch
+    column via reduce over collect_list — safe because the input is a
+    handful of ~KB sketches, never data rows. Shared by
+    agg_kll_quantile_sketch (the registered merge-fold path) and
+    sketch_tolerance_audit (which exists to verify THAT path — a
+    private copy could silently stop testing what the query runs;
+    round-9 review). The slice(2, 1_000_000) + element_at(1) shape
+    seeds the fold with the first sketch so an empty tail still types.
+    """
+    return sketches.agg(F.collect_list(col).alias("arr")).select(
+        F.reduce(
+            F.slice("arr", 2, 1_000_000),
+            F.element_at("arr", 1),
+            lambda acc, x: F.kll_sketch_merge_double(acc, x),
+        ).alias("m")
+    )
+
+
 @register(
     "agg_kll_quantile_sketch",
     oracle=None,  # sketch-library specific binary — rows-only
@@ -342,13 +361,7 @@ def agg_kll_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.kll_sketch_get_quantile_double("sk", F.lit(0.95)), 6
         ).alias("p95"),
     )
-    merged = sk.agg(F.collect_list("sk").alias("arr")).select(
-        F.reduce(
-            F.slice("arr", 2, 1_000_000),
-            F.element_at("arr", 1),
-            lambda acc, x: F.kll_sketch_merge_double(acc, x),
-        ).alias("m")
-    )
+    merged = _kll_fold(sk, "sk")
     overall = merged.select(
         F.lit("ALL").alias("event_type"),
         F.round(
@@ -522,19 +535,26 @@ def sketch_tolerance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         grp.alias("grp"),
         F.approx_count_distinct("user_id", 0.02).alias("acd"),
         F.countDistinct("user_id").alias("ecd"),
-        F.kll_sketch_get_quantile_double(
-            F.kll_sketch_agg_double("value", F.lit(200)), F.lit(0.5)
-        ).alias("kll_p50"),
-        F.kll_sketch_get_quantile_double(
-            F.kll_sketch_agg_double("value", F.lit(200)), F.lit(0.95)
-        ).alias("kll_p95"),
+        F.kll_sketch_agg_double("value", F.lit(200)).alias("ks_roll"),
         F.percentile("value", F.lit(0.5)).alias("ex_p50"),
         F.percentile("value", F.lit(0.95)).alias("ex_p95"),
         F.percentile("value", F.lit(0.45)).alias("p50_lo"),
         F.percentile("value", F.lit(0.55)).alias("p50_hi"),
         F.percentile("value", F.lit(0.90)).alias("p95_lo"),
         F.percentile("value", F.lit(1.0)).alias("p95_hi"),
-    ).localCheckpoint(eager=False)
+    ).withColumns(
+        # ONE sketch per group queried at both quantiles (round-9
+        # review: two kll_sketch_agg_double calls built — and paid for
+        # — two independent sketches per rollup group)
+        {
+            "kll_p50": F.kll_sketch_get_quantile_double(
+                "ks_roll", F.lit(0.5)
+            ),
+            "kll_p95": F.kll_sketch_get_quantile_double(
+                "ks_roll", F.lit(0.95)
+            ),
+        }
+    ).drop("ks_roll").localCheckpoint(eager=False)
     # ^ the 6-row rollup result is consumed by two branches (the
     # explode rows + the hll_union exact side); materialize it once
     # instead of re-executing the events scan + rollup per branch
@@ -583,14 +603,9 @@ def sketch_tolerance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the registered merge-FOLD path (agg_kll_quantile_sketch's overall
     # row): per-group sketches folded with kll_sketch_merge — audited
     # separately from the rollup's one-shot whole-corpus sketch above
-    folded = sk.agg(F.collect_list("ks").alias("arr")).select(
-        F.reduce(
-            F.slice("arr", 2, 1_000_000),
-            F.element_at("arr", 1),
-            lambda acc, x: F.kll_sketch_merge_double(acc, x),
-        ).alias("m")
-    )
-    all_row = F.broadcast(base.filter(F.col("grp") == "ALL"))
+    folded = _kll_fold(sk, "ks")
+    all_row_plain = base.filter(F.col("grp") == "ALL")
+    all_row = F.broadcast(all_row_plain)
     kll_fold = folded.crossJoin(all_row).select(
         F.explode(
             F.array(
@@ -617,11 +632,8 @@ def sketch_tolerance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("s")).alias("est")
     ).crossJoin(
         # exact overall distinct already sits in the rollup's ALL row
-        F.broadcast(
-            base.filter(F.col("grp") == "ALL").select(
-                F.col("ecd").alias("exact")
-            )
-        )
+        # (same filtered relation as all_row — one sentinel definition)
+        F.broadcast(all_row_plain.select(F.col("ecd").alias("exact")))
     ).select(
         F.lit("hll_union").alias("sketch"),
         F.lit("ALL").alias("grp"),

@@ -81,11 +81,40 @@ def _read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: verbatim. Queries whose output depends on processing time
 #: (count-or-time flush tags) or per-batch emission (update-mode
 #: running totals with n_batches) stay rows-only by design.
+def _memory_sinktable(spark, df, prefix: str, mode: str,
+                       timeout: float = 300.0):
+    """Run a bounded (AvailableNow) stream into a memory sink and
+    return its table. awaitTermination(timeout) returns False on
+    timeout WITHOUT stopping the query (round-9 review): the old
+    bare q.awaitTermination(300) would silently hand back a PARTIAL
+    memory table on a slow box (a false hash mismatch) while the
+    still-active query kept contending with everything after it —
+    raise instead, and always stop a still-active query."""
+    name = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(timeout):
+            raise TimeoutError(
+                f"bounded stream {name} still running after {timeout}s"
+            )
+    finally:
+        if q.isActive:
+            q.stop()
+    return spark.table(name)
+
+
 _TUMBLING_STREAM_ORACLE = """
 SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
        event_type,
        count(*) AS n_events
-FROM events
+-- F.window drops NULL event times; mirror the batch twin's pin
+FROM events WHERE ts IS NOT NULL
 GROUP BY 1, 2
 """
 
@@ -100,7 +129,6 @@ GROUP BY 1, 2
     "the twin's oracle checks the STREAMED output directly.",
 )
 def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    name = f"stream_tumbling_{uuid.uuid4().hex[:8]}"
     agg = (
         _read_events_stream(spark, sf_dir)
         .withWatermark("ts", "1 hour")
@@ -112,22 +140,15 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    return spark.table(name)
+    return _memory_sinktable(spark, agg, "stream_tumbling", "complete")
 
 
 _SLIDING_STREAM_ORACLE = """
 WITH offsets(k) AS (VALUES (0), (1))
 SELECT time_bucket(INTERVAL '30 minutes', ts) - k * INTERVAL '30 minutes' AS window_start,
        count(*) AS n_events
-FROM events CROSS JOIN offsets
+-- F.window drops NULL event times; mirror the batch twin's pin
+FROM events CROSS JOIN offsets WHERE ts IS NOT NULL
 GROUP BY 1
 """
 
@@ -144,7 +165,6 @@ GROUP BY 1
     "tumbling / sliding / session.",
 )
 def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    name = f"stream_sliding_{uuid.uuid4().hex[:8]}"
     agg = (
         _read_events_stream(spark, sf_dir)
         .withWatermark("ts", "1 hour")
@@ -152,15 +172,7 @@ def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(F.col("window.start").alias("window_start"), "n_events")
     )
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    return spark.table(name)
+    return _memory_sinktable(spark, agg, "stream_sliding", "complete")
 
 
 _DISTINCT_KEYS_ORACLE = """
@@ -182,22 +194,13 @@ SELECT DISTINCT user_id, event_type FROM events
     "oracle-checked.",
 )
 def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    name = f"stream_dedupw_{uuid.uuid4().hex[:8]}"
     dedup = (
         _read_events_stream(spark, sf_dir)
         .withWatermark("ts", "2 hours")
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select("user_id", "event_type")
     )
-    q = (
-        dedup.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    return spark.table(name)
+    return _memory_sinktable(spark, dedup, "stream_dedupw", "append")
 
 
 _SESSION_STREAM_ORACLE = """
@@ -206,7 +209,8 @@ WITH flagged AS (
          CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
                    <= INTERVAL '30 minutes'
               THEN 0 ELSE 1 END AS new_session
-  FROM events
+  -- session_window drops NULL event times; mirror the batch twin's pin
+  FROM events WHERE ts IS NOT NULL
 ), sessions AS (
   SELECT user_id, ts,
          sum(new_session) OVER (
@@ -234,7 +238,6 @@ GROUP BY user_id, session_id
     "checks the STREAMED output directly.",
 )
 def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    name = f"stream_session_{uuid.uuid4().hex[:8]}"
     agg = (
         _read_events_stream(spark, sf_dir)
         .withWatermark("ts", "1 hour")
@@ -247,15 +250,7 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    return spark.table(name)
+    return _memory_sinktable(spark, agg, "stream_session", "complete")
 
 
 _RUNNING_TOTALS_ORACLE = """
@@ -283,19 +278,10 @@ GROUP BY user_id
 def stream_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rabbithole_spark.streaming.stateful import running_totals_with_state
 
-    name = f"stream_state_{uuid.uuid4().hex[:8]}"
     totals = running_totals_with_state(
         _read_events_stream(spark, sf_dir).groupBy("user_id")
     )
-    q = (
-        totals.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    return spark.table(name)
+    return _memory_sinktable(spark, totals, "stream_state", "update")
 
 
 @register(
@@ -311,6 +297,15 @@ def stream_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFram
     "per key.",
 )
 def stream_count_or_time_batcher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_count_or_time_batcher(spark, sf_dir)
+
+
+def _run_count_or_time_batcher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE batcher execution shared by stream_count_or_time_batcher and
+    stream_count_or_time_sizes (round-9 review): the sizes twin's
+    oracle arithmetic ((n div 10)*10 size-flushes, n mod 10
+    time-flushes) is a function of THIS configuration — a tuning change
+    must hit both queries or neither."""
     from rabbithole_spark.streaming.stateful import (
         await_state_drained,
         count_or_time_batcher_v1,
@@ -367,31 +362,8 @@ GROUP BY event_type
     "rows-only to oracle-green on its SQL-expressible dimension.",
 )
 def stream_count_or_time_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rabbithole_spark.streaming.stateful import (
-        await_state_drained,
-        count_or_time_batcher_v1,
-    )
-
-    name = f"stream_batchsz_{uuid.uuid4().hex[:8]}"
-    stream = _read_events_stream(spark, sf_dir).select(
-        "event_type", "event_id", "user_id"
-    )
-    batched = count_or_time_batcher_v1(
-        stream.groupBy("event_type"),
-        "event_type string, event_id long, user_id long",
-        size_limit=10,
-        time_limit_s=5.0,
-    )
-    q = (
-        batched.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    await_state_drained(q)
     return (
-        spark.table(name)
+        _run_count_or_time_batcher(spark, sf_dir)
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
@@ -417,22 +389,13 @@ def stream_count_or_time_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     "within one micro-batch), so the dedup is oracle-checked.",
 )
 def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
     dedup = (
         _read_events_stream(spark, sf_dir)
         .withWatermark("ts", "1 hour")
         .dropDuplicates(["user_id", "event_type"])
         .select("user_id", "event_type")
     )
-    q = (
-        dedup.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    return spark.table(name)
+    return _memory_sinktable(spark, dedup, "stream_dedup", "append")
 
 
 _ATTRIBUTION_ORACLE = """
@@ -485,7 +448,6 @@ def join_attribution_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     "oracle checks the STREAMED output directly.",
 )
 def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    name = f"stream_ssjoin_{uuid.uuid4().hex[:8]}"
     ev = _read_events_stream(spark, sf_dir)
     clicks = (
         ev.filter(F.col("event_type") == "click")
@@ -510,15 +472,7 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.col("c.click_ts") + F.expr("INTERVAL 1 HOUR")
         ),
     ).select("user_id", "click_ts", "purchase_ts", "purchase_value")
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    return spark.table(name)
+    return _memory_sinktable(spark, joined, "stream_ssjoin", "append")
 
 
 _OUTER_JOIN_ORACLE = """
@@ -581,7 +535,6 @@ SELECT * FROM matched UNION ALL SELECT * FROM unmatched
     "outer semantics, tail caveat included, are hash-checked.",
 )
 def stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    name = f"stream_ssouter_{uuid.uuid4().hex[:8]}"
     ev = _read_events_stream(spark, sf_dir)
     clicks = (
         ev.filter(F.col("event_type") == "click")
@@ -607,15 +560,7 @@ def stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "left_outer",
     ).select("user_id", "click_ts", "purchase_ts", "purchase_value")
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    return spark.table(name)
+    return _memory_sinktable(spark, joined, "stream_ssouter", "append")
 
 
 _LEFT_SEMI_ORACLE = """
@@ -647,7 +592,6 @@ WHERE c.event_type = 'click'
     "the inner join's state.",
 )
 def stream_stream_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    name = f"stream_sssemi_{uuid.uuid4().hex[:8]}"
     ev = _read_events_stream(spark, sf_dir)
     clicks = (
         ev.filter(F.col("event_type") == "click")
@@ -672,15 +616,7 @@ def stream_stream_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "left_semi",
     ).select("user_id", "click_ts")
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    return spark.table(name)
+    return _memory_sinktable(spark, joined, "stream_sssemi", "append")
 
 
 _FULL_OUTER_JOIN_ORACLE = """
@@ -759,7 +695,6 @@ UNION ALL SELECT * FROM unmatched_purchases
     "state.",
 )
 def stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    name = f"stream_ssfull_{uuid.uuid4().hex[:8]}"
     ev = _read_events_stream(spark, sf_dir)
     clicks = (
         ev.filter(F.col("event_type") == "click")
@@ -792,15 +727,7 @@ def stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p.purchase_ts").alias("purchase_ts"),
         F.col("p.purchase_value").alias("purchase_value"),
     )
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    return spark.table(name)
+    return _memory_sinktable(spark, joined, "stream_ssfull", "append")
 
 
 _RIGHT_OUTER_JOIN_ORACLE = """
@@ -851,7 +778,6 @@ SELECT * FROM matched UNION ALL SELECT * FROM unmatched_purchases
     "are hash-checked.",
 )
 def stream_stream_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    name = f"stream_ssright_{uuid.uuid4().hex[:8]}"
     ev = _read_events_stream(spark, sf_dir)
     clicks = (
         ev.filter(F.col("event_type") == "click")
@@ -884,15 +810,7 @@ def stream_stream_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p.purchase_ts").alias("purchase_ts"),
         F.col("p.purchase_value").alias("purchase_value"),
     )
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    return spark.table(name)
+    return _memory_sinktable(spark, joined, "stream_ssright", "append")
 
 
 _ENRICH_ORACLE = f"""
@@ -934,12 +852,10 @@ WHERE d.source <> 'src0'
 def stream_ingest_dedup_against_corpus(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from rabbithole_spark.session import table as _table
 
-    name = f"stream_ingdedup_{uuid.uuid4().hex[:8]}"
     sha = F.sha2(F.coalesce(F.col("text"), F.lit("")).cast("binary"), 256)
     corpus = (
-        _table(spark, sf_dir, "documents")
+        table(spark, sf_dir, "documents")
         .filter(F.col("source") == "src0")
         .select(sha.alias("content_hash"))
         .distinct()
@@ -956,15 +872,7 @@ def stream_ingest_dedup_against_corpus(
     admitted = incoming.join(
         F.broadcast(corpus), "content_hash", "left_anti"
     ).select("doc_id", "lang")
-    q = (
-        admitted.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    return spark.table(name)
+    return _memory_sinktable(spark, admitted, "stream_ingdedup", "append")
 
 
 @register(
@@ -981,10 +889,8 @@ def stream_ingest_dedup_against_corpus(
     "so the streamed rollup is oracle-checked.",
 )
 def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rabbithole_spark.session import table as _table
 
-    name = f"stream_enrich_{uuid.uuid4().hex[:8]}"
-    customers = _table(spark, sf_dir, "customer").select(
+    customers = table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("user_id"), "c_nationkey"
     )
     enriched = (
@@ -997,12 +903,4 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("value"), "total_value", 2),
         )
     )
-    q = (
-        enriched.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    return spark.table(name)
+    return _memory_sinktable(spark, enriched, "stream_enrich", "complete")
