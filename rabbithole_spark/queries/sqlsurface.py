@@ -41,7 +41,9 @@ FROM days LEFT JOIN purchases ON days.d = purchases.d
     "rollup needs. Recursion depth = number of DAYS (bounded by the "
     "data's calendar span, not its row count), so the driver-side "
     "iteration stays trivial at 100 TB while the per-step join is "
-    "distributed.",
+    "distributed; session.prepare() raises cteRecursionLevelLimit "
+    "past the 100-level default (a ~3-month cliff — round-9 review; "
+    "150-day differential pinned in tests/test_map_semantics.py).",
 )
 def sql_recursive_gapfill_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     table(spark, sf_dir, "events").createOrReplaceTempView("events_rgf")

@@ -80,6 +80,13 @@ def prepare(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # Full-width scans for small single-file tables (see get_spark note).
     spark.conf.set("spark.sql.files.openCostInBytes", "1048576")
+    # sql_recursive_gapfill_days recurses once per CALENDAR DAY of the
+    # events span; the Spark 4 default cteRecursionLevelLimit=100 would
+    # throw RECURSION_LEVEL_LIMIT_EXCEEDED on any corpus spanning over
+    # ~3 months while the DuckDB oracle sailed on (round-9 review).
+    # 40000 levels ≈ a 109-year span — still a loud guard against a
+    # genuinely runaway recursive CTE, never a cliff for real data.
+    spark.conf.set("spark.sql.cteRecursionLevelLimit", "40000")
     return spark
 
 

@@ -163,3 +163,35 @@ def test_array_hof_empty_vector_matches_oracle(spark, tmp_path):
     }
     assert got == want
     assert got[0] == 5.0 and got[1] == 0.0 and got[2] is None
+
+
+def test_recursive_gapfill_survives_long_calendar_span(spark, tmp_path):
+    """Round-9 review: the gapfill recursive CTE recurses once per
+    calendar day; Spark 4's default cteRecursionLevelLimit=100 would
+    throw RECURSION_LEVEL_LIMIT_EXCEEDED on any corpus spanning over
+    ~3 months while the DuckDB oracle succeeded. session.prepare()
+    raises the limit; this drives the REGISTERED query on a 150-day
+    span and hash-compares against its oracle."""
+    import datetime
+
+    spec = load_all()["sql_recursive_gapfill_days"]
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, base + datetime.timedelta(days=d), 1, "purchase", 1.0, "{}")
+        for i, d in enumerate([0, 3, 149])  # sparse: 150-day span
+    ] + [(99, base + datetime.timedelta(days=75), 2, "click", 1.0, "{}")]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(f"{sf_dir}/events.parquet")
+    got = {r[0]: tuple(r[1:]) for r in map(tuple, spec.fn(spark, sf_dir).collect())}
+    assert len(got) == 150  # every day of the span, gaps filled
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet/*.parquet')"
+    )
+    want = {r[0]: tuple(r[1:]) for r in con.execute(spec.oracle).fetchall()}
+    assert got == want
