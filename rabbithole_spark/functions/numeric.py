@@ -69,16 +69,23 @@ def ravg(expr: Column, alias: str, digits: int = 6) -> Column:
     return F.round(F.avg(expr), digits).alias(alias)
 
 
-def sql_dsum(expr_sql: str, alias: str, scale: int = 4) -> str:
-    """DuckDB SQL emitting the identical decimal-sum as :func:`dsum`.
-
-    The VARCHAR hop forces DuckDB's correctly-rounded string->double
-    parse instead of its drifting direct decimal->double cast.
-    """
+def sql_dexpr(expr_sql: str, scale: int = 4) -> str:
+    """Alias-free DuckDB decimal-sum -> double EXPRESSION (composable
+    into larger formulas — ratios, CTE columns). The VARCHAR hop
+    forces DuckDB's correctly-rounded string->double parse instead of
+    its drifting direct decimal->double cast; every oracle needing the
+    conversion must route through here (round-9 review found two
+    hand-inlined copies in the Q17/Q22 oracles — a policy change must
+    have ONE place to land)."""
     return (
         f"CAST(CAST(SUM(CAST(({expr_sql}) AS DECIMAL(18,{scale}))) "
-        f"AS VARCHAR) AS DOUBLE) AS {alias}"
+        f"AS VARCHAR) AS DOUBLE)"
     )
+
+
+def sql_dsum(expr_sql: str, alias: str, scale: int = 4) -> str:
+    """DuckDB SQL emitting the identical decimal-sum as :func:`dsum`."""
+    return f"{sql_dexpr(expr_sql, scale)} AS {alias}"
 
 
 def sql_ravg(expr_sql: str, alias: str, digits: int = 6) -> str:

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import DecimalType
 
 from rabbithole_spark.catalog import register
-from rabbithole_spark.functions.numeric import dsum, sql_dsum
+from rabbithole_spark.functions.numeric import dsum, sql_dexpr, sql_dsum
 from rabbithole_spark.session import table
 
 _Q3_ORACLE = f"""
@@ -593,7 +593,7 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q17_ORACLE = """
+_Q17_ORACLE = f"""
 WITH sel AS (
   SELECT l_extendedprice, l_quantity,
          avg(l_quantity) OVER (PARTITION BY l_partkey) AS avg_qty
@@ -601,8 +601,7 @@ WITH sel AS (
   WHERE p_brand = 'Brand#3' AND p_size < 15
 )
 SELECT CAST(count(*) AS BIGINT) AS n_lines,
-       round(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
-                       AS VARCHAR) AS DOUBLE) / 7.0, 6) AS avg_yearly
+       round({sql_dexpr("l_extendedprice", 2)} / 7.0, 6) AS avg_yearly
 FROM sel WHERE l_quantity < 0.2 * avg_qty
 """
 
@@ -788,8 +787,7 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q22_ORACLE = f"""
 WITH avg_bal AS (
-  SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR)
-              AS DOUBLE) / count(*) AS ab
+  SELECT {sql_dexpr("c_acctbal", 2)} / count(*) AS ab
   FROM customer WHERE c_acctbal > 0.0
 )
 SELECT n_name, CAST(count(*) AS BIGINT) AS numcust,

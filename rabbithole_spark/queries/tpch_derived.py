@@ -60,10 +60,23 @@ _PS_SQL = """ps AS (
 )"""
 
 
-def _ps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark twin of :data:`_PS_SQL`."""
+def _ps(
+    spark: SparkSession, sf_dir: str, part_keys: DataFrame | None = None
+) -> DataFrame:
+    """Spark twin of :data:`_PS_SQL`. ``part_keys`` (a broadcast
+    p_partkey relation) LEFT-SEMI-prunes the lineitem scan BEFORE the
+    (partkey, suppkey) aggregation — when the consumer only needs ps
+    rows for a selective part subset (Q9's widgets), deriving then
+    discarding the rest would shuffle ~20x more rows than necessary
+    (round-9 review). Semantics-preserving: the group key contains
+    l_partkey, so pruning input rows by it prunes whole groups."""
+    li = table(spark, sf_dir, "lineitem")
+    if part_keys is not None:
+        li = li.join(
+            part_keys, F.col("p_partkey") == F.col("l_partkey"), "left_semi"
+        )
     return (
-        table(spark, sf_dir, "lineitem")
+        li
         .groupBy(
             F.col("l_partkey").alias("ps_partkey"),
             F.col("l_suppkey").alias("ps_suppkey"),
@@ -78,6 +91,31 @@ def _ps(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ps_supplycost"),
         )
     )
+
+
+def _supp_dim(
+    spark: SparkSession, sf_dir: str, cols, region: str | None = None
+) -> DataFrame:
+    """supplier ⋈ nation (⋈ region scoped to ``region``) dimension
+    block projected to ``cols`` — shared by Q2/Q9/Q11/Q20 (round-9
+    review: the same three-table scaffold was hand-copied per query
+    and could drift one-sided; tpch.py's Q8 keeps its own variant
+    because it renames the nation columns per side). Callers wrap in
+    F.broadcast at the use site."""
+    supp = table(spark, sf_dir, "supplier").join(
+        F.broadcast(table(spark, sf_dir, "nation")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    )
+    if region is not None:
+        supp = supp.join(
+            F.broadcast(
+                table(spark, sf_dir, "region").filter(
+                    F.col("r_name") == region
+                )
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+    return supp.select(*cols)
 
 
 _Q2_ORACLE = f"""
@@ -122,21 +160,16 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("p_type") == "STANDARD") & (F.col("p_size") <= 25))
         .select("p_partkey", "p_name")
     )
-    supp = (
-        table(spark, sf_dir, "supplier")
-        .join(
-            F.broadcast(table(spark, sf_dir, "nation")),
-            F.col("s_nationkey") == F.col("n_nationkey"),
-        )
-        .join(
-            F.broadcast(
-                table(spark, sf_dir, "region").filter(
-                    F.col("r_name") == "EUROPE"
-                )
-            ),
-            F.col("n_regionkey") == F.col("r_regionkey"),
-        )
-        .select("s_suppkey", "s_name", F.round("s_acctbal", 2).alias("s_acctbal"), "n_name")
+    supp = _supp_dim(
+        spark,
+        sf_dir,
+        (
+            "s_suppkey",
+            "s_name",
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "n_name",
+        ),
+        region="EUROPE",
     )
     eligible = (
         _ps(spark, sf_dir)
@@ -197,7 +230,7 @@ GROUP BY n_name, o_year
 )
 def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
-    part = (
+    part = F.broadcast(
         table(spark, sf_dir, "part")
         .filter(F.col("p_name").contains("widget"))
         .select("p_partkey")
@@ -205,25 +238,24 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderdate"
     )
-    supp = F.broadcast(
-        table(spark, sf_dir, "supplier")
-        .join(
-            F.broadcast(table(spark, sf_dir, "nation")),
-            F.col("s_nationkey") == F.col("n_nationkey"),
-        )
-        .select("s_suppkey", "n_name")
-    )
-    ps = _ps(spark, sf_dir)
+    supp = F.broadcast(_supp_dim(spark, sf_dir, ("s_suppkey", "n_name")))
+    # the selective widget broadcast prunes BOTH fact sides BEFORE the
+    # heavy (partkey, suppkey) join — Spark does not reorder inner
+    # joins by default, and the old shape ran the full li x ps join
+    # first, processing ~20x more rows than the ~5%-selective part
+    # filter leaves (round-9 review; inner joins on unique p_partkey
+    # commute, so results are identical)
+    ps = _ps(spark, sf_dir, part_keys=part)
     profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
         "ps_supplycost"
     ) * F.col("l_quantity")
     return (
-        li.join(
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .join(
             ps,
             (F.col("ps_partkey") == F.col("l_partkey"))
             & (F.col("ps_suppkey") == F.col("l_suppkey")),
         )
-        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
         .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy(
@@ -277,20 +309,7 @@ WHERE part_value > {_Q11_MULT} * tv / np
 )
 def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = F.broadcast(
-        table(spark, sf_dir, "supplier")
-        .join(
-            F.broadcast(table(spark, sf_dir, "nation")),
-            F.col("s_nationkey") == F.col("n_nationkey"),
-        )
-        .join(
-            F.broadcast(
-                table(spark, sf_dir, "region").filter(
-                    F.col("r_name") == "EUROPE"
-                )
-            ),
-            F.col("n_regionkey") == F.col("r_regionkey"),
-        )
-        .select("s_suppkey")
+        _supp_dim(spark, sf_dir, ("s_suppkey",), region="EUROPE")
     )
     scoped = (
         _ps(spark, sf_dir)
@@ -354,7 +373,11 @@ def tpch_q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(
             F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
-            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+            # ~high, NOT otherwise(1): a NULL o_orderpriority must count
+            # as NEITHER (the oracle's CASE WHEN ... NOT IN yields NULL
+            # -> ELSE 0), while when(high, 0).otherwise(1) would count
+            # it low — the Q16 NULL-key class (round-9 review)
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
         )
     )
 
@@ -369,7 +392,7 @@ FROM ps
 JOIN part ON p_partkey = ps_partkey
 WHERE p_brand <> 'Brand#13'
   AND p_type <> 'MEDIUM'
-  AND p_size IN {_Q16_SIZES}
+  AND p_size IN ({', '.join(map(str, _Q16_SIZES))})
   -- NOT EXISTS, not NOT IN: the Spark side is a LEFT ANTI join, and
   -- NOT IN would collapse to zero rows if the subquery ever produced
   -- a NULL key (round-7 advice pin; same class as stats.py's
@@ -496,20 +519,9 @@ def tpch_q20_excess_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     supp = F.broadcast(
-        table(spark, sf_dir, "supplier")
-        .join(
-            F.broadcast(table(spark, sf_dir, "nation")),
-            F.col("s_nationkey") == F.col("n_nationkey"),
+        _supp_dim(
+            spark, sf_dir, ("s_suppkey", "s_name", "n_name"), region="ASIA"
         )
-        .join(
-            F.broadcast(
-                table(spark, sf_dir, "region").filter(
-                    F.col("r_name") == "ASIA"
-                )
-            ),
-            F.col("n_regionkey") == F.col("r_regionkey"),
-        )
-        .select("s_suppkey", "s_name", "n_name")
     )
     return (
         cand.join(supp, F.col("ps_suppkey") == F.col("s_suppkey"))
