@@ -45,9 +45,11 @@ def spread_bits16(v: Column) -> Column:
 def scale_to_16bit(v: Column, upper_exclusive: Column) -> Column:
     """Map ``v`` in [0, upper_exclusive) to a 16-bit bucket by
     proportional scaling: floor(v * 65536 / upper_exclusive).
-    Products stay < 2^53, so the double division is exact and
-    engine-portable."""
-    return F.floor(v * 65536 / upper_exclusive).cast("long")
+    ``v`` is widened to LONG first (round-9 review: an IntegerType key
+    > 32767 would wrap at 2^31 in the multiply and z-cluster files on
+    a corrupted curve with zero error); products then stay < 2^53, so
+    the double division is exact and engine-portable."""
+    return F.floor(v.cast("long") * 65536 / upper_exclusive).cast("long")
 
 
 def zorder_key(x16: Column, y16: Column) -> Column:

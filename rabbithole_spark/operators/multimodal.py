@@ -147,6 +147,14 @@ def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             feats = []
             sizes = []
             for blob in pdf["content"]:
+                if blob is None:
+                    # NULL payload: propagate NULLs instead of crashing
+                    # the whole job on np.frombuffer(None) — one bad
+                    # row must not kill a 100 TB encode pass (round-9
+                    # review; same contract as the NULL-vector probes)
+                    sizes.append(None)
+                    feats.append(None)
+                    continue
                 data = np.frombuffer(blob, dtype=np.uint8)
                 sizes.append(len(data))
                 hist, _ = np.histogram(data, bins=8, range=(0, 256))
@@ -192,13 +200,22 @@ def resize_media(
             out_blobs = []
             metas = []
             for blob, meta in zip(pdf["content"], pdf["media_meta"]):
+                if blob is None or meta is None:
+                    # NULL payload/metadata: propagate (round-9 review)
+                    out_blobs.append(None)
+                    metas.append(None)
+                    continue
                 w, h = int(meta["width"]), int(meta["height"])
                 data = np.frombuffer(blob, dtype=np.uint8)
-                img = np.resize(data, (h, w)).astype(np.float64)
-                # block-average to the target grid (nearest-neighbor bins)
+                img = np.resize(data, (h, w))
+                # nearest-neighbor index selection on the uint8 grid
+                # directly — the old float64 round-trip allocated 8x
+                # the payload per row and then did pure indexing anyway
+                # (round-9 review; the oracle replays nearest-neighbor
+                # pixel SELECTION, no averaging happens here)
                 ys = (np.arange(height) * h // height).clip(0, h - 1)
                 xs = (np.arange(width) * w // width).clip(0, w - 1)
-                resized = img[np.ix_(ys, xs)].astype(np.uint8)
+                resized = img[np.ix_(ys, xs)]
                 out_blobs.append(resized.tobytes())
                 metas.append(
                     {
@@ -250,6 +267,8 @@ def sample_frames(
             rows = {"doc_id": [], "frame_idx": [], "n_frames": [],
                     "frame_bytes": [], "frame_sha": []}
             for doc_id, blob in zip(pdf[id_col], pdf["content"]):
+                if blob is None:
+                    continue  # NULL payload: no frames (round-9 review)
                 n_frames = max((len(blob) + frame_size - 1) // frame_size, 1)
                 for idx in range(0, n_frames, every_k):
                     frame = bytes(blob[idx * frame_size : (idx + 1) * frame_size])

@@ -34,13 +34,33 @@ def salted_join(
     ``salt_from`` is a column of the large side whose values vary
     within a key group (an id, a timestamp) — the salt is
     ``xxhash64(salt_from) mod salt_factor``, deterministic on retry.
-    Result equals ``large.join(small, on, how)`` for inner/left joins.
+    Result equals ``large.join(small, on, how)`` ONLY for join types
+    that never emit unmatched SMALL-side rows — the explode replicates
+    the small side salt_factor times, so a right/full/outer join would
+    emit every unmatched small row once PER SALT (round-9 review:
+    silently wrong row counts); such types are rejected loudly.
     """
+    normalized = how.lower().replace("_", "")
+    if normalized not in (
+        "inner", "left", "leftouter", "semi", "leftsemi", "anti", "leftanti"
+    ):
+        raise ValueError(
+            f"salted_join cannot express {how!r}: the exploded small "
+            "side would emit unmatched rows once per salt — use a "
+            "plain join (AQE skew splitting) for right/full outer"
+        )
     keys = [on] if isinstance(on, str) else list(on)
+    for df_, side in ((large, "large"), (small, "small")):
+        if "__salt" in df_.columns:
+            raise ValueError(
+                f"the {side} side already carries a __salt column — "
+                "salted_join would clobber and then drop it"
+            )
     salt = F.pmod(F.xxhash64(F.col(salt_from)), F.lit(salt_factor)).cast("int")
     l_salted = large.withColumn("__salt", salt)
+    # sequence(int, int) already yields array<int> — no re-cast needed
     s_salted = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_factor - 1)))
-    ).withColumn("__salt", F.col("__salt").cast("int"))
+    )
     joined = l_salted.join(s_salted, [*keys, "__salt"], how)
     return joined.drop("__salt")

@@ -47,12 +47,25 @@ STOPWORDS: dict[str, list[str]] = {
 }
 
 
+#: THE whitespace class (explicit, not \s: Java \s adds \x0b over
+#: RE2's [ \t\n\f\r], so DuckDB '\s+' oracles would diverge on a
+#: vertical tab). One constant for every Spark-side split/replace in
+#: this module — round-9 review found three string copies that could
+#: silently desynchronize tokenization from fingerprinting.
+_WS_CLASS = r"[ \t\n\r\f]+"
+
+
 def tokens(text: Column) -> Column:
-    """Whitespace tokenization (the cheap default)."""
-    # explicit class, not \s: Java \s adds \x0b over RE2's
-    # [ \t\n\f\r], so the DuckDB '\s+' oracles would diverge on a
-    # vertical tab (same hazard _WS_RUN documents below)
-    return F.split(F.trim(text), r"[ \t\n\r\f]+")
+    """Whitespace tokenization (the cheap default).
+
+    Empty-boundary quirk, shared by the DuckDB oracles so it is the
+    CONTRACT, not a bug to fix one-sided: split keeps boundary
+    empties, so empty/whitespace-only text counts 1 token and
+    tab/newline padding adds phantom boundary tokens (F.trim strips
+    spaces only). bpe_ish_token_count filters empties; flipping
+    tokens() to match would change ~10 oracle expressions in lockstep
+    — documented here instead (round-9 review)."""
+    return F.split(F.trim(text), _WS_CLASS)
 
 
 def token_count(text: Column) -> Column:
@@ -64,7 +77,9 @@ def bpe_ish_token_count(text: Column) -> Column:
     whitespace and punctuation boundaries — a deterministic stand-in
     for a real tokenizer's token count (RE2-safe pattern, no lookahead,
     so the same regex runs in the DuckDB oracle)."""
-    pieces = F.split(F.trim(text), r"[ \t\n\r\f\.,;:!\?\(\)\[\]\{\}\"']+")
+    pieces = F.split(
+        F.trim(text), _WS_CLASS[:-2] + r"\.,;:!\?\(\)\[\]\{\}\"']+"
+    )
     return F.size(F.filter(pieces, lambda p: p != ""))
 
 
@@ -119,7 +134,7 @@ def fingerprint(text: Column) -> Column:
     the first-stage near-dup key."""
     canonical = F.lower(
         F.regexp_replace(
-            F.regexp_replace(text, r"[\.,;:!\?'\"]", ""), r"[ \t\n\r\f]+", " "
+            F.regexp_replace(text, r"[\.,;:!\?'\"]", ""), _WS_CLASS, " "
         )
     )
     return F.md5(F.trim(canonical))
@@ -135,8 +150,12 @@ def chunk_words(text: Column, chunk_size: int, overlap: int = 0) -> Column:
     chunk_size - overlap; the last chunk may be short; a document
     shorter than one chunk yields exactly one chunk.
     """
-    if overlap >= chunk_size:
-        raise ValueError("overlap must be smaller than chunk_size")
+    if chunk_size <= 0:
+        raise ValueError("chunk_size must be positive")
+    if not 0 <= overlap < chunk_size:
+        # a NEGATIVE overlap would silently skip words between chunks
+        # (step > chunk_size) — content loss, not an option (round-9)
+        raise ValueError("overlap must be in [0, chunk_size)")
     step = chunk_size - overlap
     words = tokens(text)
     n = F.size(words)

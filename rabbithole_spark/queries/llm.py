@@ -68,7 +68,7 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _FINGERPRINT_ORACLE = """
 SELECT doc_id,
-       md5(trim(lower(regexp_replace(regexp_replace(text, '[\\.,;:!\\?'']', '', 'g'), '\\s+', ' ', 'g')))) AS fp
+       md5(trim(lower(regexp_replace(regexp_replace(text, '[\\.,;:!\\?''"]', '', 'g'), '\\s+', ' ', 'g')))) AS fp
 FROM documents
 """
 
@@ -1653,7 +1653,7 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CLEAN_ORACLE = """
 WITH filtered AS (
   SELECT doc_id, lang, n_chars,
-         md5(trim(lower(regexp_replace(regexp_replace(text, '[\\.,;:!\\?'']', '', 'g'), '\\s+', ' ', 'g')))) AS fp
+         md5(trim(lower(regexp_replace(regexp_replace(text, '[\\.,;:!\\?''"]', '', 'g'), '\\s+', ' ', 'g')))) AS fp
   FROM documents
   WHERE n_chars BETWEEN 50 AND 10000
     AND CAST(length(regexp_replace(text, '[^\\.,;:!\\?''"]', '', 'g')) AS DOUBLE)

@@ -1080,3 +1080,73 @@ def test_quality_classifier_composes_feature_operators(spark):
     # all three buckets and both keep branches are live on driver data
     assert {v[4] for v in got.values()} == {"head", "middle", "tail"}
     assert {v[6] for v in got.values()} == {True, False}
+
+
+def test_multimodal_kernels_tolerate_null_payloads(spark):
+    """Round-9 review: a NULL binary payload crashed all three kernels
+    (np.frombuffer(None) / len(None)) — one bad row must not kill a
+    100 TB encode pass. Features/resize propagate NULL outputs; frame
+    sampling emits no frames for the row."""
+    from rabbithole_spark.operators.multimodal import (
+        extract_features,
+        resize_media,
+        sample_frames,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, bytes(range(64)), {"modality": "image", "mime": "x",
+                                   "width": 8, "height": 8}),
+            (2, None, None),
+        ],
+        "doc_id long, content binary, media_meta struct<modality:string,"
+        "mime:string,width:int,height:int>",
+    )
+    feats = {r.doc_id: r.n_bytes for r in extract_features(df).collect()}
+    assert feats[1] == 64 and feats[2] is None
+    resized = {r.doc_id: r.content for r in resize_media(df, 4, 4).collect()}
+    assert len(resized[1]) == 16 and resized[2] is None
+    frames = sample_frames(df, frame_size=16, every_k=1).collect()
+    assert {r.doc_id for r in frames} == {1}
+
+
+def test_salted_join_rejects_unsupported_shapes(spark):
+    """Round-9 review: the exploded small side would emit unmatched
+    rows once PER SALT under right/full joins — rejected loudly; a
+    pre-existing __salt column would be clobbered then dropped."""
+    import pytest
+
+    from rabbithole_spark.operators.skew import salted_join
+
+    large = spark.createDataFrame([(1, 10)], ["k", "id"])
+    small = spark.createDataFrame([(1, "x")], ["k", "v"])
+    with pytest.raises(ValueError, match="per salt"):
+        salted_join(large, small, on="k", salt_from="id", how="full")
+    with pytest.raises(ValueError, match="__salt"):
+        salted_join(
+            large.withColumn("__salt", F.lit(0)), small, on="k", salt_from="id"
+        )
+
+
+def test_chunk_words_rejects_content_skipping_params():
+    import pytest
+
+    from rabbithole_spark.operators.text_analysis import chunk_words
+
+    with pytest.raises(ValueError, match=r"\[0, chunk_size\)"):
+        chunk_words(F.lit("a b c"), chunk_size=10, overlap=-5)
+    with pytest.raises(ValueError, match="positive"):
+        chunk_words(F.lit("a b c"), chunk_size=0)
+
+
+def test_zorder_scale_survives_int32_keys(spark):
+    """Round-9 review: an IntegerType key > 32767 wrapped at 2^31 in
+    the 65536 multiply, silently z-clustering on a corrupted curve.
+    The operator now widens to long first."""
+    from rabbithole_spark.operators.layout import scale_to_16bit
+
+    df = spark.createDataFrame([(100000,)], "k int")
+    got = df.select(
+        scale_to_16bit(F.col("k"), F.lit(200000).cast("long")).alias("b")
+    ).collect()[0].b
+    assert got == 32768  # floor(100000 * 65536 / 200000), not negative

@@ -101,6 +101,13 @@ _ADVERSARIAL_DOCS = [
     (13, "nbsp separated tokens plus ideographic　space", "en", "web"),
     (14, "combining é accents and café naïve ﬁ ligature", "fr", "books"),
     (15, "ÀàÉéÎîÕõÜü MiXeD cAsE ünïcödé CASE folding test", "de", "forum"),
+    # punctuation-class probe (round 9): the fingerprint canonical form
+    # strips the DOUBLE QUOTE too — the oracle class silently omitted
+    # it ('he said "hi"' fingerprinted differently per engine) while
+    # the punct_ratio twin always had it; these two must fingerprint
+    # EQUAL (same text modulo quotes/punct) on both engines
+    (16, 'he said "hi there" and left! ok?', "en", "web"),
+    (17, "he said hi there and left ok", "en", "web"),
     # NULL probes (round 6): NULL text must never cluster as duplicate
     # content, count toward corpus stats the oracle derives from the
     # tokenized relation, or flip conditional counts to NULL — the
@@ -268,3 +275,29 @@ def test_tokenizing_query_matches_oracle_on_vertical_tab_corpus(
     )
     assert sorted(ocols) == cols, (ocols, cols)
     assert got == want, f"{qname}: spark={got}\noracle={want}"
+
+
+def test_fingerprint_strips_double_quotes_both_engines(spark, tmp_path):
+    """Round-9 review: fingerprint() strips '\"' but the oracle class
+    silently omitted it — docs 16/17 (same text modulo punctuation,
+    incl. double quotes) must collapse to ONE canonical fingerprint,
+    and the oracle must agree. Pinned explicitly so removing the quote
+    from BOTH sides (parity-green but semantically regressed) still
+    fails here."""
+    df = spark.createDataFrame(
+        [
+            (i, t, lang, src, len(t) if t is not None else None)
+            for i, t, lang, src in _ADVERSARIAL_DOCS
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    tbl = str(tmp_path / "documents.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(tbl)
+    spec = load_all()["dedup_fingerprint"]
+    fps = {r.doc_id: r.fp for r in spec.fn(spark, str(tmp_path)).collect()}
+    assert fps[16] == fps[17], "double quote must not survive into the fp"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{tbl}/*.parquet'")
+    want = {r[0]: r[1] for r in con.execute(spec.oracle).fetchall()}
+    assert want[16] == want[17]
+    assert fps[16] == want[16]
