@@ -203,6 +203,20 @@ def xxh64_long_unsigned_sql(expr: str) -> str:
     return body
 
 
+def xxh64_long_sql(expr: str) -> str:
+    """DuckDB BIGINT expression equal to Spark's ``F.xxhash64(expr)``
+    for a BIGINT-typed ``expr`` (the fixed-width long fast path) —
+    the signed two's-complement reinterpretation of
+    :func:`xxh64_long_unsigned_sql`, for call sites that need value
+    parity with Spark's signed output (bucketing via pmod, ORDER BY
+    the hash)."""
+    u = xxh64_long_unsigned_sql(expr)
+    return (
+        f"list_transform([{u}], __u -> CASE WHEN __u >= {_h(1 << 63)}"
+        f" THEN __u - {_h(1 << 64)} ELSE __u END)[1]::BIGINT"
+    )
+
+
 def xxh64_sql(expr: str) -> str:
     """DuckDB BIGINT expression equal to Spark's ``F.xxhash64(expr)``
     (the unsigned hash reinterpreted as a signed two's-complement

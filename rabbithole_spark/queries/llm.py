@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import DecimalType
 
 from rabbithole_spark.catalog import register
+from rabbithole_spark.functions.xxh64_sql import xxh64_long_sql
 from rabbithole_spark.operators.dedup import (
     exact_dedup,
     lsh_candidate_pairs,
@@ -814,7 +815,6 @@ LIMIT 10
     "bucket-pruned top-10 is oracle-checked, not just rows-counted.",
 )
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rabbithole_spark.operators.similarity import valid_embeddings
 
     qv = _query_vector(spark, sf_dir)
     # same malformed-vector exclusion as the oracle's b CTE
@@ -1136,7 +1136,6 @@ _IVF_FIT_WHERE = f"{_IVF_FIT_BUCKET_SQL} AND {_IVF_VALID_SQL}"
 def _ivf_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The embeddings corpus with the _IVF_VALID_SQL exclusion applied
     Spark-side — every IVF build/probe input goes through this."""
-    from rabbithole_spark.operators.similarity import valid_embeddings
 
     return valid_embeddings(
         table(spark, sf_dir, "embeddings"), require_norm=False
@@ -1419,7 +1418,13 @@ def _near_dup_oracle() -> str:
     plane literals, bucket-equality blocking, cosine threshold."""
     sig = _plane_sig_sql("embedding")
     return f"""
-WITH v AS (SELECT vec_id, embedding, {sig} AS bucket FROM embeddings),
+WITH v AS (SELECT vec_id, embedding, {sig} AS bucket FROM embeddings
+           -- malformed-vector exclusion (round-9 review: this query
+           -- missed the round-7 audit): a NULL-element vector gets a
+           -- REAL bucket+cosine here via DuckDB's NULL-skipping list
+           -- folds but NULL-sinks in Spark; zero-norm raw cosine is
+           -- NaN here vs NULL there
+           WHERE {_valid_embedding_sql()}),
 pairs AS (
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(
@@ -1450,7 +1455,7 @@ SELECT id_a, id_b, cosine_sim FROM pairs WHERE cosine_sim >= {_NEAR_DUP_THRESHOL
 def similarity_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rabbithole_spark.operators.similarity import cosine, hyperplane_signature
 
-    e = table(spark, sf_dir, "embeddings").withColumn(
+    e = valid_embeddings(table(spark, sf_dir, "embeddings")).withColumn(
         "bucket", hyperplane_signature(F.col("embedding"), _near_dup_planes())
     )
     a = e.alias("a")
@@ -1750,9 +1755,13 @@ _KSAMPLE_K = 50
 #: rank key for the fixed-k sampler: yet another odd multiplier — the
 #: actual low 32 bits of the xxhash prime5 constant
 #: (2870177450012600261 mod 2^32 = 374761413, odd as a multiplicative
-#: hash requires) — so the per-source ranking is independent of every
-#: other sampler's bucket. 2^31 * 374761413 ~ 8.0e17 < 2^63:
-#: overflow-safe.
+#: hash requires). CAVEAT (round-9 measurement): distinct odd
+#: multipliers decorrelate only the odd-modulus components — (d*a)
+#: mod 2^k depends on d mod 2^k alone, so all multiplicative buckets
+#: in this module remain correlated in their low bits; where full
+#: independence is load-bearing (the decontamination split, the
+#: training shuffle) a domain-tagged xxhash64 is used instead.
+#: 2^31 * 374761413 ~ 8.0e17 < 2^63: overflow-safe.
 _KSAMPLE_RANK_SQL = "((doc_id % 2147483648) * 374761413) % 4294967296"
 
 _KSAMPLE_ORACLE = f"""
@@ -1797,10 +1806,12 @@ def sample_fixed_k_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: Train/val/test assignment bucket: same 31-bit-fold hash-mod shape as
 #: _SAMPLE_BUCKET_SQL but with a DIFFERENT odd multiplier (xxhash
-#: prime2), so split membership is statistically independent of the
-#: sampling queries' bucket — a doc sampled by one stage is not thereby
-#: biased into one split. 2^31 * 2246822519 ~ 4.8e18 < 2^63: no
-#: overflow for any BIGINT doc_id.
+#: prime2), decorrelating the odd-modulus components of split
+#: membership from the sampling bucket (power-of-2 residues stay
+#: correlated — the _KSAMPLE_RANK_SQL caveat; the 98/1/1 thresholds
+#: read the full mod-100 value, so the residual mod-4 dependence
+#: biases membership only mildly). 2^31 * 2246822519 ~ 4.8e18 < 2^63:
+#: no overflow for any BIGINT doc_id.
 _SPLIT_BUCKET_SQL = "((doc_id % 2147483648) * 2246822519) % 4294967296 % 100"
 
 _SPLIT_CASE_SQL = (
@@ -2294,15 +2305,31 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: any corpus size — shard count, not corpus size, is the knob
 _SHUFFLE_SHARDS = 64
 
-_SHARD_HASH_SQL = "((doc_id % 2147483648) * 3266489917) % 4294967296"
+#: Training-shuffle hash: a real avalanche hash (xxhash64 over the
+#: domain-tagged id), NOT a multiplicative bucket — round-9
+#: measurement showed the old shared-multiplier scheme made
+#: shard % 4 EQUAL the quality-sample bucket % 4 for every document
+#: (multiplicative hashes can never decorrelate power-of-2 residues;
+#: see _WINNOW_SPLIT_BUCKET_SQL). Domain tag 2^45; doc ids below 2^44
+#: keep tags disjoint. Spark evaluates F.xxhash64 natively; the
+#: oracle replays the signed value via xxh64_long_sql (signedness
+#: matters: shard = pmod and the position ORDER BY both read it).
+_SHARD_HASH_OFFSET = 1 << 45
+
+_SHARD_HASH_SQL = xxh64_long_sql(f"(doc_id + {_SHARD_HASH_OFFSET})")
 
 _SHARD_SHUFFLE_ORACLE = f"""
+WITH hashed AS MATERIALIZED (
+  SELECT doc_id, {_SHARD_HASH_SQL} AS h FROM documents
+)
 SELECT doc_id,
-       CAST({_SHARD_HASH_SQL} % {_SHUFFLE_SHARDS} AS BIGINT) AS shard,
+       CAST(((h % {_SHUFFLE_SHARDS}) + {_SHUFFLE_SHARDS})
+            % {_SHUFFLE_SHARDS} AS BIGINT) AS shard,
        CAST(row_number() OVER (
-         PARTITION BY {_SHARD_HASH_SQL} % {_SHUFFLE_SHARDS}
-         ORDER BY {_SHARD_HASH_SQL}, doc_id) AS BIGINT) AS position
-FROM documents
+         PARTITION BY ((h % {_SHUFFLE_SHARDS}) + {_SHUFFLE_SHARDS})
+                      % {_SHUFFLE_SHARDS}
+         ORDER BY h, doc_id) AS BIGINT) AS position
+FROM hashed
 """
 
 
@@ -2313,9 +2340,9 @@ FROM documents
     "(shard, position) from a multiplicative hash of its id — the "
     "reproducible corpus permutation a data loader consumes, "
     "re-materializable byte-identically on any engine (same contract "
-    "as split_train_val_test; its own odd multiplier — not an additive "
-    "offset, which would preserve residue correlations — keeps shard "
-    "choice independent of the split/sample hash buckets). Row-local "
+    "as split_train_val_test; a domain-tagged xxhash64, genuinely "
+    "independent of every split/sample bucket — see _SHARD_HASH_SQL). "
+    "Row-local "
     "shard assignment, then ONE "
     "shuffle for the within-shard ordering window; the shard count is "
     "chosen so a shard is loader-file sized, which bounds the window "
@@ -2326,8 +2353,8 @@ def shard_shuffle_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = table(spark, sf_dir, "documents")
-    h = F.expr(_SHARD_HASH_SQL)
-    shard = (h % _SHUFFLE_SHARDS).cast("bigint")
+    h = F.xxhash64(F.col("doc_id") + F.lit(_SHARD_HASH_OFFSET))
+    shard = F.pmod(h, F.lit(_SHUFFLE_SHARDS)).cast("bigint")
     w = Window.partitionBy(shard).orderBy(h, F.col("doc_id"))
     return d.select(
         "doc_id",
@@ -3402,7 +3429,7 @@ def similarity_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PII_ORACLE = """
+_PII_REDACTION_ORACLE = """
 WITH pii AS (
   SELECT doc_id,
          text || ' contact user' || CAST(doc_id AS VARCHAR)
@@ -3427,7 +3454,7 @@ FROM pii
 
 @register(
     "pii_redaction",
-    oracle=_PII_ORACLE,
+    oracle=_PII_REDACTION_ORACLE,
     doc="PII scrubbing (curation-pipeline parity): regexp redaction of "
     "email/phone patterns with match counts and a post-hoc 'clean' "
     "audit flag. The synthetic corpus carries no PII, so each doc is "
@@ -3509,7 +3536,7 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (predicate pushdown) before any shingling, and its distinct
     # shingle set is small -> broadcast
     bench = (
-        d.filter(F.col("source") == "src0")
+        d.filter((F.col("source") == "src0") & F.col("text").isNotNull())
         .select(F.explode_outer(word_shingles(F.col("text"), 3)).alias("sh"))
         .distinct()
         .withColumn("__hit", F.lit(1))
@@ -3517,7 +3544,9 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus side: ONE shingling pass; overlap is a broadcast left-join
     # marker folded into the same per-doc aggregation as the total, so
     # the corpus is never scanned or exploded twice
-    corpus = d.filter(F.col("source") != "src0").select(
+    corpus = d.filter(
+        (F.col("source") != "src0") & F.col("text").isNotNull()
+    ).select(
         "doc_id", F.explode_outer(word_shingles(F.col("text"), 3)).alias("sh")
     )
     return (
@@ -3843,8 +3872,9 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: quality-weighted sampling bucket: a third independent odd multiplier
-#: (xxhash prime3) so acceptance is uncorrelated with both the uniform
+#: quality-weighted sampling bucket: a third odd multiplier (xxhash
+#: prime3) decorrelating the odd-modulus components of acceptance from
+#: both the uniform
 #: sample bucket and the split bucket. 2^31 * 3266489917 ~ 7.0e18 < 2^63.
 _QSAMPLE_BUCKET_SQL = "((doc_id % 2147483648) * 3266489917) % 4294967296 % 100"
 
@@ -3955,7 +3985,7 @@ WITH scored AS (
 ), filtered AS (
   SELECT s.doc_id, s.lang,
          md5(trim(lower(regexp_replace(regexp_replace(s.text,
-             '[\\.,;:!\\?'']', '', 'g'), '\\s+', ' ', 'g')))) AS fp
+             '[\\.,;:!\\?''"]', '', 'g'), '\\s+', ' ', 'g')))) AS fp
   FROM scored s
   JOIN kept_sources USING (source)
   JOIN nonrep USING (doc_id)
@@ -4783,14 +4813,31 @@ def text_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Hash-mod bucket for the winnow-contamination split — same shape as
-#: _SPLIT_BUCKET_SQL / _SAMPLE_BUCKET_SQL but a THIRD odd multiplier
-#: (xxhash prime 3) so membership is uncorrelated with both the 98/1/1
-#: split and the sampling buckets. Product peaks at 2^31 * 3266489917
-#: ~ 7.0e18 < 2^63: no overflow on either engine.
+#: Hash-mod bucket for the winnow-contamination split. GENUINELY
+#: independent of every multiplicative bucket in this module: round-9
+#: measurement showed the old shared-multiplier scheme made this
+#: bucket IDENTICAL to the quality-sampler's (the benchmark split was
+#: fully dependent on sample membership), and swapping multipliers
+#: cannot fix the power-of-2 residues — (d*a) mod 4 == (d mod 4 *
+#: a mod 4) mod 4 for ANY odd a, so all multiplicative buckets agree
+#: on low bits. A decontamination split must not correlate with
+#: sampling, so this bucket is a real avalanche hash: xxhash64 over a
+#: domain-tagged id (doc_id + 2^44; doc ids must stay below 2^44 —
+#: ~1.7e13 documents — for tags to stay disjoint). Spark evaluates
+#: F.xxhash64 natively; the oracle replays it via xxh64_long_sql.
+_WINNOW_SPLIT_OFFSET = 1 << 44
+
 _WINNOW_SPLIT_BUCKET_SQL = (
-    "((doc_id % 2147483648) * 3266489917) % 4294967296 % 100"
+    f"((({xxh64_long_sql(f'(doc_id + {_WINNOW_SPLIT_OFFSET})')})"
+    " % 100) + 100) % 100"
 )
+
+
+def _winnow_split_bucket() -> Column:
+    """Spark twin of :data:`_WINNOW_SPLIT_BUCKET_SQL`."""
+    return F.pmod(
+        F.xxhash64(F.col("doc_id") + F.lit(_WINNOW_SPLIT_OFFSET)), F.lit(100)
+    )
 
 _WINNOW_CONTAMINATION_ORACLE = f"""
 {_WINNOW_ORACLE.split("SELECT doc_id, unnest(fps) AS fp FROM winnowed")[0]}, fps AS MATERIALIZED (
@@ -4819,7 +4866,9 @@ FROM per_doc
     "contamination_winnow_overlap",
     oracle=_WINNOW_CONTAMINATION_ORACLE,
     doc="Benchmark decontamination at FINGERPRINT granularity: a 90/10 "
-    "train/benchmark hash-mod split (third independent multiplier), "
+    "train/benchmark split on a domain-tagged xxhash64 bucket "
+    "(genuinely independent of the sampling buckets — see "
+    "_WINNOW_SPLIT_BUCKET_SQL), "
     "then each benchmark doc's winnow-fingerprint overlap fraction "
     "against the union of train fingerprints. Because winnowing "
     "guarantees a shared fingerprint for any shared substring of "
@@ -4841,7 +4890,7 @@ def contamination_winnow_overlap(
         .select("doc_id", F.explode("fps").alias("fp"))
         .localCheckpoint(eager=False)
     )
-    bucket = F.expr(_WINNOW_SPLIT_BUCKET_SQL)
+    bucket = _winnow_split_bucket()
     val_fps = fps.filter(bucket >= 90)
     train_fp = fps.filter(bucket < 90).select("fp").distinct()
     shared = (
@@ -5122,9 +5171,13 @@ def diagnostic_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NULLS LAST explicitly: a NULL join key forms its own group, and
     # Spark's ascending default (NULLS FIRST) disagrees with DuckDB's
     # (NULLS LAST) in the rank tie-break — round-6 NULL-probe pin
-    w = Window.orderBy(
-        F.col("n_rows").desc(), F.col("join_key").asc_nulls_last()
-    )
+    order = [F.col("n_rows").desc(), F.col("join_key").asc_nulls_last()]
+    # rank AFTER the limit (the retrieval_hybrid_rrf pattern): the
+    # top-10 cut is a TakeOrderedAndProject and the row_number window
+    # sees only those 10 rows — ranking BEFORE the cut funneled every
+    # per-key row through one single-partition window sort, exactly
+    # the bottleneck this diagnostic exists to find (round-9 review);
+    # ranks 1..10 over the same total order are identical either way
     return (
         per_key.crossJoin(F.broadcast(tot))
         .select(
@@ -5138,10 +5191,12 @@ def diagnostic_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.col("n_total") / F.col("n_keys").cast("double")),
                 6,
             ).alias("skew_factor"),
-            F.row_number().over(w).cast("int").alias("rank"),
         )
-        .orderBy(F.col("n_rows").desc(), F.col("join_key").asc_nulls_last())
+        .orderBy(*order)
         .limit(10)
+        .withColumn(
+            "rank", F.row_number().over(Window.orderBy(*order)).cast("int")
+        )
     )
 
 
@@ -5355,7 +5410,6 @@ LIMIT 10
     "oracle applies the identical predicate inside its scored CTE.",
 )
 def similarity_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rabbithole_spark.operators.similarity import cosine_topk
 
     qv = _query_vector(spark, sf_dir)
     return cosine_topk(
@@ -5415,7 +5469,11 @@ FROM tot LEFT JOIN novel ON novel.doc_id = tot.doc_id
     "array_distinct), matching the oracle's list_distinct.",
 )
 def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
+    # NULL text: word_shingles squashes it to [''] (one phantom gram
+    # shared by every NULL/whitespace doc) while the oracle's split
+    # propagates NULL and drops the doc — filter identically (round-9
+    # review; the round-6 class-11 pin, applied here)
+    d = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     grams = d.select(
         "doc_id", F.explode(word_shingles(F.col("text"), 3)).alias("g")
     ).localCheckpoint(eager=False)
@@ -5485,7 +5543,6 @@ GROUP BY t.coverage_target
 )
 def text_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
-    from rabbithole_spark.operators.text_analysis import tokens
 
     d = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     wc = (

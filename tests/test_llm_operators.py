@@ -1150,3 +1150,38 @@ def test_zorder_scale_survives_int32_keys(spark):
         scale_to_16bit(F.col("k"), F.lit(200000).cast("long")).alias("b")
     ).collect()[0].b
     assert got == 32768  # floor(100000 * 65536 / 200000), not negative
+
+
+def test_bucket_hash_independence(spark):
+    """Round-9 measurement: swapping odd MULTIPLIERS can never
+    decorrelate power-of-2 residues — (d*a) mod 4 == (d mod 4 * a
+    mod 4) mod 4 for any odd a, so the old scheme had shard % 4 EQUAL
+    the quality-sample bucket % 4 for every document (agreement 1.0)
+    and the winnow decontamination split at 0.5. The load-bearing
+    buckets (decontamination split, training shuffle) now use
+    domain-tagged xxhash64; this pins all three pairwise mod-4
+    agreements near the independent 0.25 on a deterministic id range."""
+    from rabbithole_spark.queries.llm import (
+        _QSAMPLE_BUCKET_SQL,
+        _SHARD_HASH_OFFSET,
+        _WINNOW_SPLIT_OFFSET,
+    )
+
+    d = spark.range(20000).withColumnRenamed("id", "doc_id")
+    r = d.select(
+        F.pmod(
+            F.xxhash64(F.col("doc_id") + F.lit(_SHARD_HASH_OFFSET)), F.lit(4)
+        ).alias("s4"),
+        (F.expr(_QSAMPLE_BUCKET_SQL) % 4).alias("q4"),
+        F.pmod(
+            F.pmod(
+                F.xxhash64(F.col("doc_id") + F.lit(_WINNOW_SPLIT_OFFSET)),
+                F.lit(100),
+            ),
+            F.lit(4),
+        ).alias("w4"),
+    )
+    n = r.count()
+    for a, b in (("s4", "q4"), ("w4", "q4"), ("s4", "w4")):
+        agree = r.filter(F.col(a) == F.col(b)).count() / n
+        assert 0.22 <= agree <= 0.28, (a, b, agree)

@@ -157,10 +157,17 @@ _DOCUMENTS_ONLY_QUERIES = [
     "dedup_fingerprint",
     "dedup_incremental_new_docs",
     "dedup_jaccard_prefix_filter",
+    "dedup_minhash_incremental",
     "dedup_minhash_lsh",
     "dedup_repeated_span_coverage",
     "dedup_minhash_recall_audit",
     "dedup_simhash",
+    # round-9 census: these four documents-only queries were missing
+    # from the sweep (stream_ingest_dedup_against_corpus is also
+    # documents-only but needs the streaming harness, not this one)
+    "stats_mad_outliers",
+    "text_ngram_novelty",
+    "text_vocab_oov_rate",
     "mixture_js_divergence_by_source",
     "mixture_resample_by_lang",
     "mixture_temperature_weights",
