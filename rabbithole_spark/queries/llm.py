@@ -2945,10 +2945,20 @@ WHERE {_valid_embedding_sql(require_norm=False)}
     "deterministic ±1 sign matrix (Achlioptas 2003: sign matrices "
     "match Gaussian JL guarantees), scaled by 1/sqrt(16) so expected "
     "norms are preserved — the dim-reduction front end for LSH/IVF "
-    "indexing at 100 TB. The sign matrix is generated once in Python "
-    "and embedded as plan literals (the engines never hash), so the "
-    "oracle replays it term-for-term. Scale shape: a pure scan-side "
-    "map — zero shuffles, one ordered fold per output dim over "
+    "indexing at 100 TB. The sign matrix is generated once in Python; "
+    "the oracle replays it term-for-term as literals. Scale shape: "
+    "the matrix ships as a ONE-row broadcast array<array<double>> "
+    "(BroadcastNestedLoopJoin of a single local row) and all 16 "
+    "projections compute inside ONE transform lambda over it — O(1) "
+    "plan size in the output dimension and a single codegen unit, "
+    "where the earlier literal formulation inlined 16 independent "
+    "fold expressions that each compiled (the same plan-size/codegen "
+    "class the round-9 bcast screen twins measured 3-4x faster; the "
+    "projection array is materialized in its own projection so the 16 "
+    "column extracts reference it once — CollapseProject keeps "
+    "non-cheap multi-referenced aliases in place, pinned by "
+    "tests/test_scale_plans.py). Corpus side: a pure scan-side map, "
+    "zero shuffles, one ordered fold per output dim over "
     "zip_with(embedding, signs); malformed vectors (NULL / NULL "
     "element) and off-dimension vectors are excluded by the shared "
     "valid_embeddings contract + an explicit length guard on both "
@@ -2959,21 +2969,41 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "embeddings"), require_norm=False
     ).filter(F.size("embedding") == _PROJ_IN_DIM)
     scale = float(_PROJ_OUT_DIM) ** 0.5
-    cols = []
-    for j, signs in enumerate(_PROJ_SIGNS):
-        sarr = F.array(*[F.lit(s) for s in signs])
-        comp = F.aggregate(
-            F.zip_with(
-                F.col("embedding"), sarr, lambda x, s: x.cast("double") * s
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+    signs = spark.createDataFrame(
+        [(list(_PROJ_SIGNS),)], "signs array<array<double>>"
+    )
+    # One lambda computes every output dim; arithmetic is identical to
+    # the oracle's per-dim fold (zip_with product, sequential sum fold,
+    # round 6, + 0.0 signed-zero fold — see _proj_oracle).
+    proj = F.transform(
+        F.col("signs"),
+        lambda srow: F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col("embedding"),
+                    srow,
+                    lambda x, s: x.cast("double") * s,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / scale,
+            6,
         )
-        # + 0.0 mirrors the oracle's signed-zero fold (see _proj_oracle)
-        cols.append(
-            (F.round(comp / scale, 6) + F.lit(0.0)).alias(f"p{j:02d}")
+        + F.lit(0.0),
+    )
+    return (
+        e.join(F.broadcast(signs))
+        .select("vec_id", "label", proj.alias("proj"))
+        .select(
+            "vec_id",
+            "label",
+            *[
+                F.col("proj")[j].alias(f"p{j:02d}")
+                for j in range(_PROJ_OUT_DIM)
+            ],
         )
-    return e.select("vec_id", "label", *cols)
+    )
 
 
 # --- semantic contamination screening ------------------------------------------
