@@ -519,3 +519,34 @@ def test_mmr_pool_plan_is_shuffle_free(spark):
     )
     assert n == 0, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_random_projection_single_transform_broadcast_matrix(spark):
+    """embedding_random_projection ships its 16x64 sign matrix as a
+    ONE-row broadcast array (O(1) plan size in the output dimension)
+    and computes all 16 projections in ONE transform lambda. Pin the
+    three load-bearing plan facts: (a) the matrix side arrives via a
+    BroadcastNestedLoopJoin (never a shuffle), (b) the corpus side has
+    zero non-broadcast Exchanges, and (c) the transform's proj array is
+    materialized in its OWN Project below the 16 column extracts —
+    CollapseProject must not inline the non-cheap lambda into 16
+    consumers, which would re-evaluate the whole 64-term fold per
+    output column (the round-1 MinHash lesson)."""
+    from rabbithole_spark.catalog import load_all
+
+    df = load_all()["embedding_random_projection"].fn(spark, SF)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    n = sum(
+        1
+        for line in plan.splitlines()
+        if "Exchange " in line
+        and "Broadcast" not in line
+        and "Reused" not in line
+    )
+    assert n == 0, plan
+    # exactly one transform(...) lambda in the whole plan, and the
+    # extract Project references the materialized alias, not the lambda
+    assert plan.count("transform(signs") == 1, plan
+    m = re.search(r"Output \[18\]: \[[^\]]*proj#(\d+)\[0\]", plan)
+    assert m, plan
