@@ -58,19 +58,23 @@ _QUERY_MODULES = (
 _PRIORITY_ORDER = (
     # round-9 window, slots 0-49 (recomputed from the union of
     # CORRECTNESS_r01-r08 as the registry sorted by (latest external
-    # round, name)): slots 0-2 = the 3 round-9 NEW queries (broadcast
-    # twins of the literal-baked embedding screens + the quality
-    # classifier; each 3-SF oracle-green before registration, NOTES r9);
-    # slot 3 = agg_hll_sketch_union (its estimate expression changed
-    # round->truncate this round, needs a fresh external row); slots
-    # 4-49 = the 46 queries whose latest external row is round 5 (the
-    # staleness frontier, at the 4-round invariant edge), alphabetical.
-    # Below the cut: the 48 r6 rows, 50 r7 rows, 49 r8 rows, each
-    # block alphabetical.
+    # round, name)): slots 0-3 = the 4 round-9 NEW queries (broadcast
+    # twins of the literal-baked embedding screens, the quality
+    # classifier, and the DSIR selector; each 3-SF oracle-green before
+    # registration, NOTES r9); slots 4-49 = the 46 queries whose
+    # latest external row is round 5 (the staleness frontier, at the
+    # 4-round invariant edge), alphabetical — none of these can cede a
+    # slot without going stale once CORRECTNESS_r09 lands.
+    # agg_hll_sketch_union (estimate expression truncate->round this
+    # round, 3-SF green locally, r8-latest so safe from the staleness
+    # invariant) ceded its slot to the DSIR query and leads the
+    # below-cut region so round 10 picks it up first. Below the cut
+    # otherwise: the 48 r6 rows, 50 r7 rows, 49 r8 rows, each block
+    # alphabetical.
     "contamination_semantic_screen_bcast",
     "similarity_hard_negatives_bcast",
     "text_quality_classifier",
-    "agg_hll_sketch_union",
+    "mixture_dsir_importance",
     # --- latest external row: round 5 ---
     "agg_approx_count_distinct",
     "agg_bool_countif",
@@ -118,6 +122,8 @@ _PRIORITY_ORDER = (
     "tpch_q4_exists_shape",
     "tpch_q6_revenue_delta",
     "window_sliding_hourly",
+    # --- below the cut: expression-touched this round, r8-latest ---
+    "agg_hll_sketch_union",
     # --- latest external row: round 6 ---
     "agg_cube",
     "agg_distinct_pairs",

@@ -5806,3 +5806,195 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_raw") >= _INGEST_TAU)
         .select("batch_id", "corpus_id", F.round("_raw", 6).alias("jaccard"))
     )
+
+
+# --- DSIR importance resampling (targeted data selection) -----------------------
+
+#: DSIR split: which docs act as the TARGET sample (pretend benchmark /
+#: domain corpus) vs the RAW pool being scored. Domain-tagged xxhash64
+#: bucket, same discipline as _WINNOW_SPLIT_OFFSET / _SHARD_HASH_OFFSET
+#: (tags 2^44 / 2^45 / 2^46 stay disjoint for doc ids below 2^44).
+_DSIR_SPLIT_OFFSET = 1 << 46
+
+#: hashed n-gram feature space (Xie et al. 2023 use 10k buckets; 256
+#: keeps the oracle's per-bucket replay readable while preserving the
+#: shape — the bucket count is a CONSTANT, never corpus-sized)
+_DSIR_BUCKETS = 256
+
+_DSIR_SPLIT_SQL = (
+    f"((({xxh64_long_sql(f'(doc_id + {_DSIR_SPLIT_OFFSET})')})"
+    " % 10) + 10) % 10"
+)
+
+
+def _dsir_oracle() -> str:
+    from rabbithole_spark.functions.xxh64_sql import xxh64_sql
+
+    b = _DSIR_BUCKETS
+    return rf"""
+WITH tok AS MATERIALIZED (
+  SELECT doc_id,
+         {_DSIR_SPLIT_SQL} AS split,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                     w -> w <> '') AS w
+  FROM documents
+  WHERE text IS NOT NULL
+), grams AS MATERIALIZED (
+  SELECT doc_id, split, gram FROM (
+    SELECT doc_id, split, unnest(w) AS gram FROM tok
+    UNION ALL
+    SELECT t.doc_id, t.split, t.w[u.i] || ' ' || t.w[u.i + 1] AS gram
+    FROM tok t, unnest(range(1, len(t.w))) AS u(i)
+  )
+), gcounts AS MATERIALIZED (
+  SELECT doc_id, split, gram, CAST(count(*) AS BIGINT) AS n
+  FROM grams GROUP BY doc_id, split, gram
+), gdim AS MATERIALIZED (
+  SELECT gram, ((({xxh64_sql('gram')}) % {b}) + {b}) % {b} AS bucket
+  FROM (SELECT DISTINCT gram FROM gcounts)
+), dcounts AS MATERIALIZED (
+  SELECT doc_id, split, bucket, CAST(sum(n) AS BIGINT) AS n
+  FROM gcounts JOIN gdim USING (gram)
+  GROUP BY doc_id, split, bucket
+), lm AS MATERIALIZED (
+  SELECT s.bucket, coalesce(t.ct, 0) AS ct, coalesce(r.cr, 0) AS cr
+  FROM (SELECT unnest(range(0, {b})) AS bucket) s
+  LEFT JOIN (SELECT bucket, CAST(sum(n) AS BIGINT) AS ct
+             FROM dcounts WHERE split = 0 GROUP BY bucket) t USING (bucket)
+  LEFT JOIN (SELECT bucket, CAST(sum(n) AS BIGINT) AS cr
+             FROM dcounts WHERE split <> 0 GROUP BY bucket) r USING (bucket)
+), tot AS (
+  SELECT CAST(sum(ct) AS BIGINT) AS nt, CAST(sum(cr) AS BIGINT) AS nr FROM lm
+), delta AS (
+  SELECT bucket,
+         CAST(ln((ct + 1) / CAST(nt + {b} AS DOUBLE)) AS DECIMAL(15,12))
+       - CAST(ln((cr + 1) / CAST(nr + {b} AS DOUBLE)) AS DECIMAL(15,12)) AS d
+  FROM lm, tot
+), scored AS (
+  SELECT doc_id,
+         CAST(sum(n) AS BIGINT) AS n_feats,
+         CAST(CAST(sum(CAST(n AS DECIMAL(18,0)) * d) AS VARCHAR)
+              AS DOUBLE) AS lr
+  FROM dcounts JOIN delta USING (bucket)
+  WHERE split <> 0
+  GROUP BY doc_id
+)
+SELECT doc_id, n_feats,
+       round(lr, 6) AS dsir_logratio,
+       lr > 0.0 AS selected
+FROM scored
+"""
+
+
+@register(
+    "mixture_dsir_importance",
+    oracle=_dsir_oracle(),
+    doc="DSIR targeted data selection (Xie et al. 2023, "
+    "arXiv:2302.03169): score every raw-pool document by its "
+    "importance log-ratio under two Laplace-smoothed bag-of-hashed-"
+    "ngram models — one fit on a target sample (here a 10% domain-"
+    "tagged xxhash64 split standing in for the benchmark/domain "
+    "corpus), one on the raw pool — then select docs whose total "
+    "log-ratio favors the target (sum over unigram+bigram feature "
+    "instances of log p_target(bucket)/log p_raw(bucket); "
+    "selected = lr > 0, a row-local fixed threshold like the CCNet "
+    "classifier's, never a global ntile). Features are xxhash64-"
+    "bucketed into a CONSTANT 256-bucket space, so both LM tables "
+    "are 256 rows at any corpus size. Plan: one tokenize/explode "
+    "pass feeds a localCheckpointed (doc, split, bucket) count "
+    "relation consumed by the two LM fits and the scoring join "
+    "(lesson 9); the LM/delta tables broadcast back; the only "
+    "corpus-sized shuffles are the feature-count groupBy and the "
+    "per-doc rollup. Numeric discipline: per-bucket log-prob deltas "
+    "are DECIMAL(15,12) differences weighted by exact integer "
+    "counts, so the per-doc sum is order-insensitive; one "
+    "correctly-rounded decimal->double conversion per engine "
+    "(numeric.py recipe). The oracle replays the split and the "
+    "bucket hashing bit-exactly via xxh64_sql.",
+)
+def mixture_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = _DSIR_BUCKETS
+    d = spread(table(spark, sf_dir, "documents")).filter(
+        F.col("text").isNotNull()
+    )
+    w = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"[ \t\n\r\f]+"),
+        lambda x: x != "",
+    )
+    # unigrams + bigrams in one generator pass; the bigram zip is over
+    # two equal-length slices, so zip_with never NULL-pads
+    bigrams = F.when(
+        F.size(w) >= 2,
+        F.zip_with(
+            F.slice(w, 1, F.size(w) - 1),
+            F.slice(w, 2, F.size(w) - 1),
+            lambda a, x: F.concat(a, F.lit(" "), x),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = d.select(
+        "doc_id",
+        F.pmod(
+            F.xxhash64(F.col("doc_id") + F.lit(_DSIR_SPLIT_OFFSET)),
+            F.lit(10),
+        ).alias("split"),
+        F.explode(F.concat(w, bigrams)).alias("gram"),
+    ).select(
+        "doc_id",
+        "split",
+        F.pmod(F.xxhash64("gram"), F.lit(b)).alias("bucket"),
+    )
+    dcounts = (
+        feats.groupBy("doc_id", "split", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    spine = spark.range(b).select(F.col("id").cast("int").alias("bucket"))
+    ct = (
+        dcounts.filter(F.col("split") == 0)
+        .groupBy("bucket")
+        .agg(F.sum("n").alias("ct"))
+    )
+    cr = (
+        dcounts.filter(F.col("split") != 0)
+        .groupBy("bucket")
+        .agg(F.sum("n").alias("cr"))
+    )
+    lm = (
+        spine.join(ct, "bucket", "left")
+        .join(cr, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("ct", F.lit(0)).alias("ct"),
+            F.coalesce("cr", F.lit(0)).alias("cr"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    tot = lm.agg(F.sum("ct").alias("nt"), F.sum("cr").alias("nr"))
+    delta = (
+        F.log((F.col("ct") + 1) / (F.col("nt") + b).cast("double")).cast(
+            DecimalType(15, 12)
+        )
+        - F.log((F.col("cr") + 1) / (F.col("nr") + b).cast("double")).cast(
+            DecimalType(15, 12)
+        )
+    )
+    deltas = lm.crossJoin(F.broadcast(tot)).select(
+        "bucket", delta.alias("d")
+    )
+    scored = (
+        dcounts.filter(F.col("split") != 0)
+        .join(F.broadcast(deltas), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("n_feats"),
+            F.sum(F.col("n").cast(DecimalType(18, 0)) * F.col("d"))
+            .cast("double")
+            .alias("lr"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_feats",
+        F.round("lr", 6).alias("dsir_logratio"),
+        (F.col("lr") > 0.0).alias("selected"),
+    )

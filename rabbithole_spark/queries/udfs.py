@@ -58,8 +58,13 @@ def udf_python_rowwise(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PANDAS_ORACLE = """
 SELECT event_id,
-       round(ln(1 + greatest(value, 0)), 6) AS log_value,
-       round(sqrt(greatest(value, 0)), 6) AS sqrt_value
+       -- NULL pin: the numpy kernel propagates NaN -> NULL, but
+       -- DuckDB greatest() SKIPS NULL args (returns 0, not NULL) —
+       -- guard explicitly (round-9 udf probe)
+       CASE WHEN value IS NULL THEN NULL
+            ELSE round(ln(1 + greatest(value, 0)), 6) END AS log_value,
+       CASE WHEN value IS NULL THEN NULL
+            ELSE round(sqrt(greatest(value, 0)), 6) END AS sqrt_value
 FROM events
 """
 
@@ -131,8 +136,11 @@ def udf_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 _UDTF_ORACLE = """
 SELECT p_partkey, u.pos, u.word
 FROM (
+  -- coalesce pin: the UDTF kernel is (text or '').split(' '), so a
+  -- NULL p_type emits ONE empty token (the documented ''-> 1-token
+  -- quirk) where string_split(NULL) would drop the row (round-9 probe)
   SELECT p_partkey,
-         unnest(list_transform(string_split(p_type, ' '),
+         unnest(list_transform(string_split(coalesce(p_type, ''), ' '),
                                (w, i) -> {'pos': CAST(i - 1 AS INTEGER), 'word': w})) AS u
   FROM part
   WHERE p_partkey <= 100
@@ -173,7 +181,11 @@ SELECT p.user_id,
        p.ts AS purchase_ts,
        (SELECT max(c.ts) FROM events c
         WHERE c.event_type = 'click'
-          AND c.user_id = p.user_id
+          -- IS NOT DISTINCT FROM: cogroup's groupBy puts NULL keys in
+          -- ONE group, so a NULL-user purchase sees NULL-user clicks —
+          -- plain equality would yield NULL instead (round-9 probe,
+          -- NULL-semantics class 5)
+          AND c.user_id IS NOT DISTINCT FROM p.user_id
           AND c.ts <= p.ts) AS last_click_ts
 FROM events p
 WHERE p.event_type = 'purchase'
@@ -196,11 +208,25 @@ WHERE p.event_type = 'purchase'
 def udf_cogrouped_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     def asof(clicks: pd.DataFrame, purchases: pd.DataFrame) -> pd.DataFrame:
         if purchases.empty:
+            # typed empties: bare [] columns default to float64 and
+            # Arrow refuses float64 -> timestamp, so a clicks-only
+            # group would kill the task (round-9 review)
             return pd.DataFrame(
-                {"user_id": [], "purchase_ts": [], "last_click_ts": []}
+                {
+                    "user_id": pd.Series([], dtype="int64"),
+                    "purchase_ts": pd.Series([], dtype="datetime64[ns]"),
+                    "last_click_ts": pd.Series([], dtype="datetime64[ns]"),
+                }
             )
-        purchases = purchases.sort_values("ts")
-        clicks = clicks.sort_values("ts")
+        # NaT keys: merge_asof REFUSES unsorted/NaT join keys, but the
+        # SQL semantics are total — a NULL-ts purchase row still emits
+        # (c.ts <= NULL matches nothing -> NULL last_click), and a
+        # NULL-ts click can never be anyone's most-recent click. Route
+        # NaT purchases around the merge instead of crashing the task
+        # (round-9 review; one bad row must not kill a 100 TB job).
+        nat = purchases[purchases["ts"].isna()]
+        purchases = purchases[purchases["ts"].notna()].sort_values("ts")
+        clicks = clicks[clicks["ts"].notna()].sort_values("ts")
         merged = pd.merge_asof(
             purchases[["user_id", "ts"]],
             clicks[["ts"]].rename(columns={"ts": "click_ts"}),
@@ -208,13 +234,30 @@ def udf_cogrouped_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             right_on="click_ts",
             direction="backward",
         )
-        return pd.DataFrame(
+        out = pd.DataFrame(
             {
                 "user_id": merged["user_id"],
                 "purchase_ts": merged["ts"],
                 "last_click_ts": merged["click_ts"],
             }
         )
+        if not nat.empty:
+            out = pd.concat(
+                [
+                    out,
+                    pd.DataFrame(
+                        {
+                            "user_id": nat["user_id"],
+                            "purchase_ts": nat["ts"],
+                            "last_click_ts": pd.Series(
+                                [pd.NaT] * len(nat), index=nat.index
+                            ),
+                        }
+                    ),
+                ],
+                ignore_index=True,
+            )
+        return out
 
     e = table(spark, sf_dir, "events")
     clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts")

@@ -89,6 +89,9 @@ SHUFFLE_BUDGETS = {
     "join_right_suppliers_nations": 1,
     "join_semi_big_spenders": 0,
     "lateral_posexplode_words": 0,
+    # feature-count groupBy + per-doc rollup; the two 256-row LM fits
+    # read the checkpointed count relation (round-9 measurement: 2)
+    "mixture_dsir_importance": 2,
     "mixture_resample_by_lang": 3,
     "mixture_temperature_weights": 2,
     "mixture_token_budget": 1,

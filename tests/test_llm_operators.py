@@ -1185,3 +1185,116 @@ def test_bucket_hash_independence(spark):
     for a, b in (("s4", "q4"), ("w4", "q4"), ("s4", "w4")):
         agree = r.filter(F.col(a) == F.col(b)).count() / n
         assert 0.22 <= agree <= 0.28, (a, b, agree)
+
+
+def test_dsir_importance_replays_and_selects_target_like_docs(spark, tmp_path):
+    """mixture_dsir_importance end-to-end on a planted corpus: raw-pool
+    docs written in the target split's vocabulary must score
+    positive/selected, off-vocabulary docs negative/unselected, and a
+    full Python replay of the LM math (Laplace bag-of-hashed-ngrams,
+    DECIMAL(15,12)-quantized log deltas, exact integer weighting) must
+    reproduce every (n_feats, dsir_logratio, selected) row. Bucket
+    hashing parity is xxh64_sql's own test suite + the oracle; this
+    test takes bucket assignments from Spark and pins the SEMANTICS."""
+    import math
+    from decimal import Decimal, ROUND_HALF_UP
+
+    from rabbithole_spark.queries.llm import (
+        _DSIR_BUCKETS,
+        _DSIR_SPLIT_OFFSET,
+    )
+
+    # discover each candidate id's split bucket with the query's own hash
+    ids = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.pmod(
+            F.xxhash64(F.col("id") + F.lit(_DSIR_SPLIT_OFFSET)), F.lit(10)
+        ).alias("split"),
+    )
+    split = {r.doc_id: r.split for r in ids.collect()}
+    target_ids = [i for i, s in split.items() if s == 0]
+    raw_ids = [i for i, s in split.items() if s != 0]
+    assert len(target_ids) >= 5 and len(raw_ids) >= 20
+    on_vocab = "alpha beta gamma delta"
+    off_vocab = "zulu yankee xray whiskey"
+    rows, expect_kind = [], {}
+    for i in target_ids:
+        rows.append((i, on_vocab, "en", "src", len(on_vocab)))
+    for n, i in enumerate(raw_ids):
+        if n == 0:
+            rows.append((i, "alpha", "en", "src", 5))  # single word: no bigram
+            expect_kind[i] = "uni"
+        elif n == 1:
+            rows.append((i, None, "en", "src", None))  # NULL text: absent
+            expect_kind[i] = "null"
+        elif n % 10 == 2:
+            # on-vocab docs must be RARE in the raw pool or the raw LM
+            # matches the target LM and nothing separates
+            rows.append((i, on_vocab, "en", "src", len(on_vocab)))
+            expect_kind[i] = "on"
+        else:
+            rows.append((i, off_vocab, "en", "src", len(off_vocab)))
+            expect_kind[i] = "off"
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+
+    out = {
+        r.doc_id: r
+        for r in load_all()["mixture_dsir_importance"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+
+    # directional semantics
+    for i, kind in expect_kind.items():
+        if kind == "null":
+            assert i not in out
+        elif kind == "on":
+            assert out[i].selected and out[i].dsir_logratio > 0, out[i]
+            assert out[i].n_feats == 7  # 4 unigrams + 3 bigrams
+        elif kind == "off":
+            assert not out[i].selected and out[i].dsir_logratio < 0, out[i]
+        elif kind == "uni":
+            assert out[i].n_feats == 1  # no bigram for a single word
+
+    # full replay: buckets from Spark's own hash, math in exact Decimal
+    def grams(text):
+        w = [x for x in text.lower().strip().split() if x]
+        return w + [f"{a} {b}" for a, b in zip(w, w[1:])]
+
+    vocab = sorted({g for _, t, *_ in rows if t for g in grams(t)})
+    bucket = {
+        r.g: r.b
+        for r in spark.createDataFrame([(g,) for g in vocab], "g string")
+        .select("g", F.pmod(F.xxhash64("g"), F.lit(_DSIR_BUCKETS)).alias("b"))
+        .collect()
+    }
+    ct, cr, dc = {}, {}, {}
+    for i, t, *_ in rows:
+        if t is None:
+            continue
+        for g in grams(t):
+            b = bucket[g]
+            if split[i] == 0:
+                ct[b] = ct.get(b, 0) + 1
+            else:
+                cr[b] = cr.get(b, 0) + 1
+                dc.setdefault(i, {})[b] = dc[i].get(b, 0) + 1 if i in dc else 1
+    nt, nr = sum(ct.values()), sum(cr.values())
+    q12 = Decimal("1e-12")
+
+    def logdec(c, n):
+        return Decimal(repr(math.log((c + 1) / float(n + _DSIR_BUCKETS)))).quantize(
+            q12, rounding=ROUND_HALF_UP
+        )
+
+    for i, counts in dc.items():
+        lr = sum(
+            n * (logdec(ct.get(b, 0), nt) - logdec(cr.get(b, 0), nr))
+            for b, n in counts.items()
+        )
+        lr = float(lr)
+        assert out[i].n_feats == sum(counts.values()), i
+        assert out[i].dsir_logratio == round(lr, 6), (i, out[i], lr)
+        assert out[i].selected == (lr > 0.0), i

@@ -92,7 +92,16 @@ _TABLES = {
          (2, _d(0, 30), 1, "purchase", 5.0, None),
          (3, _d(1), None, "click", None, '{"k": 2}'),
          (4, None, 2, "view", 3.0, "{}"),
-         (5, _d(2), 2, None, 4.0, '{"k": null}')],
+         (5, _d(2), 2, None, 4.0, '{"k": null}'),
+         # NULL-ts click AND purchase: merge_asof raises on NaT join
+         # keys, so the cogrouped as-of must route them around the
+         # merge (round-9 review) — SQL keeps the NULL-ts purchase row
+         (6, None, 1, "click", 2.0, None),
+         (7, None, 2, "purchase", 6.0, None),
+         # NULL-user purchase AFTER the NULL-user click (event 3):
+         # cogroup groups NULL keys together, so the as-of must attach
+         # that click — equality-correlated SQL would yield NULL
+         (8, _d(3), None, "purchase", 7.0, None)],
     ),
     # embeddings with the three malformed-vector shapes the round-6
     # probe used: NULL vector, zero vector (+ NULL label), NULL element
@@ -122,7 +131,11 @@ _PREFIXES = (
     "tpch_", "join_", "agg_", "window_", "setop_", "sort_", "subquery_",
     "pivot_", "unpivot_", "topk_", "pricing_", "temporal_", "scalar_",
     "profile_", "funnel_", "lateral_", "diagnostic_", "cohort_",
-    "timeseries_", "sql_",
+    # round-9 part-6 review: the udf_ family was never swept here —
+    # its Python kernels carry their own NULL handling (pandas NaN/NaT
+    # round-trips, merge_asof NaT keys) that the oracle gate can't see
+    # on the NULL-free driver corpus
+    "timeseries_", "sql_", "udf_",
 )
 
 #: Embedding-family queries swept IN ADDITION to the prefix families

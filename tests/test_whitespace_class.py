@@ -168,6 +168,7 @@ _DOCUMENTS_ONLY_QUERIES = [
     "stats_mad_outliers",
     "text_ngram_novelty",
     "text_vocab_oov_rate",
+    "mixture_dsir_importance",
     "mixture_js_divergence_by_source",
     "mixture_resample_by_lang",
     "mixture_temperature_weights",
