@@ -217,20 +217,41 @@ def minhash_signatures(
     )
     hashed = df.select(F.col(id_col), guarded.alias("__hs"))
 
-    def _family_min(a: int, b: int):
-        return F.array_min(
-            F.transform(
-                F.col("__hs"),
-                lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(_MINHASH_P)),
-            )
+    # TWO transforms over coefficient struct arrays compute the family
+    # mins (round 9): the previous shape built num_hashes independent
+    # array_min(transform(...)) expressions. A SINGLE transform would
+    # be the smallest plan, but CollapseProject inlines a
+    # single-consumer alias regardless of cost, so __hs (the expensive
+    # base-hash transform) would re-evaluate once per coefficient —
+    # measured 3.7x slower at sf0.1. Two consumers keep the
+    # non-cheap alias materialized (the same CollapseProject contract
+    # the 64-expression form relied on) while collapsing 64 compiled
+    # expressions into 2; the fold arithmetic is unchanged, so
+    # signatures are value-identical.
+    all_coeffs = _minhash_coeffs(num_hashes)
+    halves = [all_coeffs[: num_hashes // 2], all_coeffs[num_hashes // 2 :]]
+    sig_parts = [
+        F.transform(
+            F.array(
+                *[
+                    F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+                    for a, b in half
+                ]
+            ),
+            lambda c: F.array_min(
+                F.transform(
+                    F.col("__hs"),
+                    lambda h: F.pmod(c.a * h + c.b, F.lit(_MINHASH_P)),
+                )
+            ),
         )
-
-    return hashed.select(
-        id_col,
-        F.array(
-            *[_family_min(a, b) for a, b in _minhash_coeffs(num_hashes)]
-        ).alias("signature"),
+        for half in halves
+        if half
+    ]
+    signature = (
+        F.concat(*sig_parts) if len(sig_parts) > 1 else sig_parts[0]
     )
+    return hashed.select(id_col, signature.alias("signature"))
 
 
 def lsh_banded(

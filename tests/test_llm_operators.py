@@ -1298,3 +1298,68 @@ def test_dsir_importance_replays_and_selects_target_like_docs(spark, tmp_path):
         assert out[i].n_feats == sum(counts.values()), i
         assert out[i].dsir_logratio == round(lr, 6), (i, out[i], lr)
         assert out[i].selected == (lr > 0.0), i
+
+
+def test_gopher_rules_planted_fixture_flips_every_rule(spark, tmp_path):
+    """text_gopher_rules (built round 9, registration deferred to the
+    round-10 window — see the llm.py comment): a planted corpus flips
+    every rule both ways, and the Spark output must equal the DuckDB
+    oracle on the same fixture (the driver can't check an unregistered
+    query, so the differential lives here until round 10)."""
+    import duckdb
+
+    from rabbithole_spark.queries.llm import (
+        _GOPHER_ORACLE,
+        text_gopher_rules,
+    )
+
+    filler = "data table scan merge join batch value column group row"
+    good = ("the a " + filler + " ") * 6            # 62 words, stopwords ok
+    short = "the a " + filler                        # 12 words
+    symbols = ("the a " + filler + " ### ## # ") * 6  # >10% symbol words
+    bullets = "\n".join("- the a " + filler for _ in range(10))
+    ellipses = "\n".join(
+        ("the a " + filler + ("..." if i < 4 else ""))
+        for i in range(10)
+    )
+    digits = ("the a " + "123 456 789 101 112 131 415 161 718 192 ") * 6
+    longw = ("the a " + ("x" * 15 + " ") * 10) * 6  # mean ~12.8 > 10
+    nostop = (filler + " ") * 6
+    rows = [
+        (1, good), (2, short), (3, symbols), (4, bullets),
+        (5, ellipses), (6, digits), (7, longw), (8, nostop),
+        (9, None), (10, "   \t  "),
+    ]
+    spark.createDataFrame(
+        [(i, t, "en", "src", len(t) if t else None) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+
+    out = {r.doc_id: r for r in text_gopher_rules(spark, str(tmp_path)).collect()}
+    assert 9 not in out and 10 in out
+    assert out[10].n_words == 0 and out[10].mean_word_len is None
+    assert out[1].keep is True
+    assert out[2].r_word_count is False and out[2].keep is False
+    assert out[3].r_symbol_ratio is False and out[3].r_word_count is True
+    assert out[4].r_bullet_lines is False
+    assert out[5].r_ellipsis_lines is False and out[5].r_bullet_lines is True
+    assert out[6].r_alpha_words is False
+    assert out[7].r_mean_len is False and out[7].r_alpha_words is True
+    assert out[8].r_stopwords is False and out[8].r_mean_len is True
+    # full differential vs the oracle on the same fixture
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet/*.parquet'"
+    )
+    cur = con.execute(_GOPHER_ORACLE)
+    cols = [d[0] for d in cur.description]
+    orows = {r[cols.index("doc_id")]: dict(zip(cols, r)) for r in cur.fetchall()}
+    assert set(orows) == set(out)
+    for i, r in out.items():
+        for c in cols:
+            sv, ov = getattr(r, c), orows[i][c]
+            if isinstance(sv, float):
+                assert abs(sv - ov) < 1e-9, (i, c, sv, ov)
+            else:
+                assert sv == ov, (i, c, sv, ov)

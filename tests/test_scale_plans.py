@@ -550,3 +550,32 @@ def test_random_projection_single_transform_broadcast_matrix(spark):
     assert plan.count("transform(signs") == 1, plan
     m = re.search(r"Output \[18\]: \[[^\]]*proj#(\d+)\[0\]", plan)
     assert m, plan
+
+
+def test_minhash_signature_base_hashes_materialize_once(spark):
+    """The signature stage's base-hash array must stay a MATERIALIZED
+    alias in its own Project (two outer transforms = two consumers, so
+    CollapseProject keeps the non-cheap alias). If a refactor drops to
+    one consumer, CollapseProject inlines it regardless of cost and
+    the shingle hashing re-evaluates once per coefficient — measured
+    3.7x slower at sf0.1 (round-9 NOTES). Pin the alias and the
+    two-transform shape."""
+    from pyspark.sql import functions as F
+
+    from rabbithole_spark.operators.dedup import (
+        minhash_signatures,
+        word_shingles,
+    )
+    from rabbithole_spark.session import table
+
+    d = table(spark, SF, "documents").filter(F.col("text").isNotNull())
+    sh = d.select("doc_id", word_shingles(F.col("text"), 3).alias("shingles"))
+    plan = (
+        minhash_signatures(sh, "doc_id", "shingles", 64)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "AS __hs#" in plan, plan[:2000]
+    # the base-hash expression exists exactly once in the whole plan
+    assert plan.count("xxhash64") == 1, plan.count("xxhash64")
+    # and the signature is two outer transforms over coefficient arrays
+    assert plan.count("array_min(transform(") == 2, plan[:2000]
