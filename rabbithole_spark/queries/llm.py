@@ -6097,7 +6097,8 @@ _GOPHER_DOC = (
     "display-rounded mean word length. Scale shape: pure row-local "
     "scalar expressions over one scan — zero shuffles, zero joins, "
     "the cheapest possible 100 TB filter pass. Tokenization uses the "
-    "shared [ \\t\\n\\r\\f]+ class (== RE2 \\s); the stop-word count "
+    "shared explicit whitespace class (equals RE2 whitespace, "
+    "test_whitespace_class.py); the stop-word count "
     "is a fixed-order sum of array_contains flags (distinct "
     "containment, not occurrences, per the Gopher wording)."
 )
@@ -6121,7 +6122,6 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("long")
     m = d.select(
         "doc_id",
-        F.col("text"),
         w.alias("w"),
         lines.alias("lines"),
         hash_cnt.alias("hash_cnt"),
