@@ -6022,7 +6022,7 @@ WITH d AS (
   SELECT doc_id,
          list_filter(string_split_regex(trim(text), '\s+'),
                      w -> w <> '') AS w,
-         string_split(text, chr(10)) AS lines,
+         string_split_regex(text, '\r?\n') AS lines,
          CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
            AS hash_cnt,
          CAST((length(text) - length(replace(text, '...', ''))) // 3
@@ -6104,12 +6104,24 @@ _GOPHER_DOC = (
 )
 
 
-def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+def text_gopher_rules(
+    spark: SparkSession,
+    sf_dir: str,
+    stopwords: tuple[str, ...] = _CORPUS_STOPWORDS,
+) -> DataFrame:
+    """Rule filter over ``documents``; ``stopwords`` parameterizes the
+    containment rule (Gopher's English list ``_GOPHER_STOPWORDS`` for
+    natural-language corpora; the registered default is the driver
+    corpus's function words so both rule branches stay live — the
+    oracle replays the default)."""
     d = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     w = F.filter(
         F.split(F.trim(F.col("text")), r"[ \t\n\r\f]+"), lambda x: x != ""
     )
-    lines = F.split(F.col("text"), "\n")
+    # \r?\n delimiter: CRLF text must not leave a trailing \r on the
+    # line (Java's $ matches BEFORE a final line terminator where
+    # RE2's does not — round-9 review, empirically confirmed)
+    lines = F.split(F.col("text"), "\r?\n")
     hash_cnt = (
         F.length("text") - F.length(F.replace(F.col("text"), F.lit("#")))
     ).cast("long")
@@ -6147,7 +6159,9 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(
             F.filter(
                 F.col("lines"),
-                lambda x: F.trim(x).rlike(r"(\.\.\.|…)$"),
+                # \z = absolute end (Java $ also matches before a
+                # final \r/\n/\u2028..., RE2 $ does not)
+                lambda x: F.trim(x).rlike("(\\.\\.\\.|…)\\z"),
             )
         ).cast("long").alias("ell_lines"),
         sum(
@@ -6155,7 +6169,7 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.array_contains(
                     F.transform(F.col("w"), F.lower), F.lit(sw)
                 ).cast("long")
-                for sw in _CORPUS_STOPWORDS
+                for sw in stopwords
             ],
             F.lit(0).cast("long"),
         ).alias("n_stop"),

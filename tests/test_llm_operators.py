@@ -1325,10 +1325,18 @@ def test_gopher_rules_planted_fixture_flips_every_rule(spark, tmp_path):
     digits = ("the a " + "123 456 789 101 112 131 415 161 718 192 ") * 6
     longw = ("the a " + ("x" * 15 + " ") * 10) * 6  # mean ~12.8 > 10
     nostop = (filler + " ") * 6
+    # CRLF variant of the ellipsis doc: Java's $ matches before the
+    # trailing \r that a bare \n split leaves behind, RE2's does not
+    # (round-9 review) — both the \r?\n line split and the \z anchor
+    # must keep the engines aligned
+    crlf = "\r\n".join(
+        ("the a " + filler + ("..." if i < 4 else ""))
+        for i in range(10)
+    )
     rows = [
         (1, good), (2, short), (3, symbols), (4, bullets),
         (5, ellipses), (6, digits), (7, longw), (8, nostop),
-        (9, None), (10, "   \t  "),
+        (9, None), (10, "   \t  "), (11, crlf),
     ]
     spark.createDataFrame(
         [(i, t, "en", "src", len(t) if t else None) for i, t in rows],
@@ -1346,6 +1354,18 @@ def test_gopher_rules_planted_fixture_flips_every_rule(spark, tmp_path):
     assert out[6].r_alpha_words is False
     assert out[7].r_mean_len is False and out[7].r_alpha_words is True
     assert out[8].r_stopwords is False and out[8].r_mean_len is True
+    assert out[11].r_ellipsis_lines is False and out[11].n_lines == 10
+    # the paper's English list is a real parameter: under it the
+    # corpus-function-word docs fail the stop-word rule (only 'the')
+    from rabbithole_spark.queries.llm import _GOPHER_STOPWORDS
+
+    paper = {
+        r.doc_id: r.r_stopwords
+        for r in text_gopher_rules(
+            spark, str(tmp_path), stopwords=_GOPHER_STOPWORDS
+        ).collect()
+    }
+    assert paper[1] is False and out[1].r_stopwords is True
     # full differential vs the oracle on the same fixture
     con = duckdb.connect()
     con.execute(
