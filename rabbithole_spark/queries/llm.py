@@ -6210,3 +6210,94 @@ def text_gopher_rules(
             & r_stop
         ).alias("keep"),
     )
+
+
+# --- weighted sampling without replacement (Efraimidis-Spirakis) -----------------
+
+#: E-S sampler split tag: 2^47 stays disjoint from the winnow (2^44),
+#: shard (2^45) and DSIR (2^46) domains for doc ids below 2^44
+_ES_TAG = 1 << 47
+
+#: fixed sample size (k < corpus size at every SF)
+_ES_K = 100
+
+#: Laplace-style weight floor: quality_score is a discrete {0, .3, .4,
+#: .7, 1} heuristic and CAN be exactly 0; the floor keeps zero-score
+#: docs sampleable (w > 0 is E-S's precondition) and avoids the
+#: ln(u)/0 = -inf key edge entirely
+_ES_W_FLOOR = 0.1
+
+_ES_M = 1 << 53  # u = (h mod 2^53 + 1) / 2^53: exact double, in (0, 1]
+
+_ES_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         {{q}} AS quality,
+         (((({{h}}) % {_ES_M}) + {_ES_M}) % {_ES_M} + 1)
+           / CAST({_ES_M} AS DOUBLE) AS u
+  FROM documents
+  WHERE text IS NOT NULL
+), keyed AS (
+  SELECT doc_id, lang, quality,
+         ln(u) / (quality + {_ES_W_FLOOR}) AS es_key
+  FROM scored
+)
+SELECT doc_id, lang, round(quality, 6) AS quality,
+       round(es_key, 6) AS es_key
+FROM keyed
+ORDER BY es_key DESC, doc_id
+LIMIT {_ES_K}
+"""
+
+
+def _es_oracle() -> str:
+    return _ES_ORACLE.format(
+        q=_QUALITY_CASE_SQL,
+        h=xxh64_long_sql(f"(doc_id + {_ES_TAG})"),
+    )
+
+
+# REGISTRATION DEFERRED TO ROUND 10 (same window arithmetic as
+# text_gopher_rules — round 10 adds @register("sample_weighted_no_replacement",
+# oracle=_es_oracle(), doc=_ES_DOC) + priority slot + SHUFFLE_BUDGETS
+# entry (0) + whitespace-sweep membership; displacing an r6 refresh
+# row for it is safe, unlike this round's r5 block).
+_ES_DOC = (
+    "Weighted sampling WITHOUT replacement, exactly k docs "
+    "(Efraimidis & Spirakis 2006): each doc draws a deterministic "
+    "uniform u from a domain-tagged xxhash64 (u = (h mod 2^53 + 1) / "
+    "2^53, exact in double) and is ranked by ln(u)/w — the top-k by "
+    "that key IS a weighted sample without replacement, where w = "
+    "quality_score + 0.1 (floored: the discrete heuristic can be "
+    "exactly 0 and E-S requires w > 0). Unlike "
+    "sample_quality_weighted (independent Bernoulli keeps, "
+    "variable-size output), this yields a FIXED-SIZE sample — the "
+    "eval-set construction primitive. Deterministic end-to-end: no "
+    "RNG state, replayable byte-for-byte, ties broken by doc_id. "
+    "Scale shape: key assignment is scan-local; the only 'sort' is "
+    "TakeOrderedAndProject bounded by k, never a global sort — at "
+    "100 TB this is one map pass + a k-row reduction."
+)
+
+
+def sample_weighted_no_replacement(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    q = quality_score(F.col("text"))
+    u = (
+        F.pmod(F.xxhash64(F.col("doc_id") + F.lit(_ES_TAG)), F.lit(_ES_M))
+        + 1
+    ) / F.lit(float(_ES_M))
+    key = F.log(u) / (q + F.lit(_ES_W_FLOOR))
+    return (
+        d.select("doc_id", "lang", q.alias("quality"), key.alias("es_key"))
+        .orderBy(F.col("es_key").desc(), F.col("doc_id"))
+        .limit(_ES_K)
+        .select(
+            "doc_id",
+            "lang",
+            F.round("quality", 6).alias("quality"),
+            F.round("es_key", 6).alias("es_key"),
+        )
+    )

@@ -1383,3 +1383,69 @@ def test_gopher_rules_planted_fixture_flips_every_rule(spark, tmp_path):
                 assert abs(sv - ov) < 1e-9, (i, c, sv, ov)
             else:
                 assert sv == ov, (i, c, sv, ov)
+
+
+def test_es_weighted_sample_replays_and_skews_to_weight(spark, tmp_path):
+    """sample_weighted_no_replacement (built round 9, registration
+    deferred to round 10): on a planted corpus of half high-quality /
+    half zero-quality docs, a Python replay of the E-S key (ln(u)/w
+    from the query's own hash) must reproduce the exact selected set
+    and order, and the fixed-size sample must skew toward the
+    high-weight half (P(select high) ~ 11x P(select low) per E-S with
+    w 1.1 vs 0.1)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from rabbithole_spark.queries.llm import (
+        _ES_K,
+        _ES_M,
+        _ES_TAG,
+        _ES_W_FLOOR,
+        sample_weighted_no_replacement,
+    )
+    from rabbithole_spark.operators.text_analysis import quality_score
+
+    # high-quality text: 50-10000 chars, low punct, has stopwords;
+    # zero-quality: short, punct-heavy, no stopwords
+    hi = "the quick brown fox jumps over the lazy dog and runs on " * 3
+    lo = "!!!???"
+    rows = [
+        (i, hi if i % 2 == 0 else lo, "en", "src", None) for i in range(400)
+    ] + [(400, None, "en", "src", None)]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+
+    out = sample_weighted_no_replacement(spark, str(tmp_path)).collect()
+    assert len(out) == _ES_K
+    assert all(r.doc_id != 400 for r in out)  # NULL text excluded
+
+    # replay: u and quality from the query's own Spark expressions,
+    # key + top-k selection re-derived in Python
+    probe = (
+        spark.read.parquet(str(tmp_path / "documents.parquet"))
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            quality_score(F.col("text")).alias("q"),
+            F.pmod(
+                F.xxhash64(F.col("doc_id") + F.lit(_ES_TAG)), F.lit(_ES_M)
+            ).alias("hm"),
+        )
+        .collect()
+    )
+    keyed = sorted(
+        (
+            (-(math.log((r.hm + 1) / float(_ES_M)) / (r.q + _ES_W_FLOOR)), r.doc_id)
+            for r in probe
+        ),
+    )[:_ES_K]
+    assert [d for _, d in keyed] == [r.doc_id for r in out]
+
+    n_hi = sum(1 for r in out if r.doc_id % 2 == 0)
+    # with w=1.1 vs 0.1 over 200/200 docs and k=100, the high-weight
+    # half dominates; anything under 80 would mean the weights are
+    # not steering the sample
+    assert n_hi >= 80, n_hi
