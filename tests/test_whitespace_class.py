@@ -187,6 +187,9 @@ _DOCUMENTS_ONLY_QUERIES = [
     "sample_quality_weighted",
     "sample_stratified_by_lang",
     "sample_uniform_documents",
+    # round-10 registrations (built r9): both documents-only
+    "sample_weighted_no_replacement",
+    "text_gopher_rules",
     "scalar_array_funcs",
     "shard_shuffle_assignment",
     "source_overlap_matrix",
