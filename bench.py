@@ -118,10 +118,12 @@ def etl_throughput(spark, sf_dir: str) -> dict:
             }
         )
         runners = compile_pipeline(spark, spec, os.path.join(tmp, "ckpt"))
+        steal0 = _steal_jiffies()
         start = time.perf_counter()
         for q in runners[0].start(available_now=True):
             q.awaitTermination(600)
         wall = time.perf_counter() - start
+        steal1 = _steal_jiffies()
         con = sqlite3.connect(db)
         written = con.execute("SELECT count(*) FROM events_out").fetchone()[0]
         con.close()
@@ -131,9 +133,30 @@ def etl_throughput(spark, sf_dir: str) -> dict:
             "rows_per_sec": round(written / wall, 1),
             "complete": written == n,
             "io_dir": "tmpfs" if io_dir else "disk",
+            "steal_jiffies": (
+                steal1 - steal0
+                if steal0 is not None and steal1 is not None
+                else None
+            ),
         }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _steal_jiffies() -> int | None:
+    """Cumulative hypervisor-steal jiffies from /proc/stat (col 8).
+
+    This box's load average misses the dominant noise source: host-
+    level CPU steal (round-10 measurement — single-thread CPU work
+    swung 8x while loadavg sat at 0; /proc/stat showed 1.4M cumulative
+    steal jiffies). Sampling steal around each ETL run lets the
+    recording say whether a slow run was the engine or the host."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        return int(parts[8]) if len(parts) > 8 else None
+    except (OSError, ValueError, IndexError):
+        return None
 
 
 def _is_contended(load=None) -> bool:
@@ -198,6 +221,36 @@ def main() -> None:
     canary_before = cpu_canary()
 
     spark = get_spark(app_name="rabbithole-spark-bench")
+
+    # ETL probe FIRST (round 10): both r10 diagnostic bench runs showed
+    # the box ~1.5x slower by bench end (cpu_canary 0.28 -> 0.43 on a
+    # zero-load box — sustained-load throttling/steal), and the probe's
+    # single-thread callback work is maximally exposed to it. The
+    # engine number belongs in the quietest slot, right after the
+    # quiet-wait. Protocol per run block is unchanged (one untimed
+    # warm-up, median of three); if the block's spread exceeds 1.3 it
+    # is re-measured up to twice and the tightest block is recorded
+    # (same wait-for-quiet philosophy, applied to the probe window).
+    try:
+        etl_throughput(spark, sf_dir)  # warm-up, discarded
+        best = None
+        for _ in range(3):
+            runs = [etl_throughput(spark, sf_dir) for _ in range(3)]
+            rates = sorted(r["rows_per_sec"] for r in runs)
+            block = next(r for r in runs if r["rows_per_sec"] == rates[1])
+            block["rows_per_sec_runs"] = [r["rows_per_sec"] for r in runs]
+            block["spread"] = (
+                round(rates[-1] / rates[0], 3) if rates[0] else None
+            )
+            block["steal_jiffies_runs"] = [r["steal_jiffies"] for r in runs]
+            if best is None or (block["spread"] or 9e9) < (best["spread"] or 9e9):
+                best = block
+            if block["spread"] is not None and block["spread"] <= 1.3:
+                break
+        etl = best
+    except Exception as exc:  # throughput probe must not kill the bench
+        etl = {"error": f"{type(exc).__name__}: {exc}"[:200]}
+
     specs = load_all()
     names = [n for n in HEADLINE if n in specs] or sorted(specs)
 
@@ -255,23 +308,6 @@ def main() -> None:
             tpch[name] = round(time.perf_counter() - start, 4)
         except Exception as exc:
             failures[name] = f"{type(exc).__name__}: {exc}"[:200]
-
-    # Pinned ETL-probe protocol (round-4): one untimed warm-up run pays
-    # the streaming plan's codegen compile, then three measured runs;
-    # the headline is the MEDIAN-rate run, with all three rates
-    # attached so the spread is visible. Measured quiet-run spread with
-    # this protocol is recorded in NOTES.md.
-    try:
-        etl_throughput(spark, sf_dir)  # warm-up, discarded
-        runs = [etl_throughput(spark, sf_dir) for _ in range(3)]
-        rates = sorted(r["rows_per_sec"] for r in runs)
-        etl = next(r for r in runs if r["rows_per_sec"] == rates[1])
-        etl["rows_per_sec_runs"] = [r["rows_per_sec"] for r in runs]
-        etl["spread"] = (
-            round(rates[-1] / rates[0], 3) if rates[0] else None
-        )
-    except Exception as exc:  # throughput probe must not kill the bench
-        etl = {"error": f"{type(exc).__name__}: {exc}"[:200]}
 
     total = round(sum(timings.values()), 4)
     payload = {

@@ -64,6 +64,28 @@ def dead_letter_split(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     return good, dead
 
 
+def _batch_params(batch_df: DataFrame, positional: bool) -> list:
+    """Micro-batch rows as executemany parameters (dicts or tuples).
+
+    Arrow transfer (``toArrow().to_pylist()`` — native Python values,
+    None for NULL: byte-identical to what collect()/asDict() binds),
+    with row-at-a-time collect() as the fallback for types Arrow can't
+    carry. The Arrow path is not just faster: driver-side ``collect()``
+    called from the foreachBatch callback thread DEGRADES across a
+    JVM's lifetime (round-10 measurement: identical 400k-row batches
+    went 10.7 -> 18.1 -> 38.6 -> 47.5 s run-over-run, all of it inside
+    addBatch, while plain driver collect stayed at 1.5 s and the Arrow
+    path held 1.9-2.2 s with zero drift over 5 runs), so the fallback
+    is a correctness escape hatch, not an equivalent choice."""
+    try:
+        dicts = batch_df.toArrow().to_pylist()
+    except Exception:
+        rows = batch_df.collect()
+        return [tuple(row) if positional else row.asDict() for row in rows]
+    # dicts preserve schema column order, so tuple(values) == tuple(row)
+    return [tuple(d.values()) for d in dicts] if positional else dicts
+
+
 def sql_sink(
     url: str,
     query: str,
@@ -76,6 +98,7 @@ def sql_sink(
     (plans.mapper). Rows bind as named dicts (``:name`` placeholders)
     or positional tuples (``?``), executemany'd in chunks of
     ``policy.size_limit`` (write-amplification parity with sql.py:98).
+    Rows reach the driver via Arrow (see :func:`_batch_params`).
 
     Error policy = reference sql.py:99-105: log the query and the
     error, drop the batch, keep the stream alive.
@@ -103,12 +126,9 @@ def sql_sink(
     def callback(batch_df: DataFrame, batch_id: int) -> None:
         import sqlite3
 
-        rows = batch_df.collect()
-        if not rows:
+        params = _batch_params(batch_df, positional)
+        if not params:
             return
-        params = [
-            tuple(row) if positional else row.asDict() for row in rows
-        ]
         try:
             con = sqlite3.connect(db_path)
             try:
@@ -174,7 +194,10 @@ def idempotent_sqlite_table_sink(
     def callback(batch_df: DataFrame, batch_id: int) -> None:
         import sqlite3
 
-        rows = [tuple(r) + (batch_id,) for r in batch_df.select(*columns).collect()]
+        rows = [
+            r + (batch_id,)
+            for r in _batch_params(batch_df.select(*columns), positional=True)
+        ]
         con = sqlite3.connect(db_path)
         try:
             with con:  # one transaction: replay-safe
