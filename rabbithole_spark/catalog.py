@@ -55,6 +55,14 @@ _QUERY_MODULES = (
 #: prefix. Names
 #: absent from this list follow in registration order; names listed
 #: but not registered are ignored.
+#:
+#: CAPACITY (round 10): 200 registered queries at 50 checks/round is
+#: the exact saturation point of the 4-round invariant — every query
+#: is refreshed on a fixed 4-round cycle with zero slack. A 201st
+#: registration makes the invariant unsatisfiable; adding one
+#: requires retiring one (or relaxing the horizon). The registry is
+#: complete against SURVEY.md §2, so this is a completion marker, not
+#: a constraint being fought.
 _PRIORITY_ORDER = (
     # round-10 window, slots 0-49 (recomputed from the union of
     # CORRECTNESS_r01-r09 as the registry sorted by (latest external

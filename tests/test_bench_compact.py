@@ -18,8 +18,10 @@ def _payload(failures):
         "unit": "sec",
         "value_warm": 6.6,
         "etl": {"rows": 400000, "sec": 9.0, "rows_per_sec": 44000.0,
-                "complete": True, "rows_per_sec_runs": [1.0, 2.0, 3.0],
-                "spread": 1.05},
+                "complete": True, "io_dir": "tmpfs",
+                "rows_per_sec_runs": [41000.5, 44000.0, 47000.5],
+                "spread": 1.146, "steal_jiffies": 84,
+                "steal_jiffies_runs": [84, 60, 5]},
         "tpch_total": 21.5,
         "tpch_count": 20,
         "sf": 0.1,
