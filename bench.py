@@ -62,7 +62,17 @@ def etl_throughput(spark, sf_dir: str) -> dict:
     from rabbithole_spark.session import table
 
     shm = "/dev/shm"
-    io_dir = shm if os.path.isdir(shm) and os.access(shm, os.W_OK) else None
+    io_dir = None
+    if os.path.isdir(shm) and os.access(shm, os.W_OK):
+        try:
+            st = os.statvfs(shm)
+            # spool (~70 MB) + sqlite + checkpoint with headroom; a
+            # small tmpfs (Docker defaults to 64 MB) must fall back to
+            # disk, not ENOSPC the probe away (round-10 review)
+            if st.f_bavail * st.f_frsize >= 512 * 1024 * 1024:
+                io_dir = shm
+        except OSError:
+            pass
     tmp = tempfile.mkdtemp(prefix="bench_etl_", dir=io_dir)
     spool, db = os.path.join(tmp, "spool"), os.path.join(tmp, "out.sqlite")
     try:
@@ -269,6 +279,11 @@ def main() -> None:
     # queries_cold_first keeps the first-invocation numbers (the r1-r8
     # "queries" semantics) for cross-round comparison; queries_warm
     # keeps its protocol: a repeat write of the last compiled plan.
+    # CAVEAT (round 10): the ETL probe now precedes this block, so the
+    # JVM enters it warmer (streaming jobs, not these batch plans —
+    # the per-query codegen still compiles cold here) than in r1-r9;
+    # treat r10+ cold_first vs earlier rounds as a slightly favorable
+    # comparison and prefer the median/warm columns across that seam.
     timings: dict[str, float] = {}
     cold_first: dict[str, float] = {}
     warm: dict[str, float] = {}

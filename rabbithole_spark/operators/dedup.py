@@ -90,6 +90,11 @@ def connected_components(
                 ).alias("component"),
             )
         )
+        # materialize the propagation result BEFORE the doubling
+        # self-join: both join sides read it, and without the cut the
+        # edge-join + groupBy subtree would execute twice per round
+        # (round-10 review)
+        new_labels = new_labels.localCheckpoint(eager=True)
         # pointer doubling: follow one's label to ITS label. component
         # is always a node id (initialized to self, only ever replaced
         # by a smaller node id), so the self-join resolves every row;

@@ -76,14 +76,37 @@ def _batch_params(batch_df: DataFrame, positional: bool) -> list:
     went 10.7 -> 18.1 -> 38.6 -> 47.5 s run-over-run, all of it inside
     addBatch, while plain driver collect stayed at 1.5 s and the Arrow
     path held 1.9-2.2 s with zero drift over 5 runs), so the fallback
-    is a correctness escape hatch, not an equivalent choice."""
+    is a correctness escape hatch, not an equivalent choice.
+
+    Two value-parity details (round-10 review): Arrow returns
+    timestamps tz-AWARE (UTC) where collect() returns naive
+    driver-local datetimes — sqlite's default adapter would serialize
+    those differently — so aware datetimes are normalized to the
+    collect() form; and positional tuples are built column-wise, not
+    through per-row dicts, so duplicate column names keep their arity
+    (dict construction would silently drop one binding)."""
     try:
-        dicts = batch_df.toArrow().to_pylist()
+        tbl = batch_df.toArrow()
     except Exception:
         rows = batch_df.collect()
         return [tuple(row) if positional else row.asDict() for row in rows]
-    # dicts preserve schema column order, so tuple(values) == tuple(row)
-    return [tuple(d.values()) for d in dicts] if positional else dicts
+    import pyarrow as pa
+
+    cols = [c.to_pylist() for c in tbl.columns]
+    for i, field in enumerate(tbl.schema):
+        if pa.types.is_timestamp(field.type):
+            cols[i] = [
+                v.astimezone().replace(tzinfo=None)
+                if v is not None and v.tzinfo is not None
+                else v
+                for v in cols[i]
+            ]
+    if not cols:
+        return []
+    if positional:
+        return list(zip(*cols))
+    names = tbl.schema.names
+    return [dict(zip(names, vals)) for vals in zip(*cols)]
 
 
 def sql_sink(

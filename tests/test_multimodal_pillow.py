@@ -4,9 +4,10 @@ The multimodal queries pin their *plumbing* with a deterministic fake
 decoder because no codec library ships in this container. This module
 pins the REAL decode path whenever Pillow is importable: the fixture
 PNGs are built from stdlib zlib (real, spec-conformant PNG bytes —
-deterministic, no Pillow needed to construct them), so the encoded
-bytes are pinned by hash in every environment and the pixel-exact
-decode assertions activate the moment the codec is present.
+deterministic, no Pillow needed to construct them), so the decoded
+pixel content is pinned by a stored hash in every environment and the
+pixel-exact decode assertions activate the moment the codec is
+present.
 
 PNG container layout per the W3C spec: 8-byte signature, IHDR
 (width/height/bitdepth/colortype), IDAT (zlib-compressed scanlines,
@@ -56,17 +57,44 @@ SOLID = [[(7, 11, 13)] * 3 for _ in range(2)]  # 3x2 solid color
 
 
 def test_png_fixture_bytes_are_pinned():
-    """The crafted PNGs are deterministic in every environment — the
-    Pillow-gated assertions below always run against these exact
-    bytes, so a green Pillow run elsewhere certifies THIS fixture."""
-    assert (
-        hashlib.sha256(make_png(GRID)).hexdigest()
-        == hashlib.sha256(make_png(GRID)).hexdigest()
-    )
-    assert make_png(SOLID)[:8] == b"\x89PNG\r\n\x1a\n"
-    # IHDR dims round-trip without any decoder
-    w, h = struct.unpack(">II", make_png(GRID)[16:24])
-    assert (w, h) == (8, 5)
+    """The fixture's DECODED CONTENT is pinned to stored constants in
+    every environment: the IDAT payload must decompress to the exact
+    scanline stream whose sha256 is recorded here. (The compressed
+    bytes themselves may legally differ across zlib builds — what a
+    green Pillow run elsewhere certifies is this pixel content, which
+    zlib round-trips losslessly by contract.)"""
+    pinned = {
+        # sha256 of the filter-byte-0 scanline stream, row-major RGB8
+        "grid": (
+            GRID,
+            8,
+            5,
+            "d420db77ba094fb824241f24b682350157d5dfba"
+            "4a4530a9136a9b6424072fa6",
+        ),
+        "solid": (
+            SOLID,
+            3,
+            2,
+            "268d935a4ffdfd30f2c8814c95d91630b87f48fc"
+            "0a51dbb2dce0ea411b657292",
+        ),
+    }
+    for name, (pixels, ew, eh, digest) in pinned.items():
+        png = make_png(pixels)
+        assert png[:8] == b"\x89PNG\r\n\x1a\n", name
+        w, h = struct.unpack(">II", png[16:24])
+        assert (w, h) == (ew, eh), name
+        # walk chunks without any decoder; IDAT must round-trip to the
+        # pinned scanlines
+        pos, idat = 8, b""
+        while pos < len(png):
+            (ln,) = struct.unpack(">I", png[pos : pos + 4])
+            tag = png[pos + 4 : pos + 8]
+            if tag == b"IDAT":
+                idat += png[pos + 8 : pos + 8 + ln]
+            pos += 12 + ln
+        assert hashlib.sha256(zlib.decompress(idat)).hexdigest() == digest, name
 
 
 needs_pillow = pytest.mark.skipif(
