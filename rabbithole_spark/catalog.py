@@ -64,76 +64,17 @@ _QUERY_MODULES = (
 #: complete against SURVEY.md §2, so this is a completion marker, not
 #: a constraint being fought.
 _PRIORITY_ORDER = (
-    # round-10 window, slots 0-49 (recomputed from the union of
-    # CORRECTNESS_r01-r09 as the registry sorted by (latest external
-    # round, name)): slots 0-1 = the 2 round-10 NEW registrations
-    # (text_gopher_rules + sample_weighted_no_replacement, both built
-    # and 3-SF oracle-verified in round 9 with registration deferred —
-    # the never-checked prefix); slots 2-49 = the 48 queries whose
-    # latest external row is round 6 (the staleness frontier once
-    # CORRECTNESS_r10 lands), alphabetical. The window is exactly
-    # full: agg_hll_sketch_union (estimate expression changed r9,
-    # r8-latest so safe until round 12) keeps leading the below-cut
-    # region — its changed expression carries a documented one-round
-    # external-verification gap (r9 ADVICE, accepted) and is first in
-    # line for the round-11 window. Below the cut otherwise: the 50
-    # r7 rows, 49 r8 rows, then the 50 rows checked in round 9, each
-    # block alphabetical.
-    "text_gopher_rules",
-    "sample_weighted_no_replacement",
-    # --- latest external row: round 6 ---
-    "agg_cube",
-    "agg_distinct_pairs",
-    "agg_having",
-    "agg_kll_quantile_sketch",
-    "agg_median_iqr",
-    "dedup_edit_distance_prefix_sparse",
-    "join_anti_no_big_order",
-    "join_asof_events",
-    "join_cross_region_nation",
-    "layout_zorder_clustering",
-    "pivot_event_counts",
-    "scalar_array_funcs",
-    "scalar_array_hof",
-    "scalar_conditional",
-    "scalar_json_funcs",
-    "scalar_math_funcs",
-    "scalar_null_semantics",
-    "scalar_string_funcs",
-    "scalar_variant_json",
-    "setop_except",
-    "setop_except_all",
-    "setop_intersect",
-    "setop_intersect_all",
-    "setop_union_all",
-    "setop_union_distinct",
-    "shard_shuffle_assignment",
-    "sketch_tolerance_audit",
-    "sort_limit_top_orders",
-    "sort_nulls_first",
-    "source_overlap_matrix",
-    "stream_count_or_time_sizes",
-    "stream_ingest_dedup_against_corpus",
-    "stream_stream_full_outer",
-    "subquery_correlated",
-    "subquery_scalar",
-    "text_winnow_fingerprints",
-    "topk_per_group",
-    "tpch_q13_customer_distribution",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_quantity",
-    "tpch_q19_disjunctive_pushdown",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q22_global_sales_opportunity",
-    "tpch_q7_nation_volume",
-    "tpch_q8_market_share",
-    "unpivot_customer_metrics",
-    "window_distribution",
-    "window_lag_lead",
-    # --- below the cut: expression changed r9, r8-latest — first in
-    # line for the round-11 window (documented one-round gap) ---
-    "agg_hll_sketch_union",
-    # --- latest external row: round 7 ---
+    # round-11 window, slots 0-49 (recomputed from the union of
+    # CORRECTNESS_r01-r10): exactly the 50 queries whose latest
+    # external row is round 7 — they reach the 4-round staleness
+    # deadline this round, and the 200-query/50-slot saturation
+    # (CAPACITY note above) leaves zero slack for off-cycle picks.
+    # Overlap with the r10 window: 0 names. agg_hll_sketch_union
+    # (expression changed r9, latest external row r8 — the documented
+    # one-round verification gap, r9 ADVICE) is alphabetically FIRST
+    # in the r8 block immediately below the cut, i.e. leads the
+    # round-12 window, the last round inside its own deadline.
+    # --- latest external row: round 7 (the round-11 window) ---
     "agg_approx_percentile",
     "agg_conditional",
     "agg_event_stats",
@@ -184,7 +125,9 @@ _PRIORITY_ORDER = (
     "window_rank_orders",
     "window_running_totals",
     "window_session_per_user",
-    # --- latest external row: round 8 ---
+    # --- latest external row: round 8 (the round-12 window;
+    # agg_hll_sketch_union leads it alphabetically) ---
+    "agg_hll_sketch_union",
     "contamination_semantic_screen",
     "corpus_snapshot_diff",
     "curriculum_phase_stats",
@@ -285,6 +228,57 @@ _PRIORITY_ORDER = (
     "tpch_q4_exists_shape",
     "tpch_q6_revenue_delta",
     "window_sliding_hourly",
+    # --- latest external row: round 10 ---
+    "agg_cube",
+    "agg_distinct_pairs",
+    "agg_having",
+    "agg_kll_quantile_sketch",
+    "agg_median_iqr",
+    "dedup_edit_distance_prefix_sparse",
+    "join_anti_no_big_order",
+    "join_asof_events",
+    "join_cross_region_nation",
+    "layout_zorder_clustering",
+    "pivot_event_counts",
+    "sample_weighted_no_replacement",
+    "scalar_array_funcs",
+    "scalar_array_hof",
+    "scalar_conditional",
+    "scalar_json_funcs",
+    "scalar_math_funcs",
+    "scalar_null_semantics",
+    "scalar_string_funcs",
+    "scalar_variant_json",
+    "setop_except",
+    "setop_except_all",
+    "setop_intersect",
+    "setop_intersect_all",
+    "setop_union_all",
+    "setop_union_distinct",
+    "shard_shuffle_assignment",
+    "sketch_tolerance_audit",
+    "sort_limit_top_orders",
+    "sort_nulls_first",
+    "source_overlap_matrix",
+    "stream_count_or_time_sizes",
+    "stream_ingest_dedup_against_corpus",
+    "stream_stream_full_outer",
+    "subquery_correlated",
+    "subquery_scalar",
+    "text_gopher_rules",
+    "text_winnow_fingerprints",
+    "topk_per_group",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity",
+    "tpch_q19_disjunctive_pushdown",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_global_sales_opportunity",
+    "tpch_q7_nation_volume",
+    "tpch_q8_market_share",
+    "unpivot_customer_metrics",
+    "window_distribution",
+    "window_lag_lead",
 )
 
 

@@ -32,6 +32,7 @@ from rabbithole_spark.streaming.sinks import (
     dead_letter_split,
     idempotent_jdbc_table_sink,
     jdbc_table_sink,
+    sharded_sql_sink,
     sql_sink,
 )
 from rabbithole_spark.streaming.sources import (
@@ -274,12 +275,29 @@ def compile_pipeline(
             query = dst_ref.kwargs.get("query")
             if not query:
                 raise PipelineError(f"sql output {dst.name!r} needs a query")
-            callback = sql_sink(
-                _require(dst.kwargs, "url", dst.name),
-                query,
-                policy=spec.policy,
-                positional=mapper.positional,
-            )
+            # ``shards: N`` (block- or flow-level; flow wins) upgrades
+            # the driver-funnel single-connection sink to the
+            # partition-parallel sharded writer — same query/parameter
+            # contract, N sqlite shard files written executor-side
+            # (sinks.sharded_sql_sink; ``setup`` DDL runs per shard)
+            merged_sql = {**dst.kwargs, **dst_ref.kwargs}
+            shards = int(merged_sql.get("shards", 1))
+            if shards > 1:
+                callback = sharded_sql_sink(
+                    _require(dst.kwargs, "url", dst.name),
+                    query,
+                    shards=shards,
+                    policy=spec.policy,
+                    positional=mapper.positional,
+                    setup=merged_sql.get("setup"),
+                )
+            else:
+                callback = sql_sink(
+                    _require(dst.kwargs, "url", dst.name),
+                    query,
+                    policy=spec.policy,
+                    positional=mapper.positional,
+                )
 
             def writer_factory(df: DataFrame, _cb=callback):
                 return df.writeStream.foreachBatch(_cb).trigger(

@@ -85,11 +85,43 @@ def _batch_params(batch_df: DataFrame, positional: bool) -> list:
     collect() form; and positional tuples are built column-wise, not
     through per-row dicts, so duplicate column names keep their arity
     (dict construction would silently drop one binding)."""
-    try:
-        tbl = batch_df.toArrow()
-    except Exception:
+    if not batch_df.columns:
+        # Zero-column edge (ADVICE r10): Spark's toArrow() drops the
+        # row count for a no-column relation (0x0 table where collect()
+        # yields one empty Row per row), so the Arrow path cannot
+        # represent this batch — bind through collect() for parity.
+        # Unreachable from compile_pipeline (the mapper always selects
+        # >=1 column), but the two paths must agree for direct callers.
         rows = batch_df.collect()
         return [tuple(row) if positional else row.asDict() for row in rows]
+    try:
+        tbl = batch_df.toArrow()
+    except Exception as exc:
+        # The fallback is a correctness escape hatch with a documented
+        # 10-25x lifetime degradation — a stream living on it must say
+        # so (ADVICE r10): warn per batch with the exception type so an
+        # operator can see both that it engaged and why.
+        LOGGER.warning(
+            "Arrow transfer failed (%s: %s) — falling back to collect(); "
+            "sustained use of this path degrades across the JVM lifetime",
+            type(exc).__name__,
+            exc,
+        )
+        rows = batch_df.collect()
+        return [tuple(row) if positional else row.asDict() for row in rows]
+    return _arrow_params(tbl, positional)
+
+
+def _arrow_params(tbl, positional: bool) -> list:
+    """Arrow table -> executemany parameter sets (shared by the
+    driver-funnel path and the executor-side sharded writer).
+
+    to_pylist() yields native Python values (None for NULL) —
+    byte-identical to what collect()/asDict() binds — except
+    timestamps, which Arrow hands back tz-AWARE (UTC) where collect()
+    returns naive driver-local datetimes: normalize to the collect()
+    form so both paths serialize identically. Positional tuples are
+    built column-wise so duplicate column names keep their arity."""
     import pyarrow as pa
 
     cols = [c.to_pylist() for c in tbl.columns]
@@ -101,8 +133,6 @@ def _batch_params(batch_df: DataFrame, positional: bool) -> list:
                 else v
                 for v in cols[i]
             ]
-    if not cols:
-        return []
     if positional:
         return list(zip(*cols))
     names = tbl.schema.names
@@ -163,6 +193,113 @@ def sql_sink(
         except Exception as exc:  # reference: log twice, swallow, continue
             LOGGER.error("Query execution error (batch %s dropped):\n%s", batch_id, query)
             LOGGER.error(str(exc))
+
+    return callback
+
+
+def sharded_sql_sink(
+    url: str,
+    query: str,
+    shards: int = 8,
+    policy: BatchPolicy | None = None,
+    positional: bool = False,
+    setup: str | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """Partition-parallel parameterized-SQL sink over N sqlite shard
+    files — the scale (and steal-robust) upgrade of :func:`sql_sink`.
+
+    sql_sink funnels every row through ONE driver-side connection and
+    executemany loop (reference parity with sql.py:41-46's single
+    shared SQLAlchemy connection) — a single Python thread whose
+    throughput collapses under host CPU steal (VERDICT r10: the same
+    probe recorded 20.9k rows/s under the driver vs 84-114k on quiet
+    windows). This sink keeps sqlite's single-writer-per-file
+    constraint but shards it: the micro-batch is round-robin
+    repartitioned N ways and each executor task writes its partition
+    to ``<db>.shard-NNNN`` over its own connection via Arrow batches
+    (``mapInArrow`` — no rows ever cross the driver). N concurrent
+    writers mean one stalled thread no longer gates the whole batch,
+    and the write path scales with executors instead of the driver.
+
+    Per-shard semantics match the reference contract:
+
+    - ``query`` executes executemany in ``policy.size_limit`` chunks
+      (write-amplification parity with sql.py:98);
+    - a shard whose SQL fails is rolled back atomically (one
+      transaction per shard per batch), logged, and DROPPED while the
+      stream continues — sql.py:99-105's at-most-once error swallow
+      at shard granularity;
+    - ``setup`` (optional DDL, e.g. ``CREATE TABLE IF NOT EXISTS ...``)
+      runs on every shard connection first, since shard files are
+      created on demand.
+
+    Readers union the shards (``ATTACH`` or glob + UNION ALL); a
+    downstream consumer wanting one file can fold the shards in a
+    single-threaded pass off the hot path. On a real cluster the shard
+    files land on executor-local disks — use :func:`jdbc_table_sink`
+    (server database) when a single queryable target is required.
+    """
+    policy = policy or BatchPolicy()
+    if shards < 1:
+        raise ValueError(f"shards must be >= 1, got {shards}")
+    if not url.startswith("sqlite:///"):
+        raise ValueError(f"sharded_sql_sink supports sqlite:/// URLs, got {url!r}")
+    db_path = url[len("sqlite:///") :]
+    if db_path == ":memory:":
+        raise ValueError(
+            "sqlite:///:memory: cannot work with per-task connections — "
+            "use a file path"
+        )
+
+    def callback(batch_df: DataFrame, batch_id: int) -> None:
+        chunks = policy.chunks
+
+        def write_partition(batches):
+            import logging
+            import sqlite3
+
+            import pyarrow as pa
+
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            shard_path = f"{db_path}.shard-{pid:04d}"
+            written = 0
+            con = sqlite3.connect(shard_path)
+            try:
+                if setup:
+                    con.executescript(setup)
+                    con.commit()
+                with con:  # one transaction: a failed shard drops atomically
+                    for rb in batches:
+                        params = _arrow_params(
+                            pa.Table.from_batches([rb]), positional
+                        )
+                        for chunk in chunks(params):
+                            con.executemany(query, chunk)
+                            written += len(chunk)
+            except Exception as exc:  # sql.py:99-105 parity, per shard
+                logging.getLogger(__name__).error(
+                    "Query execution error (batch %s shard %s dropped):\n%s",
+                    batch_id,
+                    pid,
+                    query,
+                )
+                logging.getLogger(__name__).error(str(exc))
+                written = 0
+            finally:
+                con.close()
+            yield pa.RecordBatch.from_pydict({"rows": [written]})
+
+        # repartition(N) round-robins the micro-batch across exactly N
+        # tasks (even shards, one small shuffle); the agg drives the
+        # job and brings back ONE row — no data crosses the driver
+        (
+            batch_df.repartition(shards)
+            .mapInArrow(write_partition, "rows long")
+            .agg(F.sum("rows").alias("written"))
+            .collect()
+        )
 
     return callback
 

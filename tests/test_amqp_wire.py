@@ -201,6 +201,14 @@ class MiniAmqpServer:
         with self.lock:
             self.messages.append((exchange, content_type, body))
 
+    def requeue_front(self, exchange: str, content_type: str, body: bytes):
+        """Broker-side requeue: basic_nack(requeue=True) from another
+        consumer (or a dropped non-auto-ack consumer) puts the message
+        back at the HEAD of the queue with redelivered=1 — the ordering
+        a real broker presents to the next Basic.Get."""
+        with self.lock:
+            self.messages.insert(0, (exchange, content_type, body, True))
+
     def _serve(self):
         try:
             conn, _ = self.sock.accept()
@@ -300,13 +308,14 @@ class MiniAmqpServer:
                         _method(channel, BASIC_GET_EMPTY, _shortstr(""))
                     )
                     continue
-                exchange, content_type, body = msg
+                exchange, content_type, body = msg[:3]
+                redelivered = bool(msg[3]) if len(msg) > 3 else False
                 delivery_tag += 1
                 conn.sendall(
                     _method(
                         channel,
                         BASIC_GET_OK,
-                        struct.pack(">QB", delivery_tag, 0)
+                        struct.pack(">QB", delivery_tag, int(redelivered))
                         + _shortstr(exchange)
                         + _shortstr("")
                         + struct.pack(">I", remaining),
@@ -572,6 +581,40 @@ def test_wire_replay_contract_is_at_most_once():
     replay = list(reader.readBetweenOffsets(reader.initialOffset(), offset))
     assert replay == []
     reader.commit(offset)  # must not raise
+
+
+def test_wire_redelivered_message_ordering_under_count_cap():
+    """Broker redelivery x count-cap flush (VERDICT r10 item 4): a
+    message nacked-with-requeue by another consumer (amqp.py:109's
+    basic_nack is the reference's only nack; requeue=False there, but
+    a shared queue can still hand this reader redeliveries from OTHER
+    consumers' requeues) comes back at the QUEUE HEAD with
+    redelivered=1. The reader must (a) decode the GetOk frame with the
+    redelivered bit set, (b) deliver it in queue order — first in the
+    next count-capped batch, before younger messages — and (c) count
+    it against the cap and the offset like any delivery (at-most-once:
+    the duplicate row is the dead-letter/dedup stage's problem, per
+    the documented delivery contract)."""
+    msgs = [
+        ("logs", "application/json", b'{"i": 0}'),
+        ("logs", "application/json", b'{"i": 1}'),
+        ("logs", "application/json", b'{"i": 2}'),
+    ]
+    server = MiniAmqpServer(msgs)
+    reader = _wire_reader(server, max_messages=2)
+    rows1, offset1 = reader.read(reader.initialOffset())
+    rows1 = list(rows1)
+    assert [r[2] for r in rows1] == ['{"i": 0}', '{"i": 1}']
+    # broker requeues message 1 (another consumer's nack w/ requeue)
+    server.requeue_front("logs", "application/json", b'{"i": 1}')
+    rows2, offset2 = reader.read(offset1)
+    rows2 = list(rows2)
+    # queue-order: the redelivered head message precedes i=2, and the
+    # count cap still flushes at 2 — the cap counts redeliveries too
+    assert [r[2] for r in rows2] == ['{"i": 1}', '{"i": 2}']
+    assert offset2 == {"delivered": 4}
+    assert server.errors == []
+    assert all(g["no_ack"] for g in server.gets)  # ack-before-write
 
 
 def test_real_pika_against_scripted_server():

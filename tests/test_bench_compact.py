@@ -71,12 +71,24 @@ def test_compact_line_never_loses_headline_metrics():
 
 
 def test_contended_gate_single_definition():
-    """The recorded flag and the wait gate share one expression: a
-    quiet snapshot is not contended, a busy one is, evaluated through
-    the same function the gate polls."""
-    assert not _is_contended([0.0, 0.0, 0.0])
-    assert _is_contended([1e9, 0.0, 0.0])
-    assert _is_contended([0.0, 1e9, 0.0])
+    """The recorded flag and the wait gate share one expression, and
+    since round 11 (VERDICT r10 item 2) the gate trips on ANY of
+    loadavg, hypervisor steal, or the cpu canary — loadavg alone
+    misses this box's dominant noise source (host steal)."""
+
+    def sig(load=(0.0, 0.0, 0.0), steal=0, canary=0.28):
+        return {
+            "loadavg": list(load),
+            "steal_jiffies_per_5s": steal,
+            "canary_sec": canary,
+        }
+
+    assert not _is_contended(sig())
+    assert _is_contended(sig(load=(1e9, 0.0, 0.0)))
+    assert _is_contended(sig(load=(0.0, 1e9, 0.0)))
+    assert _is_contended(sig(steal=10_000))  # steal trips with loadavg at 0
+    assert _is_contended(sig(canary=0.45))  # throttling trips both at 0
+    assert not _is_contended(sig(steal=None))  # missing /proc/stat: no trip
 
 
 def test_compact_line_pathological_residual_falls_back_to_minimal():

@@ -594,3 +594,58 @@ def test_minhash_signature_base_hashes_materialize_once(spark):
     assert plan.count("xxhash64") == 1, plan.count("xxhash64")
     # and the signature is two outer transforms over coefficient arrays
     assert plan.count("array_min(transform(") == 2, plan[:2000]
+
+
+def test_shuffle_budgets_hold_across_parallelism_sweep(spark):
+    """VERDICT r10 item 7: local[32] with one shuffle-partition setting
+    can mask plan shapes that differ on a real cluster (AQE coalescing
+    hides skew; a budget met at 8 partitions might be exceeded when
+    the planner sees 4x the parallelism). Sweep the 5 most
+    shuffle-heavy registered queries at 4x and 0.25x the test default
+    and assert (a) the pinned exchange budget holds at every setting
+    and (b) the RESULT is partitioning-invariant (exact row equality —
+    the decimal-cast numeric policy makes aggregation associative-
+    exact, so any drift here is a real partitioning bug, not float
+    reorder noise)."""
+    from rabbithole_spark.catalog import load_all
+
+    from tests.shuffle_budgets import SHUFFLE_BUDGETS
+
+    heavy = [
+        "dedup_jaccard_prefix_filter",   # budget 8
+        "pipeline_curation_full",        # budget 7
+        "dedup_minhash_lsh",             # budget 4
+        "contamination_ngram_overlap",   # budget 4
+        "dedup_semantic_semdedup",       # budget 4
+    ]
+    specs = load_all()
+    default = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        results: dict[str, dict[str, list]] = {n: {} for n in heavy}
+        for setting in (default, str(int(default) * 4),
+                        str(max(1, int(default) // 4))):
+            spark.conf.set("spark.sql.shuffle.partitions", setting)
+            for name in heavy:
+                df = specs[name].fn(spark, SF)
+                plan = (
+                    df._jdf.queryExecution().executedPlan().toString()
+                )
+                n_exchanges = sum(
+                    1
+                    for line in plan.splitlines()
+                    if "Exchange " in line
+                    and "Broadcast" not in line
+                    and "Reused" not in line
+                )
+                assert n_exchanges <= SHUFFLE_BUDGETS[name], (
+                    name, setting, n_exchanges)
+                cols = sorted(df.columns)
+                results[name][setting] = sorted(
+                    tuple(str(r[c]) for c in cols) for r in df.collect()
+                )
+        for name, by_setting in results.items():
+            vals = list(by_setting.values())
+            assert all(v == vals[0] for v in vals), (
+                f"{name}: result varies with shuffle partitioning")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", default)

@@ -550,3 +550,157 @@ def test_jdbc_plain_flow_appends_and_missing_table_is_config_error(
     }))
     with pytest.raises(PipelineError):
         compile_pipeline(spark, bad, str(tmp_path / "ckpt_bad"))
+
+
+def test_batch_params_timestamp_parity_with_collect(spark):
+    """Arrow-path value parity for timestamps (ADVICE r10): Arrow hands
+    back tz-AWARE UTC datetimes where collect() returns naive
+    driver-local ones — _batch_params normalizes them, and this pins
+    that the normalized values (incl. NULL timestamps) are
+    byte-identical to the collect() binding in BOTH modes."""
+    from pyspark.sql import functions as F
+
+    from rabbithole_spark.streaming.sinks import _batch_params
+
+    df = spark.createDataFrame(
+        [
+            (1, "2024-03-01 10:30:00.123", 1.5, "a"),
+            (2, None, None, None),
+            (3, "1999-12-31 23:59:59", -2.0, "z"),
+        ],
+        "id long, ts_raw string, v double, s string",
+    ).withColumn("ts", F.to_timestamp("ts_raw")).drop("ts_raw")
+
+    want_pos = [tuple(r) for r in df.collect()]
+    want_named = [r.asDict() for r in df.collect()]
+    assert _batch_params(df, positional=True) == want_pos
+    assert _batch_params(df, positional=False) == want_named
+    # sanity: a real (non-NULL) timestamp actually flowed through the
+    # tz-normalization branch as a naive datetime
+    ts_vals = [row[3] for row in want_pos if row[0] == 1]
+    assert ts_vals[0] is not None and ts_vals[0].tzinfo is None
+
+
+def test_batch_params_zero_column_and_fallback_warning(spark, caplog):
+    """Two edges pinned by ADVICE r10: rows-with-no-columns must bind
+    one empty parameter set per row on BOTH paths (collect() parity),
+    and an Arrow-transfer failure must WARN (with the exception type)
+    when the collect() fallback engages, not degrade silently."""
+    import logging
+
+    from rabbithole_spark.streaming.sinks import _batch_params
+
+    df = spark.range(3)
+    zero_cols = df.drop("id")
+    assert _batch_params(zero_cols, positional=True) == [(), (), ()]
+    assert _batch_params(zero_cols, positional=False) == [{}, {}, {}]
+
+    broken = spark.range(2).selectExpr("id", "id * 2 AS twice")
+    broken.toArrow = lambda: (_ for _ in ()).throw(  # type: ignore[method-assign]
+        RuntimeError("simulated arrow failure")
+    )
+    with caplog.at_level(logging.WARNING, logger="rabbithole_spark.streaming.sinks"):
+        out = _batch_params(broken, positional=True)
+    assert out == [(0, 0), (1, 2)]
+    assert any(
+        "RuntimeError" in rec.message and "collect()" in rec.message
+        for rec in caplog.records
+    )
+
+
+def _shard_rows(db_path, sql):
+    import glob
+
+    rows = []
+    for shard in sorted(glob.glob(db_path + ".shard-*")):
+        con = sqlite3.connect(shard)
+        rows.extend(con.execute(sql).fetchall())
+        con.close()
+    return rows
+
+
+def test_sharded_sql_sink_end_to_end(spark, spool, tmp_path):
+    """shards: N through the YAML surface — same flow contract as the
+    driver-funnel sink (demux, decode, dead-letter, mapper) but the
+    rows land executor-side across N sqlite shard files whose union is
+    exactly the single-sink result."""
+    db_path = str(tmp_path / "out.sqlite")
+    cfg = _config(spool, db_path)
+    cfg["flows"][0][1]["kwargs"]["shards"] = 4
+    cfg["flows"][0][1]["kwargs"]["setup"] = (
+        "CREATE TABLE IF NOT EXISTS logs (timestamp TEXT, message TEXT)"
+    )
+    spec = PipelineSpec.from_dict(cfg)
+    runners = compile_pipeline(
+        spark, spec, str(tmp_path / "ckpt"),
+        dead_letter_dir=str(tmp_path / "dlq"),
+    )
+    for q in runners[0].start(available_now=True):
+        q.awaitTermination(120)
+
+    rows = sorted(_shard_rows(db_path, "SELECT timestamp, message FROM logs"))
+    assert len(rows) == 7  # bad row dead-lettered, metrics demuxed away
+    assert rows[0] == ("2024-01-01T00:00:00", "msg-0")
+    assert all(m.startswith("msg-") for _, m in rows)
+    import glob
+    import os
+
+    shard_files = glob.glob(db_path + ".shard-*")
+    assert 1 < len(shard_files) <= 4  # actually sharded (7 rows, 4 ways)
+    assert not os.path.exists(db_path)  # no driver-funnel file
+
+
+def test_sharded_sql_sink_error_swallowed_per_shard(spark, spool, tmp_path):
+    """A shard whose SQL fails rolls back atomically and is dropped
+    while the stream stays alive — sql.py:99-105 parity at shard
+    granularity."""
+    db_path = str(tmp_path / "out.sqlite")
+    cfg = _config(spool, db_path)
+    cfg["flows"][0][1]["kwargs"]["shards"] = 3
+    # setup creates a table that does NOT match the INSERT -> every
+    # shard's transaction fails and is swallowed
+    cfg["flows"][0][1]["kwargs"]["setup"] = (
+        "CREATE TABLE IF NOT EXISTS wrong (x TEXT)"
+    )
+    spec = PipelineSpec.from_dict(cfg)
+    runners = compile_pipeline(spark, spec, str(tmp_path / "ckpt"))
+    for q in runners[0].start(available_now=True):
+        q.awaitTermination(120)  # must terminate cleanly, not raise
+    counts = _shard_rows(db_path, "SELECT count(*) FROM wrong")
+    assert counts and all(c == (0,) for c in counts)  # rolled back, dropped
+
+
+def test_sharded_sink_matches_driver_funnel_values(spark, tmp_path):
+    """Direct-callback parity: the sharded writer binds the same values
+    (incl. NULLs and floats) as sql_sink's driver funnel — only the
+    file layout differs."""
+    from pyspark.sql import functions as F
+
+    from rabbithole_spark.streaming.batcher import BatchPolicy
+    from rabbithole_spark.streaming.sinks import sharded_sql_sink, sql_sink
+
+    df = spark.range(50).select(
+        F.col("id"),
+        F.when(F.col("id") % 7 != 0, F.col("id") * 1.5).alias("v"),
+        F.concat(F.lit("row-"), F.col("id")).alias("s"),
+    )
+    ddl = "CREATE TABLE IF NOT EXISTS t (id INTEGER, v REAL, s TEXT)"
+    single = str(tmp_path / "single.sqlite")
+    con = sqlite3.connect(single)
+    con.execute(ddl)
+    con.commit()
+    con.close()
+    insert = "INSERT INTO t VALUES (?, ?, ?)"
+    policy = BatchPolicy(size_limit=16)
+    sql_sink(f"sqlite:///{single}", insert, policy=policy, positional=True)(df, 0)
+    sharded = str(tmp_path / "sharded.sqlite")
+    sharded_sql_sink(
+        f"sqlite:///{sharded}", insert, shards=5, policy=policy,
+        positional=True, setup=ddl,
+    )(df, 0)
+
+    con = sqlite3.connect(single)
+    want = sorted(con.execute("SELECT id, v, s FROM t").fetchall())
+    con.close()
+    got = sorted(_shard_rows(sharded, "SELECT id, v, s FROM t"))
+    assert got == want and len(want) == 50
