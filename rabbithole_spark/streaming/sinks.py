@@ -304,6 +304,46 @@ def sharded_sql_sink(
     return callback
 
 
+def fold_sqlite_shards(db_path: str, table: str, setup: str | None = None) -> int:
+    """Merge ``<db_path>.shard-*`` files (written by
+    :func:`sharded_sql_sink`) into one queryable ``db_path`` — the
+    off-hot-path consolidation for consumers that want a single file
+    instead of a shard union. Driver-side single-threaded by design
+    (sqlite is single-writer-per-file); run it after the stream
+    quiesces, not per batch. Returns rows copied. ``setup`` (DDL) runs
+    on the target first; shard files are left in place (delete them
+    after validating the fold)."""
+    import glob
+    import sqlite3
+
+    if not _SQL_IDENT.match(table):
+        raise ValueError(f"invalid SQL identifier: {table!r}")
+    shards = sorted(glob.glob(db_path + ".shard-*"))
+    con = sqlite3.connect(db_path)
+    copied = 0
+    try:
+        if setup:
+            con.executescript(setup)
+            con.commit()
+        for shard in shards:
+            # ATTACH/DETACH must run outside a transaction (sqlite
+            # rejects them mid-transaction); the copy itself is one
+            # transaction per shard, so an interrupted fold restarts
+            # at a shard boundary
+            con.execute("ATTACH DATABASE ? AS shard", (shard,))
+            try:
+                with con:
+                    cur = con.execute(
+                        f"INSERT INTO main.{table} SELECT * FROM shard.{table}"
+                    )
+                    copied += cur.rowcount
+            finally:
+                con.execute("DETACH DATABASE shard")
+    finally:
+        con.close()
+    return copied
+
+
 def jdbc_table_sink(
     url: str, table: str, mode: str = "append", options: dict | None = None
 ) -> Callable[[DataFrame, int], None]:

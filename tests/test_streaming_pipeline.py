@@ -704,3 +704,34 @@ def test_sharded_sink_matches_driver_funnel_values(spark, tmp_path):
     con.close()
     got = sorted(_shard_rows(sharded, "SELECT id, v, s FROM t"))
     assert got == want and len(want) == 50
+
+
+def test_fold_sqlite_shards_into_single_file(tmp_path):
+    """The off-hot-path consolidation of sharded_sql_sink output: fold
+    copies every shard row into one target file (restartable at shard
+    boundaries), creating the table via setup DDL."""
+    from rabbithole_spark.streaming.sinks import fold_sqlite_shards
+
+    db = str(tmp_path / "out.sqlite")
+    rows_per_shard = {0: [(1, "a"), (2, "b")], 1: [(3, "c")], 2: []}
+    for pid, rows in rows_per_shard.items():
+        con = sqlite3.connect(f"{db}.shard-{pid:04d}")
+        con.execute("CREATE TABLE t (id INTEGER, s TEXT)")
+        con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+        con.commit()
+        con.close()
+
+    copied = fold_sqlite_shards(
+        db, "t", setup="CREATE TABLE IF NOT EXISTS t (id INTEGER, s TEXT)"
+    )
+    assert copied == 3
+    con = sqlite3.connect(db)
+    assert sorted(con.execute("SELECT id, s FROM t").fetchall()) == [
+        (1, "a"), (2, "b"), (3, "c"),
+    ]
+    con.close()
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="identifier"):
+        fold_sqlite_shards(db, "t; DROP TABLE t")
