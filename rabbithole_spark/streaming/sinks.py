@@ -233,11 +233,18 @@ def sharded_sql_sink(
       runs on every shard connection first, since shard files are
       created on demand.
 
-    Readers union the shards (``ATTACH`` or glob + UNION ALL); a
-    downstream consumer wanting one file can fold the shards in a
-    single-threaded pass off the hot path. On a real cluster the shard
-    files land on executor-local disks — use :func:`jdbc_table_sink`
-    (server database) when a single queryable target is required.
+    Readers union the shards (``ATTACH`` or glob + UNION ALL) or fold
+    them off the hot path (:func:`fold_sqlite_shards`). On a real
+    cluster the shard files land on executor-local disks — use
+    :func:`jdbc_table_sink` (server database) when a single queryable
+    target is required.
+
+    Delivery caveat (beyond sql_sink's at-most-once): the write is an
+    executor-side TASK, so a task retried after its transaction
+    committed (crash between commit and task completion), or a
+    speculative duplicate attempt, re-runs the shard's executemany —
+    duplicates, not loss. Leave speculation off for this sink; for
+    replay-exact targets use the idempotent_* sinks (batch-id-keyed).
     """
     policy = policy or BatchPolicy()
     if shards < 1:
