@@ -106,3 +106,57 @@ def test_never_checked_queries_lead_the_window():
         f"never-externally-checked queries must occupy slots "
         f"0..{len(never) - 1}; found them at {positions}"
     )
+
+
+def test_rotate_window_rule_on_synthetic_history():
+    """scripts/rotate_window.py encodes the rotation rule the invariant
+    above depends on: registry sorted by (latest external round, name),
+    never-checked names first, blocks alphabetical — and its rendering
+    round-trips through the same regex the script uses to splice
+    catalog.py."""
+    import re as _re
+    import sys
+
+    sys.path.insert(0, REPO)
+    from scripts.rotate_window import compute_order, render
+
+    names = ["q_c", "q_a", "q_b", "q_new", "q_old"]
+    latest = {"q_a": 3, "q_b": 2, "q_c": 3, "q_old": 1}  # q_new: never
+    order = compute_order(names, latest)
+    assert order == [
+        (0, ["q_new"]),
+        (1, ["q_old"]),
+        (2, ["q_b"]),
+        (3, ["q_a", "q_c"]),
+    ]
+    rendered = render(order, next_round=4)
+    flat = _re.findall(r'"([a-z0-9_]+)"', rendered)
+    assert flat == ["q_new", "q_old", "q_b", "q_a", "q_c"]
+    assert rendered.startswith("_PRIORITY_ORDER = (")
+    assert rendered.rstrip().endswith(")")
+    # splice-compatibility with the script's own regex
+    m = _re.search(r"_PRIORITY_ORDER = \(.*?\n\)", rendered, _re.S)
+    assert m and m.group(0) == rendered
+
+
+def test_rotate_window_check_runs_against_live_catalog():
+    """--check must parse the live catalog and CORRECTNESS history and
+    return a *decision* (0 = rotated, 1 = rotation due), never a
+    mechanism failure (2 = could not locate/parse _PRIORITY_ORDER).
+    Exit 1 is a VALID state here: the driver drops a new CORRECTNESS
+    file at round end, which makes rotation "due" until the next
+    builder session runs the script — the enforced deadline remains
+    test_no_query_staler_than_four_rounds (which tolerates the
+    in-between rounds the 4-round horizon allows)."""
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "rotate_window.py"),
+         "--check"],
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    assert proc.returncode in (0, 1), proc.stdout + proc.stderr
+    assert "could not locate" not in proc.stdout
