@@ -82,10 +82,16 @@ def etl_throughput(spark, sf_dir: str, shards: int = 8, rep: int | None = None) 
     if os.path.isdir(shm) and os.access(shm, os.W_OK):
         try:
             st = os.statvfs(shm)
-            # spool (~280 MB at rep=16) + sqlite + checkpoint with
-            # headroom; a small tmpfs (Docker defaults to 64 MB) must
-            # fall back to disk, not ENOSPC the probe away (r10 review)
-            if st.f_bavail * st.f_frsize >= 1024 * 1024 * 1024:
+            # Needed space scales with replication (~18 MB of spool per
+            # rep at sf0.1, plus sqlite + checkpoint headroom): rep=4
+            # funnel keeps the old 512 MB gate, rep=16 sharded needs
+            # ~1 GB — a fixed 1 GB gate would push the FUNNEL sample to
+            # disk on mid-sized tmpfs boxes and re-create the very disk
+            # weather the tmpfs move fixed (round-11 review). A small
+            # tmpfs (Docker defaults to 64 MB) must fall back to disk,
+            # not ENOSPC the probe away (r10 review).
+            needed = max(512, 64 * rep) * 1024 * 1024
+            if st.f_bavail * st.f_frsize >= needed:
                 io_dir = shm
         except OSError:
             pass
@@ -278,7 +284,11 @@ def wait_for_quiet(max_wait_sec: float = 600.0, poll_sec: float = 15.0) -> tuple
     SPARK_GRAFT_BENCH_NO_WAIT=1.
     """
     if os.environ.get("SPARK_GRAFT_BENCH_NO_WAIT"):
-        return 0.0, _quiet_signals(sample_sec=0.5)
+        # skip the WAIT loop, not the measurement: a short steal sample
+        # extrapolates x10 and a single 200-jiffy blip would stamp a
+        # quiet run contended (round-11 review) — pay the one full
+        # sample so the recorded signals mean the same thing everywhere
+        return 0.0, _quiet_signals()
     start = time.perf_counter()
     signals = _quiet_signals()
     while _is_contended(signals) and time.perf_counter() - start < max_wait_sec:

@@ -292,11 +292,15 @@ def compile_pipeline(
                     setup=merged_sql.get("setup"),
                 )
             else:
+                # setup applies here too — a flow moving from shards=N
+                # to shards=1 must not silently lose its DDL and have
+                # the error-swallow drop every batch on a missing table
                 callback = sql_sink(
                     _require(dst.kwargs, "url", dst.name),
                     query,
                     policy=spec.policy,
                     positional=mapper.positional,
+                    setup=merged_sql.get("setup"),
                 )
 
             def writer_factory(df: DataFrame, _cb=callback):

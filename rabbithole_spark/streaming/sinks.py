@@ -144,6 +144,7 @@ def sql_sink(
     query: str,
     policy: BatchPolicy | None = None,
     positional: bool = False,
+    setup: str | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch callable executing a parameterized SQL statement.
 
@@ -155,6 +156,12 @@ def sql_sink(
 
     Error policy = reference sql.py:99-105: log the query and the
     error, drop the batch, keep the stream alive.
+
+    ``setup`` (optional DDL, e.g. ``CREATE TABLE IF NOT EXISTS ...``)
+    runs on each batch connection before the insert — the same
+    contract as :func:`sharded_sql_sink`, so a YAML flow can move
+    between shards=1 and shards=N without its ``setup:`` silently
+    stopping to apply (round-11 review finding).
 
     Supported URLs: ``sqlite:///<path>`` (stdlib sqlite3, FILE paths
     only). ``sqlite:///:memory:`` is rejected: each micro-batch opens
@@ -185,6 +192,9 @@ def sql_sink(
         try:
             con = sqlite3.connect(db_path)
             try:
+                if setup:
+                    con.executescript(setup)
+                    con.commit()
                 with con:
                     for chunk in policy.chunks(params):
                         con.executemany(query, chunk)
@@ -272,8 +282,13 @@ def sharded_sql_sink(
             pid = TaskContext.get().partitionId()
             shard_path = f"{db_path}.shard-{pid:04d}"
             written = 0
-            con = sqlite3.connect(shard_path)
+            con = None
+            # connect() sits INSIDE the swallowing try (round-11 review):
+            # an unwritable shard path must drop-and-continue like any
+            # other shard failure, not fail the task and kill the stream
+            # — sql_sink wraps its connect the same way.
             try:
+                con = sqlite3.connect(shard_path)
                 if setup:
                     con.executescript(setup)
                     con.commit()
@@ -295,7 +310,8 @@ def sharded_sql_sink(
                 logging.getLogger(__name__).error(str(exc))
                 written = 0
             finally:
-                con.close()
+                if con is not None:
+                    con.close()
             yield pa.RecordBatch.from_pydict({"rows": [written]})
 
         # repartition(N) round-robins the micro-batch across exactly N
@@ -317,10 +333,17 @@ def fold_sqlite_shards(db_path: str, table: str, setup: str | None = None) -> in
     off-hot-path consolidation for consumers that want a single file
     instead of a shard union. Driver-side single-threaded by design
     (sqlite is single-writer-per-file); run it after the stream
-    quiesces, not per batch. Returns rows copied. ``setup`` (DDL) runs
-    on the target first; shard files are left in place (delete them
-    after validating the fold)."""
+    quiesces, not per batch. Returns rows copied THIS call. ``setup``
+    (DDL) runs on the target first; shard files are left in place
+    (delete them after validating the fold).
+
+    Restart-safe for real (round-11 review): each shard's copy and its
+    row in the ``_fold_done(shard, tbl)`` bookkeeping table commit in
+    ONE transaction, and already-recorded (shard, table) pairs are
+    skipped — re-running after a crash resumes at the first unfolded
+    shard instead of duplicating the folded ones."""
     import glob
+    import os
     import sqlite3
 
     if not _SQL_IDENT.match(table):
@@ -332,16 +355,32 @@ def fold_sqlite_shards(db_path: str, table: str, setup: str | None = None) -> in
         if setup:
             con.executescript(setup)
             con.commit()
+        con.execute(
+            "CREATE TABLE IF NOT EXISTS _fold_done "
+            "(shard TEXT, tbl TEXT, PRIMARY KEY (shard, tbl))"
+        )
+        con.commit()
         for shard in shards:
+            key = os.path.basename(shard)
+            done = con.execute(
+                "SELECT 1 FROM _fold_done WHERE shard = ? AND tbl = ?",
+                (key, table),
+            ).fetchone()
+            if done:
+                continue
             # ATTACH/DETACH must run outside a transaction (sqlite
-            # rejects them mid-transaction); the copy itself is one
-            # transaction per shard, so an interrupted fold restarts
-            # at a shard boundary
+            # rejects them mid-transaction); the copy + its done-marker
+            # are one transaction, so an interrupted fold resumes at
+            # the first shard whose marker never committed
             con.execute("ATTACH DATABASE ? AS shard", (shard,))
             try:
                 with con:
                     cur = con.execute(
                         f"INSERT INTO main.{table} SELECT * FROM shard.{table}"
+                    )
+                    con.execute(
+                        "INSERT INTO _fold_done (shard, tbl) VALUES (?, ?)",
+                        (key, table),
                     )
                     copied += cur.rowcount
             finally:

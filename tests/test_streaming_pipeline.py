@@ -735,3 +735,72 @@ def test_fold_sqlite_shards_into_single_file(tmp_path):
 
     with _pytest.raises(ValueError, match="identifier"):
         fold_sqlite_shards(db, "t; DROP TABLE t")
+
+
+def test_funnel_sink_honors_setup_ddl(spark, spool, tmp_path):
+    """round-11 review finding: a flow moving from shards=N to the
+    shards=1 funnel must not silently lose its setup DDL (the
+    error-swallow would then drop 100% of the data on the missing
+    table) — sql_sink runs setup on each batch connection too."""
+    db_path = str(tmp_path / "out.sqlite")
+    cfg = _config(spool, db_path)  # no table pre-created
+    cfg["flows"][0][1]["kwargs"]["setup"] = (
+        "CREATE TABLE IF NOT EXISTS logs (timestamp TEXT, message TEXT)"
+    )
+    spec = PipelineSpec.from_dict(cfg)
+    runners = compile_pipeline(spark, spec, str(tmp_path / "ckpt"))
+    for q in runners[0].start(available_now=True):
+        q.awaitTermination(120)
+    con = sqlite3.connect(db_path)
+    n = con.execute("SELECT count(*) FROM logs").fetchone()[0]
+    con.close()
+    assert n == 7
+
+
+def test_sharded_sink_swallows_unwritable_shard_path(spark, tmp_path):
+    """round-11 review finding: sqlite3.connect failures (unwritable
+    shard directory, full disk) must drop-and-continue like SQL errors
+    — not fail the mapInArrow task and kill the stream."""
+    from pyspark.sql import functions as F
+
+    from rabbithole_spark.streaming.sinks import sharded_sql_sink
+
+    df = spark.range(10).select(F.col("id"))
+    missing_dir_db = str(tmp_path / "no_such_dir" / "out.sqlite")
+    cb = sharded_sql_sink(
+        f"sqlite:///{missing_dir_db}", "INSERT INTO t VALUES (?)",
+        shards=3, positional=True,
+        setup="CREATE TABLE IF NOT EXISTS t (id INTEGER)",
+    )
+    cb(df, 0)  # must not raise: every shard's connect fails and is dropped
+    import glob
+
+    assert glob.glob(missing_dir_db + ".shard-*") == []
+
+
+def test_fold_sqlite_shards_is_restart_idempotent(tmp_path):
+    """round-11 review finding: re-running a fold (e.g. after a crash)
+    must resume, not duplicate — folded shards are recorded in
+    _fold_done within the same transaction as their copy."""
+    from rabbithole_spark.streaming.sinks import fold_sqlite_shards
+
+    db = str(tmp_path / "out.sqlite")
+    for pid, rows in {0: [(1,), (2,)], 1: [(3,)]}.items():
+        con = sqlite3.connect(f"{db}.shard-{pid:04d}")
+        con.execute("CREATE TABLE t (id INTEGER)")
+        con.executemany("INSERT INTO t VALUES (?)", rows)
+        con.commit()
+        con.close()
+    ddl = "CREATE TABLE IF NOT EXISTS t (id INTEGER)"
+    assert fold_sqlite_shards(db, "t", setup=ddl) == 3
+    assert fold_sqlite_shards(db, "t", setup=ddl) == 0  # full re-run: no-op
+    con = sqlite3.connect(db)
+    assert sorted(con.execute("SELECT id FROM t").fetchall()) == [(1,), (2,), (3,)]
+    con.close()
+    # a NEW shard arriving later still folds on the next run
+    con = sqlite3.connect(f"{db}.shard-0002")
+    con.execute("CREATE TABLE t (id INTEGER)")
+    con.execute("INSERT INTO t VALUES (9)")
+    con.commit()
+    con.close()
+    assert fold_sqlite_shards(db, "t", setup=ddl) == 1
