@@ -32,6 +32,7 @@ from rabbithole_spark.streaming.sinks import (
     dead_letter_split,
     idempotent_jdbc_table_sink,
     jdbc_table_sink,
+    sharded_parquet_sink,
     sharded_sql_sink,
     sql_sink,
 )
@@ -360,15 +361,32 @@ def compile_pipeline(
                     )
 
         elif dst.type == "parquet":
+            # ``shards: N`` (block- or flow-level; flow wins) mirrors
+            # the sql sink's knob for columnar targets: the micro-batch
+            # is written by N executor-parallel parquet writers into a
+            # per-batch partition directory with dynamic overwrite
+            # (sinks.sharded_parquet_sink — exactly-once under replay);
+            # without it, the plain streaming file sink (WAL-tracked
+            # exactly-once, file count follows source parallelism).
+            merged_pq = {**dst.kwargs, **dst_ref.kwargs}
+            pq_shards = int(merged_pq.get("shards", 0))
+            pq_path = _require(dst.kwargs, "path", dst.name)
+            if pq_shards > 1:
+                pq_callback = sharded_parquet_sink(pq_path, shards=pq_shards)
 
-            def writer_factory(
-                df: DataFrame, _path=_require(dst.kwargs, "path", dst.name)
-            ):
-                return (
-                    df.writeStream.format("parquet")
-                    .option("path", _path)
-                    .trigger(**trigger_kwargs)
-                )
+                def writer_factory(df: DataFrame, _cb=pq_callback):
+                    return df.writeStream.foreachBatch(_cb).trigger(
+                        **trigger_kwargs
+                    )
+
+            else:
+
+                def writer_factory(df: DataFrame, _path=pq_path):
+                    return (
+                        df.writeStream.format("parquet")
+                        .option("path", _path)
+                        .trigger(**trigger_kwargs)
+                    )
 
         elif dst.type == "memory":
 

@@ -249,13 +249,23 @@ def sharded_sql_sink(
     :func:`jdbc_table_sink` (server database) when a single queryable
     target is required.
 
-    Delivery caveat (beyond sql_sink's at-most-once): the write is an
-    executor-side TASK, so a task retried after its transaction
-    committed (crash between commit and task completion), or a
-    speculative duplicate attempt, re-runs the shard's executemany —
-    duplicates, not loss. Leave speculation off for this sink; for
-    replay-exact targets use the idempotent_* sinks (batch-id-keyed).
+    Delivery (round-12, closes the ADVICE r11 speculation caveat): the
+    write is an executor-side TASK, so a retried task (crash between
+    commit and task completion) or a speculative duplicate attempt
+    re-enters the shard — each shard file therefore carries a
+    ``_shard_done(batch_id)`` marker committed in the SAME transaction
+    as its rows, and a duplicate attempt skips instead of re-running
+    the executemany. repartition(N) sorts before round-robin
+    (spark.sql.execution.sortBeforeRepartition), so a retried task
+    carries the identical row set and the skip loses nothing: per-shard
+    exactly-once under retry AND speculation. Corollary: restarting a
+    flow against existing shard files with a FRESH checkpoint replays
+    batch ids from 0 and the markers will skip them — shard files
+    share their checkpoint's lifetime (the same contract as every
+    batch-id-keyed idempotent_* sink here).
     """
+    import os
+
     policy = policy or BatchPolicy()
     if shards < 1:
         raise ValueError(f"shards must be >= 1, got {shards}")
@@ -267,6 +277,12 @@ def sharded_sql_sink(
             "sqlite:///:memory: cannot work with per-task connections — "
             "use a file path"
         )
+    # resolve relative paths DRIVER-side at construction (ADVICE r11):
+    # the connect happens inside an executor task, and on a real
+    # cluster each task's cwd is an unpredictable executor scratch dir
+    # — a relative path would scatter shard files where the driver-side
+    # fold_sqlite_shards glob never looks
+    db_path = os.path.abspath(db_path)
 
     def callback(batch_df: DataFrame, batch_id: int) -> None:
         chunks = policy.chunks
@@ -292,14 +308,44 @@ def sharded_sql_sink(
                 if setup:
                     con.executescript(setup)
                     con.commit()
-                with con:  # one transaction: a failed shard drops atomically
-                    for rb in batches:
-                        params = _arrow_params(
-                            pa.Table.from_batches([rb]), positional
+                con.execute(
+                    "CREATE TABLE IF NOT EXISTS _shard_done "
+                    "(batch_id INTEGER PRIMARY KEY)"
+                )
+                con.commit()
+                try:
+                    # marker FIRST: its PK conflict aborts a duplicate
+                    # attempt before any row is re-written, and it
+                    # commits atomically with the rows it covers
+                    with con:  # one transaction: fail -> atomic drop
+                        con.execute(
+                            "INSERT INTO _shard_done (batch_id) VALUES (?)",
+                            (batch_id,),
                         )
-                        for chunk in chunks(params):
-                            con.executemany(query, chunk)
-                            written += len(chunk)
+                        for rb in batches:
+                            params = _arrow_params(
+                                pa.Table.from_batches([rb]), positional
+                            )
+                            for chunk in chunks(params):
+                                con.executemany(query, chunk)
+                                written += len(chunk)
+                except sqlite3.IntegrityError:
+                    if con.execute(
+                        "SELECT 1 FROM _shard_done WHERE batch_id = ?",
+                        (batch_id,),
+                    ).fetchone():
+                        # another attempt already committed this
+                        # (batch, shard): task retry or speculative
+                        # duplicate — skip, rows are already durable
+                        logging.getLogger(__name__).info(
+                            "batch %s shard %s already committed — "
+                            "duplicate attempt skipped",
+                            batch_id,
+                            pid,
+                        )
+                        written = 0
+                    else:  # a USER-data constraint violation: rolled
+                        raise  # back -> the per-shard swallow below
             except Exception as exc:  # sql.py:99-105 parity, per shard
                 logging.getLogger(__name__).error(
                     "Query execution error (batch %s shard %s dropped):\n%s",
@@ -717,3 +763,97 @@ def partitioned_overwrite_sink(
         )
 
     return callback
+
+
+def sharded_parquet_sink(
+    path: str, shards: int = 8, partition_col: str = "__batch_id"
+) -> Callable[[DataFrame, int], None]:
+    """Columnar twin of :func:`sharded_sql_sink` — N executor-parallel
+    parquet writers per micro-batch, for readers that want a scan-able
+    column store downstream instead of the reference-parity SQL target
+    (sql.py:98's executemany contract).
+
+    Where the sqlite twin had to hand-build per-shard writers around
+    sqlite's single-writer-per-file constraint, parquet has no such
+    constraint — so the Spark-FIRST implementation is the built-in
+    parallel parquet writer, not mapInArrow: ``repartition(shards)``
+    fixes the task (= part-file) count, and every task streams its
+    partition straight from the executor (no rows cross the driver,
+    whole path JVM-side columnar).
+
+    Delivery is *exactly-once*, one grade stronger than the sqlite
+    twin's marker-keyed skip: each batch lands in its own
+    ``partition_col=<batch_id>`` directory via DYNAMIC partition
+    overwrite, so a replayed or task-retried batch atomically
+    supersedes its own earlier (possibly partial) attempt and touches
+    no other batch (:func:`partitioned_overwrite_sink`'s mechanism,
+    plus the shard-count contract). Speculation is safe here for free:
+    Spark's file commit protocol already arbitrates duplicate task
+    attempts.
+
+    Reader contract mirrors the sqlite fold/union pair:
+    :func:`read_parquet_shards` is the union (one partition-pruned
+    scan), :func:`fold_parquet_shards` the off-hot-path compaction of
+    the per-batch directory tree into a flat table.
+    """
+    if shards < 1:
+        raise ValueError(f"shards must be >= 1, got {shards}")
+
+    def callback(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn(partition_col, F.lit(batch_id))
+            .repartition(shards)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(partition_col)
+            .parquet(path)
+        )
+
+    return callback
+
+
+def read_parquet_shards(
+    spark, path: str, partition_col: str = "__batch_id"
+) -> DataFrame:
+    """Union reader for :func:`sharded_parquet_sink` output: one scan
+    over the batch-partitioned tree with the bookkeeping column
+    dropped. Incremental consumers instead filter on ``partition_col``
+    and get directory-level partition pruning for free."""
+    return spark.read.parquet(path).drop(partition_col)
+
+
+def fold_parquet_shards(
+    spark,
+    path: str,
+    target_files: int | None = None,
+    partition_col: str = "__batch_id",
+) -> int:
+    """Compact a :func:`sharded_parquet_sink` tree (one directory per
+    micro-batch, ``shards`` part-files each) into a FLAT parquet
+    directory — the columnar analogue of :func:`fold_sqlite_shards`,
+    for consumers that want a plain table and for reclaiming the
+    small-file overhead a long-running stream accumulates.
+
+    Same crash-safe swap as :func:`cdc_compact`: write the folded copy
+    to a sibling, rename old -> trash, move the copy in, remove trash
+    last — a crash at any point leaves a complete tree or a complete
+    snapshot on disk, never neither. QUIESCE THE WRITER FIRST: batches
+    appended between the snapshot read and the swap would be lost, and
+    a post-fold stream restart needs a fresh checkpoint (the flat
+    layout no longer has per-batch partitions to overwrite). Returns
+    the folded row count."""
+    import os
+    import shutil
+    import uuid
+
+    flat = spark.read.parquet(path).drop(partition_col)
+    if target_files is not None:
+        flat = flat.coalesce(target_files)
+    tmp = path.rstrip("/") + "__fold_tmp"
+    flat.write.mode("overwrite").parquet(tmp)
+    n = spark.read.parquet(tmp).count()
+    trash = path.rstrip("/") + f"__fold_old_{uuid.uuid4().hex[:8]}"
+    os.rename(path, trash)
+    os.replace(tmp, path)
+    shutil.rmtree(trash, ignore_errors=True)
+    return n

@@ -804,3 +804,190 @@ def test_fold_sqlite_shards_is_restart_idempotent(tmp_path):
     con.commit()
     con.close()
     assert fold_sqlite_shards(db, "t", setup=ddl) == 1
+
+
+def test_sharded_sink_duplicate_attempt_is_skipped(spark, tmp_path):
+    """round-12 (ADVICE r11): a task retried or speculatively re-run
+    after its shard transaction committed must NOT re-run the
+    executemany — the per-shard _shard_done marker (committed in the
+    same transaction as the rows) turns the duplicate into a skip.
+    Re-invoking the callback with the same batch_id is exactly that
+    replay; a new batch_id still appends."""
+    from pyspark.sql import functions as F
+
+    from rabbithole_spark.streaming.sinks import sharded_sql_sink
+
+    db = str(tmp_path / "out.sqlite")
+    ddl = "CREATE TABLE IF NOT EXISTS t (id INTEGER)"
+    cb = sharded_sql_sink(
+        f"sqlite:///{db}", "INSERT INTO t VALUES (?)",
+        shards=3, positional=True, setup=ddl,
+    )
+    df = spark.range(20).select(F.col("id"))
+    cb(df, 7)
+    cb(df, 7)  # duplicate attempt: every shard skips
+    assert sorted(_shard_rows(db, "SELECT id FROM t")) == [
+        (i,) for i in range(20)
+    ]
+    cb(df, 8)  # a NEW batch id appends normally
+    rows = _shard_rows(db, "SELECT id FROM t")
+    assert len(rows) == 40
+
+
+def test_sharded_sink_resolves_relative_path_driver_side(
+    spark, tmp_path, monkeypatch
+):
+    """round-12 (ADVICE r11): a relative sqlite path must be resolved
+    against the DRIVER's cwd at construction time — executor tasks run
+    in unpredictable cwds on a real cluster, and shard files written
+    there would never be found by fold_sqlite_shards' glob. Build the
+    sink in one cwd, invoke it from another: shards land in the first."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from rabbithole_spark.streaming.sinks import sharded_sql_sink
+
+    build_dir = tmp_path / "build_cwd"
+    other_dir = tmp_path / "task_cwd"
+    build_dir.mkdir()
+    other_dir.mkdir()
+    monkeypatch.chdir(build_dir)
+    cb = sharded_sql_sink(
+        "sqlite:///rel.sqlite", "INSERT INTO t VALUES (?)",
+        shards=2, positional=True,
+        setup="CREATE TABLE IF NOT EXISTS t (id INTEGER)",
+    )
+    monkeypatch.chdir(other_dir)
+    cb(spark.range(5).select(F.col("id")), 0)
+    assert glob.glob(str(build_dir / "rel.sqlite.shard-*"))
+    assert not glob.glob(str(other_dir / "rel.sqlite.shard-*"))
+
+
+def test_sharded_parquet_sink_end_to_end(spark, spool, tmp_path):
+    """round-12: `shards: N` on a parquet output block — the columnar
+    twin of the sharded sql sink through the same YAML surface (demux,
+    decode, dead-letter, mapper). Rows land as N executor-written part
+    files under a per-batch partition directory; the union reader
+    returns exactly the funnel result."""
+    import glob
+
+    from rabbithole_spark.streaming.sinks import read_parquet_shards
+
+    out = str(tmp_path / "pq_out")
+    cfg = _config(spool, str(tmp_path / "unused.sqlite"))
+    cfg["blocks"][1] = {
+        "name": "output", "type": "parquet", "kwargs": {"path": out},
+    }
+    cfg["flows"][0][1]["kwargs"] = {
+        "shards": 4,
+        "parameters": {"timestamp": "timestamp", "message": "message.text"},
+    }
+    spec = PipelineSpec.from_dict(cfg)
+    runners = compile_pipeline(
+        spark, spec, str(tmp_path / "ckpt"),
+        dead_letter_dir=str(tmp_path / "dlq"),
+    )
+    for q in runners[0].start(available_now=True):
+        q.awaitTermination(120)
+
+    got = sorted(
+        (r["timestamp"], r["message"])
+        for r in read_parquet_shards(spark, out).collect()
+    )
+    assert len(got) == 7  # bad row dead-lettered, metrics demuxed away
+    assert got[0] == ("2024-01-01T00:00:00", "msg-0")
+    batch_dirs = glob.glob(out + "/__batch_id=*")
+    assert batch_dirs  # per-batch partition layout
+    parts = glob.glob(batch_dirs[0] + "/part-*.parquet")
+    assert 1 < len(parts) <= 4  # actually sharded (7 rows, 4 writers)
+
+
+def test_sharded_parquet_sink_matches_driver_funnel_values(spark, tmp_path):
+    """Funnel-parity (the sql twin's contract at
+    test_sharded_sink_matches_driver_funnel_values): the parquet shards'
+    union carries the same values (incl. NULLs and floats) as
+    sql_sink's driver funnel — only the storage format differs."""
+    from pyspark.sql import functions as F
+
+    from rabbithole_spark.streaming.batcher import BatchPolicy
+    from rabbithole_spark.streaming.sinks import (
+        read_parquet_shards,
+        sharded_parquet_sink,
+        sql_sink,
+    )
+
+    df = spark.range(50).select(
+        F.col("id"),
+        F.when(F.col("id") % 7 != 0, F.col("id") * 1.5).alias("v"),
+        F.concat(F.lit("row-"), F.col("id")).alias("s"),
+    )
+    single = str(tmp_path / "single.sqlite")
+    con = sqlite3.connect(single)
+    con.execute("CREATE TABLE t (id INTEGER, v REAL, s TEXT)")
+    con.commit()
+    con.close()
+    sql_sink(
+        f"sqlite:///{single}", "INSERT INTO t VALUES (?, ?, ?)",
+        policy=BatchPolicy(size_limit=16), positional=True,
+    )(df, 0)
+    out = str(tmp_path / "pq_out")
+    sharded_parquet_sink(out, shards=5)(df, 0)
+
+    con = sqlite3.connect(single)
+    want = sorted(con.execute("SELECT id, v, s FROM t").fetchall())
+    con.close()
+    got = sorted(
+        (r["id"], r["v"], r["s"])
+        for r in read_parquet_shards(spark, out).collect()
+    )
+    assert got == want and len(want) == 50
+
+
+def test_sharded_parquet_sink_replay_is_exactly_once(spark, tmp_path):
+    """A replayed batch id dynamically overwrites ITS OWN partition
+    directory and touches no other batch — exactly-once without
+    markers (the file commit protocol + dynamic overwrite)."""
+    from pyspark.sql import functions as F
+
+    from rabbithole_spark.streaming.sinks import (
+        read_parquet_shards,
+        sharded_parquet_sink,
+    )
+
+    out = str(tmp_path / "pq_out")
+    cb = sharded_parquet_sink(out, shards=3)
+    df = spark.range(20).select(F.col("id"))
+    cb(df, 7)
+    cb(df, 7)  # replay: supersedes its own directory, no duplicates
+    assert read_parquet_shards(spark, out).count() == 20
+    cb(df, 8)  # a new batch id appends its own directory
+    assert read_parquet_shards(spark, out).count() == 40
+
+
+def test_fold_parquet_shards_compacts_to_flat_table(spark, tmp_path):
+    """Off-hot-path compaction: the per-batch tree folds into a flat
+    parquet directory with the bookkeeping column gone and every row
+    kept — the columnar analogue of fold_sqlite_shards."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from rabbithole_spark.streaming.sinks import (
+        fold_parquet_shards,
+        sharded_parquet_sink,
+    )
+
+    out = str(tmp_path / "pq_out")
+    cb = sharded_parquet_sink(out, shards=4)
+    cb(spark.range(0, 30).select(F.col("id")), 0)
+    cb(spark.range(30, 50).select(F.col("id")), 1)
+    assert fold_parquet_shards(spark, out, target_files=2) == 50
+    flat = spark.read.parquet(out)
+    assert flat.columns == ["id"]
+    assert sorted(r["id"] for r in flat.collect()) == list(range(50))
+    assert not glob.glob(out + "/__batch_id=*")
+    assert len(glob.glob(out + "/part-*.parquet")) <= 2
+    assert not os.path.exists(out + "__fold_tmp")
