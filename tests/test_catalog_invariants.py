@@ -160,3 +160,30 @@ def test_rotate_window_check_runs_against_live_catalog():
     )
     assert proc.returncode in (0, 1), proc.stdout + proc.stderr
     assert "could not locate" not in proc.stdout
+
+
+def test_rotate_window_tuple_parse_ignores_comment_quotes():
+    """round-12 (ADVICE r11): the current/target comparison parses the
+    tuple with ast.literal_eval, so a hand-written comment containing
+    a double-quoted lowercase word cannot corrupt it — and the header
+    never claims more names ahead of the cut than the window holds."""
+    import sys
+
+    sys.path.insert(0, REPO)
+    from scripts.rotate_window import _tuple_names, render
+
+    region = (
+        '_PRIORITY_ORDER = (\n'
+        '    # note: "decoy" words in comments must not count\n'
+        '    "q_a",\n'
+        '    # another "trap" here\n'
+        '    "q_b",\n'
+        ')'
+    )
+    assert _tuple_names(region) == ["q_a", "q_b"]
+    # header clamp: 3 one-name blocks against a window of 2 must say
+    # 2 names fill the window, not 3
+    order = [(1, ["q_x"]), (2, ["q_y"]), (3, ["q_z"])]
+    rendered = render(order, next_round=4, window=2)
+    assert "(2 names fill the window)" in rendered
+    assert _tuple_names(rendered) == ["q_x", "q_y", "q_z"]
