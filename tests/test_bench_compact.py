@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import json
 
-from bench import _is_contended, compact_line
+from bench import _is_contended, _weather_trips, compact_line
 
 
 def _payload(failures):
@@ -31,6 +31,16 @@ def _payload(failures):
         "cpu_canary_sec_after": 0.3,
         "ncpus": 32,
         "contended": False,
+        "contended_at_start": False,
+        "weather_during": {
+            label: {
+                "loadavg": [9.0, 3.0, 1.0],
+                "steal_jiffies_per_5s": 40,
+                "canary_sec": 0.29,
+                "tripped": False,
+            }
+            for label in ("after_etl", "after_headline", "after_tpch")
+        },
         "quiet_wait_sec": 0.0,
         "queries_warm": {f"q{i}": 0.123456 for i in range(14)},
     }
@@ -112,3 +122,81 @@ def test_compact_line_minimal_fallback_keeps_failure_count():
     payload["failures"] = failures
     parsed = json.loads(compact_line(payload, TIMINGS, TPCH, failures))
     assert parsed["failures"]["n"] == 7
+
+
+def test_weather_trips_ignores_loadavg():
+    """round-12 (VERDICT r11 item 1): mid-run weather samples must trip
+    on steal/canary only — the bench's own 32-thread work legitimately
+    owns loadavg once the run has started, so a loadavg gate mid-run
+    would stamp every healthy run contended."""
+    assert not _weather_trips(
+        {"loadavg": [30.0, 20.0, 10.0], "steal_jiffies_per_5s": 0,
+         "canary_sec": 0.28}
+    )
+    assert _weather_trips(
+        {"loadavg": [0.0, 0.0, 0.0], "steal_jiffies_per_5s": 10_000,
+         "canary_sec": 0.28}
+    )
+    assert _weather_trips(
+        {"loadavg": [0.0, 0.0, 0.0], "steal_jiffies_per_5s": 0,
+         "canary_sec": 0.45}
+    )
+    assert not _weather_trips(
+        {"loadavg": [0.0, 0.0, 0.0], "steal_jiffies_per_5s": None,
+         "canary_sec": 0.28}
+    )
+
+
+def test_compact_line_summarizes_weather_to_tripped_bools():
+    """The compact line must carry the whole-run weather VERDICT
+    without the full samples (those live in BENCH_LOCAL.json) — and
+    still fit the capture window with the new fields present."""
+    payload = _payload({})
+    payload["weather_during"]["after_headline"]["tripped"] = True
+    payload["contended"] = True  # main() ORs the trips in
+    line = compact_line(payload, TIMINGS, TPCH, {})
+    assert len(line) <= 2000
+    parsed = json.loads(line)
+    assert parsed["weather_during"] == {
+        "after_etl": False, "after_headline": True, "after_tpch": False,
+    }
+    assert parsed["contended"] is True
+    assert parsed["contended_at_start"] is False
+
+
+def test_etl_block_records_spread_gate_and_protocol_key():
+    """round-12 (VERDICT r11 item 4 + ADVICE r11): the recorded etl
+    block says in-file whether the <=1.3 spread gate was met, and the
+    sharded headline carries a protocol-distinct key so cross-round
+    tooling cannot silently compare funnel vs sharded figures."""
+    import bench
+
+    calls = iter([
+        {"rows": 100, "sec": 1.0, "rows_per_sec": 100.0, "complete": True,
+         "shards": 8, "io_dir": "tmpfs", "steal_jiffies": 0},
+    ] * 20)
+    orig = bench.etl_throughput
+    bench.etl_throughput = lambda spark, sf_dir, shards=8, rep=None: (
+        dict(next(calls), shards=shards)
+    )
+    try:
+        import io
+        import contextlib
+
+        out = io.StringIO()
+        with contextlib.redirect_stdout(out):
+            orig_get_spark = bench.get_spark
+            bench.get_spark = lambda app_name=None: type(
+                "S", (), {"stop": lambda self: None}
+            )()
+            try:
+                bench.etl_main()
+            finally:
+                bench.get_spark = orig_get_spark
+        block = json.loads(out.getvalue().strip().splitlines()[-1])
+    finally:
+        bench.etl_throughput = orig
+    assert block["spread_gate_met"] is True  # identical runs: spread 1.0
+    assert block["protocol"] == "sharded"
+    assert block["rows_per_sec_sharded"] == block["rows_per_sec"] == 100.0
+    assert block["funnel"]["rows_per_sec"] == 100.0
