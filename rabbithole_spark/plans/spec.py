@@ -369,7 +369,7 @@ def compile_pipeline(
             # without it, the plain streaming file sink (WAL-tracked
             # exactly-once, file count follows source parallelism).
             merged_pq = {**dst.kwargs, **dst_ref.kwargs}
-            pq_shards = int(merged_pq.get("shards", 0))
+            pq_shards = int(merged_pq.get("shards", 1))
             pq_path = _require(dst.kwargs, "path", dst.name)
             if pq_shards > 1:
                 pq_callback = sharded_parquet_sink(pq_path, shards=pq_shards)

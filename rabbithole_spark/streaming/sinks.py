@@ -252,17 +252,30 @@ def sharded_sql_sink(
     Delivery (round-12, closes the ADVICE r11 speculation caveat): the
     write is an executor-side TASK, so a retried task (crash between
     commit and task completion) or a speculative duplicate attempt
-    re-enters the shard — each shard file therefore carries a
-    ``_shard_done(batch_id)`` marker committed in the SAME transaction
-    as its rows, and a duplicate attempt skips instead of re-running
-    the executemany. repartition(N) sorts before round-robin
-    (spark.sql.execution.sortBeforeRepartition), so a retried task
-    carries the identical row set and the skip loses nothing: per-shard
-    exactly-once under retry AND speculation. Corollary: restarting a
-    flow against existing shard files with a FRESH checkpoint replays
-    batch ids from 0 and the markers will skip them — shard files
-    share their checkpoint's lifetime (the same contract as every
-    batch-id-keyed idempotent_* sink here).
+    re-enters the shard. Two mechanisms make duplicate attempts safe:
+
+    - each shard file carries a ``_shard_done(batch_id)`` marker
+      committed in the SAME transaction as its rows, so an attempt
+      that re-enters AFTER a commit skips instead of re-running the
+      executemany — repartition(N) sorts before round-robin
+      (spark.sql.execution.sortBeforeRepartition), so the retried
+      partition is identical and the skip loses nothing;
+    - an attempt that collides with a CONCURRENT in-flight attempt
+      (speculation) hits sqlite's file lock, and lock/busy errors are
+      the ONE error class the per-shard swallow re-raises: the losing
+      attempt FAILS its task (Spark arbitrates — if the other attempt
+      commits, the failure is moot; if not, the retry re-enters and
+      the marker decides). Swallowing the lock error instead would
+      record an empty success and silently LOSE the shard whenever
+      the lock-holding attempt is subsequently killed (round-12
+      review finding).
+
+    Net: per-shard exactly-once under retry and speculation — no
+    duplicates from the marker, no loss from the lock re-raise.
+    Corollary: restarting a flow against existing shard files with a
+    FRESH checkpoint replays batch ids from 0 and the markers will
+    skip them — shard files share their checkpoint's lifetime (the
+    same contract as every batch-id-keyed idempotent_* sink here).
     """
     import os
 
@@ -347,6 +360,17 @@ def sharded_sql_sink(
                     else:  # a USER-data constraint violation: rolled
                         raise  # back -> the per-shard swallow below
             except Exception as exc:  # sql.py:99-105 parity, per shard
+                # ONE error class re-raises instead of swallowing:
+                # "database is locked/busy" means a CONCURRENT attempt
+                # holds this shard's write lock (speculation), and
+                # recording an empty SUCCESS here would silently LOSE
+                # the shard if Spark then kills the lock-holding
+                # attempt pre-commit. Fail this attempt instead and
+                # let Spark arbitrate (docstring, round-12 review).
+                if isinstance(exc, sqlite3.OperationalError) and (
+                    "locked" in str(exc) or "busy" in str(exc)
+                ):
+                    raise
                 logging.getLogger(__name__).error(
                     "Query execution error (batch %s shard %s dropped):\n%s",
                     batch_id,
@@ -711,18 +735,31 @@ def cdc_compact(
     transaction log. An object store would commit a new manifest
     instead of renaming.
     """
-    import os
-    import shutil
-    import uuid
-
     state = cdc_current_state(spark, path, key_cols, seq_cols, op_col)
     if op_col is not None:
         state = state.withColumn(op_col, F.lit("u"))
     compacted = state.withColumn("__batch_id", F.lit(0))
-    tmp = path.rstrip("/") + "__compact_tmp"
-    compacted.write.mode("overwrite").parquet(tmp)
+    return _swap_in_parquet(spark, compacted, path, tag="compact")
+
+
+def _swap_in_parquet(spark, df: DataFrame, path: str, tag: str) -> int:
+    """Crash-safe replacement of a parquet directory with ``df``
+    (shared by :func:`cdc_compact` and :func:`fold_parquet_shards` —
+    one place to fix the swap, round-12 review): write the new copy to
+    a sibling ``__<tag>_tmp``, then two adjacent renames (old ->
+    trash, tmp -> path) and remove the trash LAST — a crash at any
+    point leaves either the complete old tree or the complete new one
+    recoverable on disk, never neither (rmtree-then-rename would
+    delete the only copy first). Returns the written row count. An
+    object store would commit a new manifest instead of renaming."""
+    import os
+    import shutil
+    import uuid
+
+    tmp = path.rstrip("/") + f"__{tag}_tmp"
+    df.write.mode("overwrite").parquet(tmp)
     n = spark.read.parquet(tmp).count()
-    trash = path.rstrip("/") + f"__compact_old_{uuid.uuid4().hex[:8]}"
+    trash = path.rstrip("/") + f"__{tag}_old_{uuid.uuid4().hex[:8]}"
     os.rename(path, trash)
     os.replace(tmp, path)
     shutil.rmtree(trash, ignore_errors=True)
@@ -834,26 +871,16 @@ def fold_parquet_shards(
     for consumers that want a plain table and for reclaiming the
     small-file overhead a long-running stream accumulates.
 
-    Same crash-safe swap as :func:`cdc_compact`: write the folded copy
-    to a sibling, rename old -> trash, move the copy in, remove trash
-    last — a crash at any point leaves a complete tree or a complete
-    snapshot on disk, never neither. QUIESCE THE WRITER FIRST: batches
+    Same crash-safe swap as :func:`cdc_compact` (shared
+    :func:`_swap_in_parquet`): write the folded copy to a sibling,
+    rename old -> trash, move the copy in, remove trash last — a
+    crash at any point leaves a complete tree or a complete snapshot
+    on disk, never neither. QUIESCE THE WRITER FIRST: batches
     appended between the snapshot read and the swap would be lost, and
     a post-fold stream restart needs a fresh checkpoint (the flat
     layout no longer has per-batch partitions to overwrite). Returns
     the folded row count."""
-    import os
-    import shutil
-    import uuid
-
     flat = spark.read.parquet(path).drop(partition_col)
     if target_files is not None:
         flat = flat.coalesce(target_files)
-    tmp = path.rstrip("/") + "__fold_tmp"
-    flat.write.mode("overwrite").parquet(tmp)
-    n = spark.read.parquet(tmp).count()
-    trash = path.rstrip("/") + f"__fold_old_{uuid.uuid4().hex[:8]}"
-    os.rename(path, trash)
-    os.replace(tmp, path)
-    shutil.rmtree(trash, ignore_errors=True)
-    return n
+    return _swap_in_parquet(spark, flat, path, tag="fold")

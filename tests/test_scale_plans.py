@@ -649,3 +649,47 @@ def test_shuffle_budgets_hold_across_parallelism_sweep(spark):
                 f"{name}: result varies with shuffle partitioning")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", default)
+
+
+def test_sharded_parquet_sink_plan_one_shuffle_no_driver(spark, tmp_path):
+    """The parquet shard twin's write plan: exactly ONE Exchange (the
+    round-robin repartition that fixes the part-file count) and no
+    Python/driver node anywhere — the whole path is the JVM's own
+    columnar writer, unlike the sqlite twin's mapInArrow hop. At 100 TB
+    the repartition is the only cost the knob adds, and it replaces
+    the small-file explosion a per-source-partition write would
+    produce."""
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.read.parquet(SF + "/events.parquet")
+        .select("event_id", "user_id", "value")
+        .withColumn("__batch_id", F.lit(0))
+        .repartition(6)
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n = sum(
+        1
+        for line in plan.splitlines()
+        if "Exchange " in line
+        and "Broadcast" not in line
+        and "Reused" not in line
+    )
+    assert n == 1, plan
+    assert "RoundRobinPartitioning(6" in plan
+    for driver_hop in ("ArrowEvalPython", "BatchEvalPython", "MapInArrow",
+                       "CollectLimit"):
+        assert driver_hop not in plan
+    # and the knob end-to-end: a written batch lands exactly `shards`
+    # part files when rows >> shards
+    from rabbithole_spark.streaming.sinks import sharded_parquet_sink
+
+    out = str(tmp_path / "pq")
+    sharded_parquet_sink(out, shards=6)(
+        spark.read.parquet(SF + "/events.parquet")
+        .select("event_id", "user_id", "value"),
+        0,
+    )
+    import glob
+
+    assert len(glob.glob(out + "/__batch_id=0/part-*.parquet")) == 6

@@ -991,3 +991,37 @@ def test_fold_parquet_shards_compacts_to_flat_table(spark, tmp_path):
     assert not glob.glob(out + "/__batch_id=*")
     assert len(glob.glob(out + "/part-*.parquet")) <= 2
     assert not os.path.exists(out + "__fold_tmp")
+
+
+def test_sharded_sink_lock_conflict_fails_attempt_not_empty_success(
+    spark, tmp_path
+):
+    """round-12 review: a concurrent attempt holding the shard's write
+    lock (speculation) must FAIL this attempt so Spark arbitrates —
+    swallowing the lock error as an empty success would silently lose
+    the shard if the lock holder were then killed pre-commit. Once the
+    lock clears, a retry of the same batch writes normally."""
+    from pyspark.sql import functions as F
+
+    from rabbithole_spark.streaming.sinks import sharded_sql_sink
+
+    db = str(tmp_path / "out.sqlite")
+    shard = db + ".shard-0000"
+    ddl = "CREATE TABLE IF NOT EXISTS t (id INTEGER)"
+    holder = sqlite3.connect(shard)
+    holder.execute(ddl)
+    holder.commit()
+    holder.execute("BEGIN IMMEDIATE")  # hold the shard's write lock
+    cb = sharded_sql_sink(
+        f"sqlite:///{db}", "INSERT INTO t VALUES (?)",
+        shards=1, positional=True, setup=ddl,
+    )
+    df = spark.range(3).select(F.col("id"))
+    try:
+        with pytest.raises(Exception, match="locked|busy|Python"):
+            cb(df, 0)  # blocks on the lock, then fails the task
+    finally:
+        holder.rollback()
+        holder.close()
+    cb(df, 0)  # lock released: the retried attempt writes
+    assert sorted(_shard_rows(db, "SELECT id FROM t")) == [(0,), (1,), (2,)]
