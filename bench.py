@@ -336,6 +336,50 @@ def main() -> None:
     # for the other. Probe protocol per block is unchanged (one
     # untimed warm-up, median of three); a block whose spread exceeds
     # 1.3 is re-measured up to twice and the tightest block recorded.
+    # Mid-run weather sampling (VERDICT r11 item 1): both r10 and r11
+    # driver benches passed the START gate and then recorded inflated
+    # numbers under weather that arrived mid-run, with contended:false
+    # — so the recorded ``contended`` flag now covers the WHOLE run.
+    # Each block's steal is measured as the CUMULATIVE /proc/stat
+    # delta across the block normalized to the gate's per-5s unit —
+    # a point-in-time window at the block boundary would miss a burst
+    # that subsided before the sample (round-12 review), while the
+    # cumulative delta catches any steal anywhere in the block. The
+    # segment marks start HERE, before the ETL subprocess, so the
+    # after_etl sample spans the etl block itself. The boundary canary
+    # is best-of-two (~0.6 s): a single sample right after a block can
+    # catch a one-off scheduler blip and false-trip a quiet run (the
+    # first live run recorded canary 0.73 with steal 0 immediately
+    # after the child JVM exited, stamping a 13.3 s quiet headline
+    # contended), while genuine throttling/steal survives both runs.
+    # Mid-run trips use the steal+canary half only (_weather_trips):
+    # the bench's own 32-thread work owns loadavg once running.
+    weather_during: dict[str, dict] = {}
+    seg = {"steal": _steal_jiffies(), "t": time.perf_counter()}
+
+    def _sample_weather(label: str) -> None:
+        now_steal, now_t = _steal_jiffies(), time.perf_counter()
+        wall = now_t - seg["t"]
+        delta = (
+            now_steal - seg["steal"]
+            if seg["steal"] is not None and now_steal is not None
+            else None
+        )
+        sample = {
+            "wall_sec": round(wall, 1),
+            "steal_jiffies": delta,
+            "steal_jiffies_per_5s": (
+                round(delta * 5.0 / wall)
+                if delta is not None and wall > 0
+                else None
+            ),
+            "canary_sec": min(cpu_canary(), cpu_canary()),
+            "loadavg": [round(x, 2) for x in os.getloadavg()],
+        }
+        sample["tripped"] = _weather_trips(sample)
+        weather_during[label] = sample
+        seg["steal"], seg["t"] = _steal_jiffies(), time.perf_counter()
+
     proc = None
     try:
         proc = subprocess.run(
@@ -357,20 +401,6 @@ def main() -> None:
             tail = (proc.stderr or "").strip()
             if tail:
                 etl["stderr_tail"] = tail[-500:]
-
-    # Mid-run weather sampling (VERDICT r11 item 1): both r10 and r11
-    # driver benches passed the START gate and then recorded inflated
-    # numbers under weather that arrived mid-run, with contended:false
-    # — so the quiet signals are re-sampled after every block (each
-    # sample costs ~5.3 s: one steal window + one canary) and the
-    # recorded ``contended`` flag covers the WHOLE run. Mid-run trips
-    # use the steal+canary half only (_weather_trips): the bench's own
-    # 32-thread work owns loadavg by then.
-    weather_during: dict[str, dict] = {}
-
-    def _sample_weather(label: str) -> None:
-        sig = _quiet_signals()
-        weather_during[label] = {**sig, "tripped": _weather_trips(sig)}
 
     _sample_weather("after_etl")
 

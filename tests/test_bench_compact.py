@@ -34,9 +34,11 @@ def _payload(failures):
         "contended_at_start": False,
         "weather_during": {
             label: {
-                "loadavg": [9.0, 3.0, 1.0],
+                "wall_sec": 120.4,
+                "steal_jiffies": 960,
                 "steal_jiffies_per_5s": 40,
                 "canary_sec": 0.29,
+                "loadavg": [9.0, 3.0, 1.0],
                 "tripped": False,
             }
             for label in ("after_etl", "after_headline", "after_tpch")
