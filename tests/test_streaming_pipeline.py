@@ -1025,3 +1025,46 @@ def test_sharded_sink_lock_conflict_fails_attempt_not_empty_success(
         holder.close()
     cb(df, 0)  # lock released: the retried attempt writes
     assert sorted(_shard_rows(db, "SELECT id FROM t")) == [(0,), (1,), (2,)]
+
+
+def test_sharded_sink_restart_appends_new_batches(spark, spool, tmp_path):
+    """round-12 marker semantics across RESTART: batch ids increment
+    monotonically under one checkpoint, so the _shard_done markers
+    skip only REPLAYED attempts — a flow resumed with the same
+    checkpoint and new spool data must append the new rows, not skip
+    them (the failure mode if markers were keyed on anything that
+    resets across runs)."""
+    db_path = str(tmp_path / "out.sqlite")
+    ckpt = str(tmp_path / "ckpt")
+    cfg = _config(spool, db_path)
+    cfg["flows"][0][1]["kwargs"]["shards"] = 2
+    cfg["flows"][0][1]["kwargs"]["setup"] = (
+        "CREATE TABLE IF NOT EXISTS logs (timestamp TEXT, message TEXT)"
+    )
+    spec = PipelineSpec.from_dict(cfg)
+
+    def run_once():
+        runners = compile_pipeline(spark, spec, ckpt)
+        for q in runners[0].start(available_now=True):
+            q.awaitTermination(120)
+
+    run_once()
+    assert len(_shard_rows(db_path, "SELECT message FROM logs")) == 7
+
+    late = [
+        {"exchange": "logs", "content_type": "application/json",
+         "body": json.dumps({"timestamp": f"2024-01-02T00:00:{i:02d}",
+                              "message": {"text": f"late-{i}"}})}
+        for i in range(4)
+    ]
+    write_spool_messages(spool, late, "batch1.jsonl")
+    run_once()
+    msgs = sorted(m for (m,) in _shard_rows(db_path, "SELECT message FROM logs"))
+    assert len(msgs) == 11  # 7 original + 4 late, nothing skipped
+    assert [m for m in msgs if m.startswith("late-")] == [
+        "late-0", "late-1", "late-2", "late-3"
+    ]
+    # and a THIRD run with no new data appends nothing (offsets +
+    # markers agree)
+    run_once()
+    assert len(_shard_rows(db_path, "SELECT message FROM logs")) == 11
