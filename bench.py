@@ -41,7 +41,13 @@ HEADLINE = [
 ]
 
 
-def etl_throughput(spark, sf_dir: str, shards: int = 8, rep: int | None = None) -> dict:
+def etl_throughput(
+    spark,
+    sf_dir: str,
+    shards: int = 8,
+    rep: int | None = None,
+    sink: str = "sql",
+) -> dict:
     """Streaming ETL rows/sec through the real user surface (YAML spec
     -> spool source -> decode -> mapper -> sqlite sink) — the
     reference's actual workload shape (AMQP->SQL bridge), measured
@@ -56,6 +62,14 @@ def etl_throughput(spark, sf_dir: str, shards: int = 8, rep: int | None = None) 
     exposed to host CPU steal (VERDICT r10 — driver-recorded 20.9k
     rows/s vs 84-114k on quiet windows, 3-5x pure weather), while N
     partition-parallel writers keep the number about the engine.
+
+    ``sink="parquet"`` swaps the output block for the round-12
+    columnar twin (``sharded_parquet_sink`` behind the same YAML
+    ``shards:`` knob): N executor-parallel built-in parquet writers
+    into a per-batch dynamic-overwrite partition. Same source, same
+    decode, same mapper — only the storage format differs, so the
+    sample isolates the write-path cost of sqlite executemany vs
+    JVM-side columnar files.
 
     The probe's entire scratch tree (spool, checkpoint, sqlite file)
     lives on tmpfs when available: the round-9 recorded sample was
@@ -113,36 +127,48 @@ def etl_throughput(spark, sf_dir: str, shards: int = 8, rep: int | None = None) 
         )
         env.coalesce(4).write.mode("overwrite").text(spool)
         n = spark.read.text(spool).count()
-        ddl = (
-            "CREATE TABLE IF NOT EXISTS events_out (event_id INTEGER,"
-            " user_id INTEGER, value REAL, event_type TEXT)"
-        )
-        out_kwargs = {
-            "query": "INSERT INTO events_out VALUES "
-            "(:event_id, :user_id, :value, :event_type)",
-            "parameters": {
-                "event_id": "event_id",
-                "user_id": "user_id",
-                "value": "value",
-                "event_type": "event_type",
-            },
+        params = {
+            "event_id": "event_id",
+            "user_id": "user_id",
+            "value": "value",
+            "event_type": "event_type",
         }
-        if shards > 1:
-            out_kwargs["shards"] = shards
-            out_kwargs["setup"] = ddl
+        if sink == "parquet":
+            pq_out = os.path.join(tmp, "pq_out")
+            out_block = {
+                "name": "out", "type": "parquet",
+                "kwargs": {"path": pq_out},
+            }
+            out_kwargs = {"shards": shards, "parameters": params}
         else:
-            con = sqlite3.connect(db)
-            con.execute(ddl)
-            con.commit()
-            con.close()
+            ddl = (
+                "CREATE TABLE IF NOT EXISTS events_out (event_id INTEGER,"
+                " user_id INTEGER, value REAL, event_type TEXT)"
+            )
+            out_block = {
+                "name": "out", "type": "sql",
+                "kwargs": {"url": f"sqlite:///{db}"},
+            }
+            out_kwargs = {
+                "query": "INSERT INTO events_out VALUES "
+                "(:event_id, :user_id, :value, :event_type)",
+                "parameters": params,
+            }
+            if shards > 1:
+                out_kwargs["shards"] = shards
+                out_kwargs["setup"] = ddl
+            else:
+                con = sqlite3.connect(db)
+                con.execute(ddl)
+                con.commit()
+                con.close()
         spec = PipelineSpec.from_dict(
             {
                 "size_limit": 500,
                 "time_limit": 15,
                 "blocks": [
                     {"name": "in", "type": "spool", "kwargs": {"path": spool}},
-                    {"name": "out", "type": "sql",
-                     "kwargs": {"url": f"sqlite:///{db}"}},
+                    out_block,
                 ],
                 "flows": [
                     [
@@ -161,14 +187,19 @@ def etl_throughput(spark, sf_dir: str, shards: int = 8, rep: int | None = None) 
         steal1 = _steal_jiffies()
         import glob
 
-        targets = glob.glob(db + ".shard-*") if shards > 1 else [db]
-        written = 0
-        for target in targets:
-            con = sqlite3.connect(target)
-            written += con.execute(
-                "SELECT count(*) FROM events_out"
-            ).fetchone()[0]
-            con.close()
+        if sink == "parquet":
+            from rabbithole_spark.streaming.sinks import read_parquet_shards
+
+            written = read_parquet_shards(spark, pq_out).count()
+        else:
+            targets = glob.glob(db + ".shard-*") if shards > 1 else [db]
+            written = 0
+            for target in targets:
+                con = sqlite3.connect(target)
+                written += con.execute(
+                    "SELECT count(*) FROM events_out"
+                ).fetchone()[0]
+                con.close()
         return {
             "rows": written,
             "sec": round(wall, 3),
@@ -634,6 +665,18 @@ def etl_main() -> None:
         }
     except Exception as exc:  # funnel sample is informative, not gating
         best["funnel"] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
+    # One columnar-twin sample (round 12): same source/decode/mapper,
+    # output block swapped to the sharded PARQUET sink — informative
+    # (what the write path costs when the target is a column store,
+    # not sqlite executemany), single run, never gating.
+    try:
+        pq = etl_throughput(spark, sf_dir, sink="parquet")
+        best["parquet"] = {
+            k: pq[k]
+            for k in ("rows_per_sec", "sec", "complete", "steal_jiffies")
+        }
+    except Exception as exc:
+        best["parquet"] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
     spark.stop()
     print(json.dumps(best))
 

@@ -178,8 +178,8 @@ def test_etl_block_records_spread_gate_and_protocol_key():
          "shards": 8, "io_dir": "tmpfs", "steal_jiffies": 0},
     ] * 20)
     orig = bench.etl_throughput
-    bench.etl_throughput = lambda spark, sf_dir, shards=8, rep=None: (
-        dict(next(calls), shards=shards)
+    bench.etl_throughput = lambda spark, sf_dir, shards=8, rep=None, sink="sql": (
+        dict(next(calls), shards=shards, sink=sink)
     )
     try:
         import io
@@ -202,3 +202,5 @@ def test_etl_block_records_spread_gate_and_protocol_key():
     assert block["protocol"] == "sharded"
     assert block["rows_per_sec_sharded"] == block["rows_per_sec"] == 100.0
     assert block["funnel"]["rows_per_sec"] == 100.0
+    # round-12 columnar twin: one parquet-sink sample, never gating
+    assert block["parquet"]["rows_per_sec"] == 100.0

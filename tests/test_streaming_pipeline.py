@@ -1068,3 +1068,18 @@ def test_sharded_sink_restart_appends_new_batches(spark, spool, tmp_path):
     # markers agree)
     run_once()
     assert len(_shard_rows(db_path, "SELECT message FROM logs")) == 11
+
+
+def test_bench_etl_probe_parquet_sink_end_to_end(spark):
+    """round-12: bench.py's etl probe runs the SAME YAML flow against
+    the sharded parquet sink (``sink="parquet"``) — the columnar-twin
+    sample recorded in the etl block must count every spooled row via
+    the union reader, exactly like the sqlite shards count."""
+    from bench import etl_throughput
+
+    r = etl_throughput(
+        spark, "/root/testdata/sf0.001", shards=4, rep=1, sink="parquet"
+    )
+    assert r["complete"] is True
+    assert r["rows"] == 1000  # sf0.001 events x rep=1
+    assert r["shards"] == 4
