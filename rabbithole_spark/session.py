@@ -72,8 +72,14 @@ def prepare(spark: SparkSession) -> SparkSession:
 
     The driver hands ``queries()`` callables an arbitrary session; UTC
     timezone keeps Spark's TIMESTAMP_LTZ numerically identical to the
-    oracle's naive timestamps. Idempotent.
+    oracle's naive timestamps. Idempotent — and pinned ONCE per
+    session (each conf.set is a py4j round trip and :func:`table`
+    calls here on every resolution; ~100 calls per bench run re-paid
+    ~0.2 s for confs that cannot drift under the engine's own code).
     """
+    if getattr(spark, "_rh_prepared", False):
+        return spark
+    spark._rh_prepared = True
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     # events.parquet stores TIMESTAMP(NANOS); Spark has no nanosecond
     # timestamp type, so read as int64 and convert (see table()).
@@ -95,14 +101,51 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     ``events.ts`` is parquet TIMESTAMP(NANOS): with nanosAsLong it scans
     as int64 nanos; truncate to micros exactly like the DuckDB reader.
+
+    Resolved relations are CACHED per session, exactly like a
+    metastore-backed ``spark.table()``: ``spark.read.parquet`` costs
+    ~120 ms of driver-side file listing + footer schema read PER CALL,
+    and the registry's query functions touch up to six tables each —
+    round-12 profiling measured ~6 s of a ~13 s cold headline run
+    going to this re-resolution, pure metadata overhead Spark's own
+    catalog would never re-pay. The cache holds the immutable logical
+    relation only (no data): every query still plans, optimizes, and
+    executes from scratch. Like a real catalog, the file listing is
+    pinned at first resolution — callers that REWRITE a table under
+    the same path must call :func:`refresh_tables` (the
+    ``REFRESH TABLE`` analogue); the driver testdata is immutable and
+    test fixtures use unique per-test dirs, so neither ever needs to.
     """
     prepare(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        from pyspark.sql import functions as F
+    cache = getattr(spark, "_rh_table_cache", None)
+    if cache is None:
+        cache = {}
+        spark._rh_table_cache = cache
+    key = (os.path.abspath(sf_dir), name)
+    df = cache.get(key)
+    if df is None:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+            from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        cache[key] = df
     return df
+
+
+def refresh_tables(spark: SparkSession, sf_dir: str | None = None) -> None:
+    """Drop :func:`table`'s cached relations (``REFRESH TABLE``
+    analogue) — required before re-reading a table whose parquet files
+    were REPLACED under the same path; ``sf_dir=None`` drops all."""
+    cache = getattr(spark, "_rh_table_cache", None)
+    if not cache:
+        return
+    if sf_dir is None:
+        cache.clear()
+        return
+    prefix = os.path.abspath(sf_dir)
+    for key in [k for k in cache if k[0] == prefix]:
+        del cache[key]
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
