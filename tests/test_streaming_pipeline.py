@@ -1083,3 +1083,58 @@ def test_bench_etl_probe_parquet_sink_end_to_end(spark):
     assert r["complete"] is True
     assert r["rows"] == 1000  # sf0.001 events x rep=1
     assert r["shards"] == 4
+
+
+def test_sharded_parquet_sink_restart_appends_new_batches(spark, spool, tmp_path):
+    """Restart contract for the parquet twin (mirror of the sqlite
+    markers test): a flow resumed on the same checkpoint with new
+    spool data must land the new rows in NEW __batch_id partitions —
+    dynamic overwrite may only ever supersede a batch's own replay,
+    never an earlier committed batch."""
+    import glob
+
+    from rabbithole_spark.streaming.sinks import read_parquet_shards
+
+    out = str(tmp_path / "pq_out")
+    ckpt = str(tmp_path / "ckpt")
+    cfg = _config(spool, str(tmp_path / "unused.sqlite"))
+    cfg["blocks"][1] = {
+        "name": "output", "type": "parquet", "kwargs": {"path": out},
+    }
+    cfg["flows"][0][1]["kwargs"] = {
+        "shards": 2,
+        "parameters": {"timestamp": "timestamp", "message": "message.text"},
+    }
+    spec = PipelineSpec.from_dict(cfg)
+
+    def run_once():
+        runners = compile_pipeline(spark, spec, ckpt)
+        for q in runners[0].start(available_now=True):
+            q.awaitTermination(120)
+
+    run_once()
+    assert read_parquet_shards(spark, out).count() == 7
+    batches_before = set(glob.glob(out + "/__batch_id=*"))
+
+    late = [
+        {"exchange": "logs", "content_type": "application/json",
+         "body": json.dumps({"timestamp": f"2024-01-02T00:00:{i:02d}",
+                              "message": {"text": f"late-{i}"}})}
+        for i in range(4)
+    ]
+    write_spool_messages(spool, late, "batch1.jsonl")
+    run_once()
+    msgs = sorted(
+        r["message"] for r in read_parquet_shards(spark, out).collect()
+    )
+    assert len(msgs) == 11  # 7 original + 4 late, nothing lost
+    assert [m for m in msgs if m.startswith("late-")] == [
+        "late-0", "late-1", "late-2", "late-3"
+    ]
+    # the original batch directories survived untouched (new batch ids
+    # were appended, none overwritten away)
+    assert batches_before <= set(glob.glob(out + "/__batch_id=*"))
+    assert len(set(glob.glob(out + "/__batch_id=*"))) > len(batches_before)
+    # a THIRD run with no new data appends nothing
+    run_once()
+    assert read_parquet_shards(spark, out).count() == 11
