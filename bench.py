@@ -82,6 +82,11 @@ def etl_throughput(
 
     from pyspark.sql import functions as F
 
+    if sink not in ("sql", "parquet"):
+        # a typo'd sink would silently run the sqlite path and record
+        # its number under the wrong label (round-12 review)
+        raise ValueError(f"sink must be 'sql' or 'parquet', got {sink!r}")
+
     from rabbithole_spark.plans.spec import PipelineSpec, compile_pipeline
     from rabbithole_spark.session import table
 
@@ -657,26 +662,24 @@ def etl_main() -> None:
     best["rows_per_sec_sharded"] = (
         best["rows_per_sec"] if best["protocol"] == "sharded" else None
     )
-    try:
-        funnel = etl_throughput(spark, sf_dir, shards=1)
-        best["funnel"] = {
-            k: funnel[k]
-            for k in ("rows_per_sec", "sec", "complete", "steal_jiffies")
-        }
-    except Exception as exc:  # funnel sample is informative, not gating
-        best["funnel"] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
-    # One columnar-twin sample (round 12): same source/decode/mapper,
-    # output block swapped to the sharded PARQUET sink — informative
-    # (what the write path costs when the target is a column store,
-    # not sqlite executemany), single run, never gating.
-    try:
-        pq = etl_throughput(spark, sf_dir, sink="parquet")
-        best["parquet"] = {
-            k: pq[k]
-            for k in ("rows_per_sec", "sec", "complete", "steal_jiffies")
-        }
-    except Exception as exc:
-        best["parquet"] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
+    def informative_sample(**kwargs) -> dict:
+        """One labeled single-run sample — informative, never gating
+        (shared by the funnel and parquet twins, round-12 review)."""
+        try:
+            r = etl_throughput(spark, sf_dir, **kwargs)
+            return {
+                k: r[k]
+                for k in ("rows_per_sec", "sec", "complete", "steal_jiffies")
+            }
+        except Exception as exc:
+            return {"error": f"{type(exc).__name__}: {exc}"[:200]}
+
+    # reference-parity single-connection shape (sql.py:41-46)
+    best["funnel"] = informative_sample(shards=1)
+    # columnar twin (round 12): same source/decode/mapper, output
+    # block swapped to the sharded PARQUET sink — what the write path
+    # costs when the target is a column store, not sqlite executemany
+    best["parquet"] = informative_sample(sink="parquet")
     spark.stop()
     print(json.dumps(best))
 

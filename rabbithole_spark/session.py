@@ -72,14 +72,14 @@ def prepare(spark: SparkSession) -> SparkSession:
 
     The driver hands ``queries()`` callables an arbitrary session; UTC
     timezone keeps Spark's TIMESTAMP_LTZ numerically identical to the
-    oracle's naive timestamps. Idempotent — and pinned ONCE per
-    session (each conf.set is a py4j round trip and :func:`table`
-    calls here on every resolution; ~100 calls per bench run re-paid
-    ~0.2 s for confs that cannot drift under the engine's own code).
+    oracle's naive timestamps. Idempotent — and deliberately re-pinned
+    on EVERY call (~1.8 ms of py4j per call, ~0.2 s per bench run):
+    a round-12 review of a once-per-session flag found it traded the
+    self-healing contract (external code mutating the shared session's
+    timezone between queries silently breaks oracle parity) and a
+    poisoned-flag failure mode (flag set, conf.set throws mid-way) for
+    a saving that is noise next to the table-resolution cache below.
     """
-    if getattr(spark, "_rh_prepared", False):
-        return spark
-    spark._rh_prepared = True
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     # events.parquet stores TIMESTAMP(NANOS); Spark has no nanosecond
     # timestamp type, so read as int64 and convert (see table()).
