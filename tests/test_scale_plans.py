@@ -795,3 +795,94 @@ def test_heavy_queries_hold_under_local_cluster(spark, tmp_path):
             name, q["exchanges"], SHUFFLE_BUDGETS[name])
         assert [tuple(r) for r in q["rows"]] == want[name], (
             f"{name}: local-cluster result differs from local[*]")
+
+
+def test_sharded_parquet_sink_under_local_cluster(tmp_path):
+    """round-12: the sharded parquet sink's scale claim — N
+    executor-parallel columnar writers, no rows near the driver — run
+    on the REAL multi-executor topology (local-cluster[2,2,1024]:
+    separate executor JVMs writing their partitions over the file
+    commit protocol), not local[*]'s in-process shortcut. A streaming
+    YAML flow (spool -> decode -> mapper -> parquet shards) must land
+    every row, and the batch directory must hold multiple part files
+    (actually sharded across executor tasks). Skips, never fails,
+    where executors cannot launch."""
+    import json as _json
+    import os
+    import subprocess
+    import sys
+
+    import pyspark
+
+    repo_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    child = tmp_path / "cluster_pq_child.py"
+    child.write_text(
+        "import glob, json, sys\n"
+        f"sys.path.insert(0, {repo_dir!r})\n"
+        "from pyspark.sql import SparkSession\n"
+        "from rabbithole_spark.plans.spec import PipelineSpec, compile_pipeline\n"
+        "from rabbithole_spark.streaming.sinks import read_parquet_shards\n"
+        "from rabbithole_spark.streaming.sources import write_spool_messages\n"
+        f"base = {str(tmp_path)!r}\n"
+        "spool, out = base + '/spool', base + '/pq_out'\n"
+        "msgs = [\n"
+        "    {'exchange': 'logs', 'content_type': 'application/json',\n"
+        "     'body': json.dumps({'timestamp': f'2024-01-01T00:00:{i:02d}',\n"
+        "                         'message': {'text': f'msg-{i}'}})}\n"
+        "    for i in range(40)\n"
+        "]\n"
+        "write_spool_messages(spool, msgs, 'batch0.jsonl')\n"
+        "spark = (SparkSession.builder.master('local-cluster[2,2,1024]')\n"
+        "         .config('spark.sql.shuffle.partitions', '4')\n"
+        "         .config('spark.executor.memory', '1g')\n"
+        "         .config('spark.ui.enabled', 'false')\n"
+        "         .getOrCreate())\n"
+        "spec = PipelineSpec.from_dict({\n"
+        "    'size_limit': 500, 'time_limit': 5,\n"
+        "    'blocks': [\n"
+        "        {'name': 'in', 'type': 'spool', 'kwargs': {'path': spool}},\n"
+        "        {'name': 'out', 'type': 'parquet', 'kwargs': {'path': out}},\n"
+        "    ],\n"
+        "    'flows': [[\n"
+        "        {'name': 'in', 'kwargs': {'exchange': 'logs'}},\n"
+        "        {'name': 'out', 'kwargs': {\n"
+        "            'shards': 4,\n"
+        "            'parameters': {'timestamp': 'timestamp',\n"
+        "                           'message': 'message.text'}}},\n"
+        "    ]],\n"
+        "})\n"
+        "runners = compile_pipeline(spark, spec, base + '/ckpt')\n"
+        "for q in runners[0].start(available_now=True):\n"
+        "    q.awaitTermination(300)\n"
+        "rows = read_parquet_shards(spark, out).count()\n"
+        "parts = glob.glob(out + '/__batch_id=*/part-*.parquet')\n"
+        "execs = len(spark.sparkContext._jsc.sc().statusTracker()\n"
+        "            .getExecutorInfos())\n"
+        "spark.stop()\n"
+        "print('CLUSTER_PQ ' + json.dumps(\n"
+        "    {'rows': rows, 'parts': len(parts), 'executors': execs}))\n"
+    )
+    env = dict(os.environ)
+    env["SPARK_HOME"] = os.path.dirname(pyspark.__file__)
+    env.pop("PYSPARK_GATEWAY_PORT", None)
+    env.pop("PYSPARK_GATEWAY_SECRET", None)
+    try:
+        proc = subprocess.run(
+            [sys.executable, str(child)], capture_output=True, text=True,
+            timeout=600, env=env,
+        )
+    except subprocess.TimeoutExpired:
+        pytest.skip("local-cluster executors did not come up in time")
+    marker = [
+        line for line in proc.stdout.splitlines()
+        if line.startswith("CLUSTER_PQ ")
+    ]
+    if proc.returncode != 0 or not marker:
+        pytest.skip(
+            "local-cluster unavailable here: "
+            + (proc.stderr or proc.stdout)[-300:]
+        )
+    got = _json.loads(marker[0][len("CLUSTER_PQ "):])
+    assert got["executors"] >= 3, got  # driver + 2 executor JVMs
+    assert got["rows"] == 40, got
+    assert 1 < got["parts"] <= 4, got  # actually sharded across tasks
