@@ -149,6 +149,23 @@ def test_weather_trips_ignores_loadavg():
     )
 
 
+def test_midrun_steal_level_is_stricter_than_start_gate():
+    """round-12 calibration (NOTES): across six same-code runs, every
+    block above ~550 steal jiffies/5s recorded inflated numbers while
+    the start gate's 1500 passed them as clean — the mid-run trip uses
+    the stricter 500 level so a weathered block cannot be recorded
+    under a clean flag again."""
+    from bench import STEAL_BUSY_JIFFIES_PER_5S, STEAL_MIDRUN_JIFFIES_PER_5S
+
+    assert STEAL_MIDRUN_JIFFIES_PER_5S < STEAL_BUSY_JIFFIES_PER_5S
+    sub_start_gate = {"loadavg": [0.0, 0.0, 0.0],
+                      "steal_jiffies_per_5s": 1200, "canary_sec": 0.28}
+    assert not _weather_trips(sub_start_gate)  # start gate: clean
+    assert _weather_trips(                      # mid-run: tripped
+        sub_start_gate, steal_limit=STEAL_MIDRUN_JIFFIES_PER_5S
+    )
+
+
 def test_compact_line_summarizes_weather_to_tripped_bools():
     """The compact line must carry the whole-run weather VERDICT
     without the full samples (those live in BENCH_LOCAL.json) — and
