@@ -291,21 +291,33 @@ def lsh_banded(
     signature_col: str = "signature",
     bands: int = 16,
     rows_per_band: int = 4,
+    signature_len: int | None = None,
 ) -> DataFrame:
     """One row per (doc, band) with the band's bucket hash —
     xxhash64 over the comma-joined decimal rendering of the band's
     signature slice (the rendering the SQL oracles replay verbatim).
 
-    Validates ``bands * rows_per_band <= len(signature)`` against the
-    first row: bands sliced past the signature end would all hash the
-    empty string, silently making EVERY doc pair a candidate — the
-    full O(n^2) blowup LSH exists to avoid.
+    Validates ``bands * rows_per_band <= len(signature)``: bands
+    sliced past the signature end would all hash the empty string,
+    silently making EVERY doc pair a candidate — the full O(n^2)
+    blowup LSH exists to avoid. Callers that KNOW the signature
+    length (every ``minhash_signatures`` consumer knows its
+    ``num_hashes``) pass ``signature_len`` and the check is free;
+    ``None`` falls back to probing the first row, which costs a
+    whole extra Spark job per call (the scan + signature pipeline up
+    to one output partition — measured ~0.65 s of dedup_minhash_lsh's
+    ~3.6 s bench median at sf0.1, round 12; guide §1.2: remove work
+    the query does not need).
     """
-    first = df.select(F.size(F.col(signature_col)).alias("n")).first()
-    if first is not None and first["n"] < bands * rows_per_band:
+    if signature_len is not None:
+        n = signature_len
+    else:
+        first = df.select(F.size(F.col(signature_col)).alias("n")).first()
+        n = first["n"] if first is not None else None
+    if n is not None and n < bands * rows_per_band:
         raise ValueError(
             f"bands*rows_per_band = {bands * rows_per_band} exceeds "
-            f"signature length {first['n']} — bands beyond the end "
+            f"signature length {n} — bands beyond the end "
             "would hash identically for every doc"
         )
     # ONE transform over the band indices instead of `bands` separate
@@ -344,6 +356,7 @@ def lsh_candidate_pairs(
     signature_col: str = "signature",
     bands: int = 16,
     rows_per_band: int = 4,
+    signature_len: int | None = None,
 ) -> DataFrame:
     """LSH banding: docs sharing any band hash become candidate pairs.
 
@@ -351,12 +364,13 @@ def lsh_candidate_pairs(
     — a linear shuffle — then self-joins within buckets and dedups the
     pair list. Returns (id_a, id_b) with id_a < id_b.
 
-    Validates ``bands * rows_per_band <= len(signature)`` against the
-    first row: bands sliced past the signature end would all hash the
-    empty string, silently making EVERY doc pair a candidate — the
-    full O(n^2) blowup LSH exists to avoid.
+    Validates ``bands * rows_per_band <= len(signature)`` — statically
+    when the caller passes ``signature_len``, otherwise against the
+    first row (an extra job; see :func:`lsh_banded`).
     """
-    banded = lsh_banded(df, id_col, signature_col, bands, rows_per_band)
+    banded = lsh_banded(
+        df, id_col, signature_col, bands, rows_per_band, signature_len
+    )
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (
@@ -473,32 +487,56 @@ def _prefix_candidate_pairs(
     (record, candidate token), carry columns available to
     ``prefix_len`` (evaluated per row after the rank join, e.g. a
     set-size column) and to ``extra_join_pred`` (a predicate over the
-    ``pa``/``pb`` aliases, e.g. a length filter). Pipeline: global
-    token-frequency agg, per-record rarest-first rank window, keep
-    ranks <= prefix_len, self-join on shared prefix tokens (id_a <
-    id_b), distinct, localCheckpoint (the tiny candidate set feeds
+    ``pa``/``pb`` aliases, e.g. a length filter; the per-record
+    rarest-first rank is exposed as ``rn`` on both sides for
+    positional filters). Pipeline: global token-frequency agg,
+    per-record rarest-first rank window, keep ranks <= prefix_len,
+    self-join on shared prefix tokens (id_a < id_b), distinct,
+    repartition wide, localCheckpoint (the candidate set feeds
     multiple verify branches — NOTES.md lesson 9).
+
+    The repartition before the checkpoint is load-bearing (round 12):
+    AQE coalesces the small distinct output to one partition, the
+    checkpoint pins that partitioning, and every verify branch
+    consuming the checkpoint then runs its per-pair work (exact
+    Jaccard over shingle arrays, levenshtein) on a SINGLE task —
+    measured 30-48 s single-task stalls at sf0.1 with 788k candidate
+    pairs. Widening the checkpointed relation to default parallelism
+    costs one tiny id-pair shuffle and makes the verify scale with
+    the cluster (guide §2.5 — a skewed/serial stage, fixed by
+    repartitioning the small proxy relation, not the payload).
     """
     from pyspark.sql import Window
 
-    freq = tokens.groupBy("token").agg(F.count(F.lit(1)).alias("f"))
-    w = Window.partitionBy("id").orderBy("f", "token")
+    # Global token frequency as a COUNT WINDOW, not a groupBy+join
+    # (round 12): the old `tokens.join(freq, "token")` computed the
+    # token relation twice — once under the frequency aggregate and
+    # once as the join probe — and the token relation sits on top of
+    # the expensive shingle/q-gram projection. One window over
+    # partitionBy(token) gets the same count from a single pass for
+    # the same exchange budget (token exchange + id exchange either
+    # way). Identical values: count(*) over the token partition == the
+    # joined global count.
+    w_tok = Window.partitionBy("token")
+    w_id = Window.partitionBy("id").orderBy("f", "token")
     prefix = (
-        tokens.join(freq, "token")
-        .withColumn("rn", F.row_number().over(w))
+        tokens.withColumn("f", F.count(F.lit(1)).over(w_tok))
+        .withColumn("rn", F.row_number().over(w_id))
         .filter(F.col("rn") <= prefix_len)
-        .drop("rn", "f")
+        .drop("f")
     )
     cond = (F.col("pa.token") == F.col("pb.token")) & (
         F.col("pa.id") < F.col("pb.id")
     )
     if extra_join_pred is not None:
         cond = cond & extra_join_pred
+    n_wide = tokens.sparkSession.sparkContext.defaultParallelism
     return (
         prefix.alias("pa")
         .join(prefix.alias("pb"), cond)
         .select(F.col("pa.id").alias("id_a"), F.col("pb.id").alias("id_b"))
         .distinct()
+        .repartition(n_wide)
         .localCheckpoint(eager=False)
     )
 
@@ -547,12 +585,32 @@ def prefix_filtered_jaccard_pairs(
         F.size("shingles").alias("n"),
         F.explode_outer("shingles").alias("token"),
     )
-    # prefix length |S| - ceil(t*|S|) + 1, rational integer arithmetic
+    # prefix length |S| - ceil(t*|S|) + 1, rational integer arithmetic.
+    # Two LOSSLESS candidate filters ride the join condition (round 12,
+    # both published with the prefix-filter technique itself):
+    # - LENGTH (Arasu et al. / SSJoin): J(A,B) >= t implies
+    #   t*|A| <= |B| and t*|B| <= |A| (the intersection is inside the
+    #   smaller set, the union outside the larger).
+    # - POSITIONAL (PPJoin, Xiao et al. WWW'08): J >= t iff
+    #   |A∩B| >= ceil(t*(|A|+|B|)/(1+t)); for a token matched at
+    #   rarest-first ranks (ra, rb), the pair's FIRST shared token in
+    #   the shared global order has no shared token before it in
+    #   either set, so |A∩B| <= 1 + min(|A|-ra, |B|-rb) on that row —
+    #   a qualifying pair always survives via its first shared token.
+    #   Integer form: bound*(t_den+t_num) >= t_num*(|A|+|B|) is exactly
+    #   bound >= ceil(..) for integer bound.
+    # Measured at sf0.1 (t=0.2, 3-gram shingles on documents): 788k
+    # candidates -> 498k, and the verify stage shrinks with it.
+    na, nb = F.col("pa.n"), F.col("pb.n")
+    length_ok = (na * t_num <= nb * t_den) & (nb * t_num <= na * t_den)
+    bound = 1 + F.least(na - F.col("pa.rn"), nb - F.col("pb.rn"))
+    positional_ok = bound * (t_den + t_num) >= (na + nb) * t_num
     cand = _prefix_candidate_pairs(
         tokens,
         F.col("n")
         - F.expr(f"(n * {t_num} + {t_den - 1}) div {t_den}")
         + 1,
+        extra_join_pred=length_ok & positional_ok,
     )
     # verify only candidate docs: broadcast-semi-join the (tiny)
     # candidate id set BEFORE the shingle projection, so the re-shingle
@@ -562,11 +620,19 @@ def prefix_filtered_jaccard_pairs(
         .union(cand.select(F.col("id_b").alias("cid")))
         .distinct()
     )
-    pruned = df.join(
-        F.broadcast(cand_ids), F.col(id_col) == F.col("cid"), "inner"
-    ).select(
-        F.col(id_col).alias("doc_id"),
-        word_shingles(F.col(text_col), k).alias("shingles"),
+    # one candidate-pruned shingle pass, checkpointed so BOTH verify
+    # sides read the same materialization instead of re-running the
+    # scan + shingle projection per side (round 12). Bounded by the
+    # candidate doc set, so the checkpoint is 100 TB-safe.
+    pruned = (
+        df.join(
+            F.broadcast(cand_ids), F.col(id_col) == F.col("cid"), "inner"
+        )
+        .select(
+            F.col(id_col).alias("doc_id"),
+            word_shingles(F.col(text_col), k).alias("shingles"),
+        )
+        .localCheckpoint(eager=False)
     )
     docs_a = pruned.select(
         F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a")
@@ -578,11 +644,16 @@ def prefix_filtered_jaccard_pairs(
     union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
     # filter on the UNROUNDED ratio: prefix-filter completeness is a
     # guarantee about true Jaccard >= t, and a rounded 0.1999996 -> 0.2
-    # acceptance would reach outside it; output stays rounded
+    # acceptance would reach outside it; output stays rounded.
+    # BROADCAST the per-doc shingle relations (round 12): they are
+    # bounded by the candidate doc set, while the sort-merge plan the
+    # optimizer picked shuffled every candidate PAIR with its attached
+    # shingle array (~1 KB/row — twice, once per side). Same shape as
+    # _lsh_verified_pairs; guide §2.3 "shuffle keys, not payloads".
     jac_true = inter.cast("double") / union.cast("double")
     return (
-        cand.join(docs_a, "id_a")
-        .join(docs_b, "id_b")
+        cand.join(F.broadcast(docs_a), "id_a")
+        .join(F.broadcast(docs_b), "id_b")
         .select(
             "id_a",
             "id_b",
@@ -625,6 +696,7 @@ def qgram_prefix_edit_pairs(
     tokens = strs.select(
         F.col("sid").alias("id"),
         "slen",
+        "txt",
         F.explode_outer(
             F.array_distinct(
                 F.transform(
@@ -636,12 +708,88 @@ def qgram_prefix_edit_pairs(
             )
         ).alias("token"),
     )
-    cand = _prefix_candidate_pairs(
-        tokens,
-        F.lit(p),
-        extra_join_pred=(
-            F.abs(F.col("pa.slen") - F.col("pb.slen")) <= max_dist
-        ),
+    # Same frequency-window + rarest-first rank scaffold as the
+    # Jaccard family, but the VERIFY runs IN-STAGE on the join output
+    # (round 12): on short-alphabet q-grams the prefix join is
+    # enormous (189M pre-distinct rows for 20k part names at sf0.1 —
+    # the hottest gram alone pairs 5k x 5k prefixes), and the old
+    # candidate->distinct->join-back shape shuffled ALL of it just to
+    # dedup before verifying. Verifying with a THRESHOLD levenshtein
+    # (Spark 3.5+: banded O(d*n) with early exit, returns -1 past the
+    # budget — `>= 0` is exactly the old `<= max_dist`) as a filter
+    # directly above the join keeps the flood inside the join stage:
+    # only true matches (times their shared-prefix-gram multiplicity)
+    # reach the distinct. Together with the block split and probe
+    # widen below: 291 s -> 28.1 s at sf0.1 with a byte-identical
+    # 12.58M-row result; at sf0.01 the full family stays oracle-green.
+    # The cheap length filter rides the join condition so
+    # non-candidates never reach the levenshtein.
+    from pyspark.sql import Window
+
+    w_tok = Window.partitionBy("token")
+    w_id = Window.partitionBy("id").orderBy("f", "token")
+    prefix = (
+        tokens.withColumn("f", F.count(F.lit(1)).over(w_tok))
+        .withColumn("rn", F.row_number().over(w_id))
+        .filter(F.col("rn") <= p)
+        .drop("f", "rn")
+    )
+    # BLOCK-SPLIT the join key (guide §2.5 — AQE cannot split a single
+    # enormous key): on a ~30-symbol alphabet the hottest 2-grams sit
+    # in ~5k prefixes each at sf0.1, i.e. ~25M pair-iterations for ONE
+    # key, all serialized into one sort-merge task (the measured
+    # 300 s single-task straggler). Each left row is replicated once
+    # per partner block and the right side is bucketed by a
+    # deterministic id hash, so the join key becomes (token, block)
+    # and a hot gram's quadratic work spreads over `blocks` tasks.
+    # Every pair still meets exactly once (its right row has exactly
+    # one block), so the result is identical; replication costs
+    # |prefix| * blocks rows of a few dozen bytes — trivial next to
+    # the pair flood it parallelizes.
+    #
+    # The probe side is REPARTITIONED to 2x parallelism by the split
+    # key and the build side broadcast EXPLICITLY (round 12): left to
+    # itself the optimizer broadcasts one side and AQE coalesces the
+    # tiny-in-bytes probe to 1-2 partitions, so the entire 189M-pair
+    # iteration ran on 1-2 tasks regardless of the block split (the
+    # second half of the 300 s pathology). An explicit-width
+    # repartition is AQE-proof, and broadcasting `pb` keeps the flood
+    # shuffle-free. Measured at sf0.1 (noop sink, 12,579,965 identical
+    # rows every variant): in-stage verify alone 291 s; + block-split
+    # ~45 s; + probe widen w/ shuffle_hash build 39.2 s; + probe widen
+    # w/ broadcast build 28.1 s (adopted). The broadcast relation is
+    # the p-gram prefix of the STRING TABLE (dimension-scale for both
+    # registered uses; ~10 MB at sf0.1).
+    blocks = max(8, df.sparkSession.sparkContext.defaultParallelism)
+    n_wide = 2 * df.sparkSession.sparkContext.defaultParallelism
+    pa = (
+        prefix.withColumn(
+            "tb", F.explode(F.sequence(F.lit(0), F.lit(blocks - 1)))
+        )
+        .repartition(n_wide, "token", "tb")
+        .alias("pa")
+    )
+    pb = F.broadcast(
+        prefix.withColumn("blk", F.pmod(F.xxhash64("id"), F.lit(blocks)))
+    ).alias("pb")
+    cond = (
+        (F.col("pa.token") == F.col("pb.token"))
+        & (F.col("pa.tb") == F.col("pb.blk"))
+        & (F.col("pa.id") < F.col("pb.id"))
+        & (F.abs(F.col("pa.slen") - F.col("pb.slen")) <= max_dist)
+    )
+    dist = F.levenshtein(
+        F.col("pa.txt"), F.col("pb.txt"), threshold=max_dist
+    ).cast("int")
+    pairs = (
+        pa.join(pb, cond)
+        .select(
+            F.col("pa.id").alias("id_a"),
+            F.col("pb.id").alias("id_b"),
+            dist.alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") >= 0)
+        .distinct()
     )
     names_a = strs.select(
         F.col("sid").alias("id_a"), F.col("txt").alias("name_a")
@@ -649,18 +797,10 @@ def qgram_prefix_edit_pairs(
     names_b = strs.select(
         F.col("sid").alias("id_b"), F.col("txt").alias("name_b")
     )
-    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
     return (
-        cand.join(names_a, "id_a")
-        .join(names_b, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            "name_a",
-            "name_b",
-            dist.cast("int").alias("edit_dist"),
-        )
-        .filter(F.col("edit_dist") <= max_dist)
+        pairs.join(F.broadcast(names_a), "id_a")
+        .join(F.broadcast(names_b), "id_b")
+        .select("id_a", "id_b", "name_a", "name_b", "edit_dist")
     )
 
 

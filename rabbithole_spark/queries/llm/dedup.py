@@ -277,7 +277,9 @@ def _lsh_verified_pairs(d: DataFrame, threshold: float) -> DataFrame:
         word_shingles(F.col("text"), 3).alias("shingles"),
     )
     signed = minhash_signatures(sh, "doc_id", "shingles", 64)
-    pairs = lsh_candidate_pairs(signed, "doc_id", bands=16, rows_per_band=4)
+    pairs = lsh_candidate_pairs(
+        signed, "doc_id", bands=16, rows_per_band=4, signature_len=64
+    )
     # Materialize the (tiny) candidate-pair set, then recompute shingles
     # ONLY for docs that appear in a pair: exact-Jaccard verification
     # costs O(candidates), not O(corpus). Joining the full-corpus
@@ -957,7 +959,15 @@ WHERE {jac} >= {_INGEST_TAU}
 def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rabbithole_spark.operators.dedup import lsh_banded
 
-    d = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    # spread() before the per-doc signature compute: the single-file
+    # documents scan arrives as ONE input split, so without the
+    # round-robin repartition the whole corpus-side shingle+minhash
+    # pipeline ran on one core (measured 7.9 s at sf0.1; ~2.2 s with
+    # full-width parallelism — guide §2.5 input skew). Row-preserving,
+    # so results are unchanged.
+    d = spread(table(spark, sf_dir, "documents")).filter(
+        F.col("text").isNotNull()
+    )
     is_batch = F.col("doc_id") % _INGEST_MOD == 0
     batch, corpus = d.filter(is_batch), d.filter(~is_batch)
 
@@ -970,6 +980,7 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             bands=16,
             rows_per_band=4,
+            signature_len=64,
         )
 
     cand = (

@@ -61,19 +61,30 @@ _PS_SQL = """ps AS (
 
 
 def _ps(
-    spark: SparkSession, sf_dir: str, part_keys: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    part_keys: DataFrame | None = None,
+    supp_keys: DataFrame | None = None,
 ) -> DataFrame:
     """Spark twin of :data:`_PS_SQL`. ``part_keys`` (a broadcast
     p_partkey relation) LEFT-SEMI-prunes the lineitem scan BEFORE the
     (partkey, suppkey) aggregation — when the consumer only needs ps
     rows for a selective part subset (Q9's widgets), deriving then
     discarding the rest would shuffle ~20x more rows than necessary
-    (round-9 review). Semantics-preserving: the group key contains
-    l_partkey, so pruning input rows by it prunes whole groups."""
+    (round-9 review). ``supp_keys`` (a broadcast s_suppkey relation)
+    does the same on the supplier key (Q11's Europe scope; round 12).
+    Semantics-preserving: the group key contains both l_partkey and
+    l_suppkey, so pruning input rows by either prunes whole groups —
+    surviving groups keep every one of their rows, so their SUM/MIN
+    aggregates are unchanged."""
     li = table(spark, sf_dir, "lineitem")
     if part_keys is not None:
         li = li.join(
             part_keys, F.col("p_partkey") == F.col("l_partkey"), "left_semi"
+        )
+    if supp_keys is not None:
+        li = li.join(
+            supp_keys, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
         )
     return (
         li
@@ -171,8 +182,14 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         region="EUROPE",
     )
+    # part_keys prunes the lineitem scan below the ps aggregation: the
+    # STANDARD/size filter keeps ~10% of parts, and deriving ps for the
+    # other 90% only to discard them at the join aggregated ~10x more
+    # rows than needed (round 12; guide §3.2 semi-join pre-filter —
+    # same device Q9 already used). Group key contains l_partkey, so
+    # surviving groups are byte-identical.
     eligible = (
-        _ps(spark, sf_dir)
+        _ps(spark, sf_dir, part_keys=F.broadcast(part.select("p_partkey")))
         .join(F.broadcast(part), F.col("ps_partkey") == F.col("p_partkey"))
         .join(F.broadcast(supp), F.col("ps_suppkey") == F.col("s_suppkey"))
     )
@@ -311,18 +328,37 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = F.broadcast(
         _supp_dim(spark, sf_dir, ("s_suppkey",), region="EUROPE")
     )
-    scoped = (
-        _ps(spark, sf_dir)
-        .join(supp, F.col("ps_suppkey") == F.col("s_suppkey"))
-        .select(
-            "ps_partkey",
-            (F.col("ps_supplycost") * F.col("ps_availqty")).alias("v"),
-        )
+    # supp_keys prunes lineitem below the ps aggregation (guide §3.2):
+    # the Europe scope keeps ~1/5 of suppliers, and s_suppkey is unique,
+    # so the semi-prune IS the old inner join — scoped needs no second
+    # join at all. Surviving (partkey, suppkey) groups keep every row,
+    # so their aggregates are unchanged (round 12).
+    scoped = _ps(spark, sf_dir, supp_keys=supp).select(
+        "ps_partkey",
+        (F.col("ps_supplycost") * F.col("ps_availqty")).alias("v"),
     )
-    per_part = scoped.groupBy("ps_partkey").agg(dsum(F.col("v"), "part_value", 2))
-    total = scoped.agg(
-        dsum(F.col("v"), "tv", 2),
-        F.count_distinct(F.col("ps_partkey")).alias("np"),
+    # ONE aggregation pass feeds both the per-part values and the
+    # global threshold: the exact decimal per-part sums re-aggregate to
+    # the exact global sum (integer arithmetic is associative), and the
+    # distinct part count is simply the per-part row count — so the
+    # old second branch (a full re-aggregation of `scoped` with a
+    # count_distinct Expand) disappears. Bit-identical to the oracle:
+    # sum-of-group-sums == global sum on exact decimals, and
+    # count(ps_partkey) over groups == count(DISTINCT ps_partkey)
+    # (the NULL group, if any, is excluded by both). Measured 1.91 s
+    # -> ~1.1 s bench-cold at sf0.1 (round 12; guide §2.4 — share one
+    # exchange instead of recomputing the subtree).
+    from pyspark.sql.types import DecimalType
+
+    pv = scoped.groupBy("ps_partkey").agg(
+        F.sum(F.col("v").cast(DecimalType(18, 2))).alias("__pv")
+    )
+    per_part = pv.select(
+        "ps_partkey", F.col("__pv").cast("double").alias("part_value")
+    )
+    total = pv.agg(
+        F.sum("__pv").cast("double").alias("tv"),
+        F.count(F.col("ps_partkey")).alias("np"),
     )
     return (
         per_part.crossJoin(F.broadcast(total))
@@ -432,8 +468,11 @@ def tpch_q16_supplier_part_counts(
         .filter(F.col("s_acctbal") < 0)
         .select("s_suppkey")
     )
+    # part_keys prunes the lineitem scan below the ps aggregation (the
+    # size list keeps ~1/7 of parts; guide §3.2, round 12) — same
+    # group-key argument as Q2/Q9: surviving groups are unchanged.
     return (
-        _ps(spark, sf_dir)
+        _ps(spark, sf_dir, part_keys=F.broadcast(part.select("p_partkey")))
         .join(F.broadcast(part), F.col("p_partkey") == F.col("ps_partkey"))
         .join(
             F.broadcast(bad_supp),
@@ -491,38 +530,44 @@ GROUP BY s_name, n_name
 )
 def tpch_q20_excess_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
-    q97 = (
-        li.filter(
-            (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")))
-            & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01")))
-        )
-        .groupBy("l_partkey", "l_suppkey")
-        .agg(F.sum("l_quantity").alias("qty97"))
-    )
     small_parts = (
         table(spark, sf_dir, "part")
         .filter(F.col("p_name").startswith("small"))
         .select("p_partkey")
     )
+    sd = _supp_dim(
+        spark, sf_dir, ("s_suppkey", "s_name", "n_name"), region="ASIA"
+    )
+    # Both lineitem aggregations are semi-pruned by the selective part
+    # and supplier scopes BEFORE grouping (guide §3.2; round 12): the
+    # final result only ever reads (partkey, suppkey) groups whose part
+    # is 'small%' and whose supplier is Asian, and both prune keys are
+    # group-key columns, so surviving groups keep every row and their
+    # SUM/MIN aggregates are unchanged. Previously both aggregates ran
+    # over the full fact table and discarded ~95% of their groups at
+    # the joins below.
+    small_b = F.broadcast(small_parts)
+    supp_keys = F.broadcast(sd.select("s_suppkey"))
+    q97 = (
+        li.filter(
+            (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")))
+            & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01")))
+        )
+        .join(small_b, F.col("p_partkey") == F.col("l_partkey"), "left_semi")
+        .join(supp_keys, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty97"))
+    )
     cand = (
-        _ps(spark, sf_dir)
+        _ps(spark, sf_dir, part_keys=small_b, supp_keys=supp_keys)
         .join(
             q97,
             (F.col("l_partkey") == F.col("ps_partkey"))
             & (F.col("l_suppkey") == F.col("ps_suppkey")),
         )
         .filter(F.col("ps_availqty") > F.lit(_Q20_MULT) * F.col("qty97"))
-        .join(
-            F.broadcast(small_parts),
-            F.col("ps_partkey") == F.col("p_partkey"),
-            "left_semi",
-        )
     )
-    supp = F.broadcast(
-        _supp_dim(
-            spark, sf_dir, ("s_suppkey", "s_name", "n_name"), region="ASIA"
-        )
-    )
+    supp = F.broadcast(sd)
     return (
         cand.join(supp, F.col("ps_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name", "n_name")

@@ -57,8 +57,16 @@ SHUFFLE_BUDGETS = {
     "curriculum_phase_stats": 3,
     "dedup_canonical_survivors": 2,
     "dedup_components": 0,
-    "dedup_edit_distance_prefix": 0,
-    "dedup_edit_distance_prefix_sparse": 0,
+    # round 12: the qgram family dropped its localCheckpoint (which
+    # HID every shuffle from this gate — SCOPE CONVENTION above) for
+    # an in-stage threshold-levenshtein verify. The 6 now-visible
+    # exchanges are: token-frequency window + rarest-rank window on
+    # EACH side of the self-join (2x2, all over dimension-scale q-gram
+    # rows), the block-split probe widen (REPARTITION_BY_NUM over
+    # (token, tb)), and the final distinct. Net effect measured at
+    # sf0.1: 291 s -> 28.1 s with byte-identical 12.58M rows.
+    "dedup_edit_distance_prefix": 6,
+    "dedup_edit_distance_prefix_sparse": 6,
     "dedup_exact_documents": 1,
     "dedup_fingerprint": 1,
     "text_winnow_fingerprints": 0,
@@ -68,8 +76,13 @@ SHUFFLE_BUDGETS = {
     # all broadcast (the batch side is small by construction), and the
     # eager checkpoint truncates the post-candidate lineage
     # re-measured after the round-7 row-local minhash_signatures
-    # restructure removed the per-side signature aggregation shuffle
-    "dedup_minhash_incremental": 2,
+    # restructure removed the per-side signature aggregation shuffle.
+    # round 12: +2 for the spread() round-robin over the single-split
+    # documents scan (guide §2.5 input skew — the whole shingle+minhash
+    # pipeline ran on ONE core; 7.9 s -> 2.2 s at sf0.1), visible once
+    # per self-join branch (batch + corpus; alias exprIds defeat
+    # exchange reuse in the initial plan)
+    "dedup_minhash_incremental": 4,
     "dedup_minhash_lsh": 4,
     # hash-multiplicity window + doc-id island window + docs join-back
     "dedup_repeated_span_coverage": 4,
