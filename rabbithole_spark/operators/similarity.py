@@ -430,6 +430,12 @@ def ivf_build_index(
     # full corpus pass for a value nothing reads
     n = df.count() if fingerprint is None else None
     fit_df = df.filter(fit_filter) if fit_filter is not None else df
+    # round-robin widen the fit relation (round 12): every Lloyd
+    # iteration's interpreted distance folds otherwise run on the
+    # single input split — see kmeans_fit_assign. Row-preserving.
+    fit_df = fit_df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    )
     cents = lloyd_init_first_k(fit_df, embedding_col, order_cols, n_centroids)
     cents = lloyd_iterate(fit_df, embedding_col, cents, iters)
     assigned = df.withColumn(
@@ -756,7 +762,18 @@ def kmeans_fit_assign(
     this is exactly the IVF training loop (sample -> fit -> assign is
     how ivf_topk's quantizer would be built); iters is small because
     curation pipelines want coarse cells, not converged clusters.
+
+    The input is round-robin widened to default parallelism first
+    (round 12, guide §2.5 input skew): the per-row distance math is
+    interpreted higher-order-function work (zip_with/aggregate are
+    CodegenFallback), k folds of dim lambda steps per row, and a
+    single-split scan serializes EVERY fit iteration and the final
+    assignment onto one core — measured 1.3-4.9 s per Lloyd iteration
+    on 2000x64 vectors at sf0.1, ~11 s of dedup_semantic_semdedup's
+    14 s. Row-preserving, so fit means, assignments, and distances
+    are unchanged.
     """
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     cents = lloyd_init_first_k(df, vec_col, id_cols, k)
     cents = lloyd_iterate(df, vec_col, cents, iters)
     d = _centroid_dists(F.col(vec_col), cents)

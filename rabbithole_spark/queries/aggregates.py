@@ -394,10 +394,17 @@ FROM events GROUP BY event_type
 )
 def agg_median_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.round(F.percentile("value", F.lit(0.5)), 6).alias("median_value"),
-        F.round(F.percentile("value", F.lit(0.25)), 6).alias("q1"),
-        F.round(F.percentile("value", F.lit(0.75)), 6).alias("q3"),
+    # ONE array-form percentile buffer instead of three scalar calls
+    # (round 12, guide §1.2): each scalar aggregate buffered and sorted
+    # every group value independently; per-point values are bit-equal.
+    pcts = F.percentile(
+        "value", F.array(F.lit(0.5), F.lit(0.25), F.lit(0.75))
+    )
+    return ev.groupBy("event_type").agg(pcts.alias("__p")).select(
+        "event_type",
+        F.round(F.col("__p")[0], 6).alias("median_value"),
+        F.round(F.col("__p")[1], 6).alias("q1"),
+        F.round(F.col("__p")[2], 6).alias("q3"),
     )
 
 
@@ -531,18 +538,33 @@ def sketch_tolerance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     grp = F.when(F.grouping("event_type") == 1, F.lit("ALL")).otherwise(
         F.col("event_type")
     )
+    # ONE array-form exact percentile instead of six scalar calls
+    # (round 12, guide §1.2/§2.3): each scalar `percentile` aggregate
+    # buffers EVERY value in its own counts map and sorts it
+    # independently — six full copies + six sorts of the same column
+    # per rollup group. The array form keeps one buffer and one sort,
+    # queried at all six points; per-point values are computed by the
+    # identical interpolation from the identical multiset, so results
+    # are bit-equal (measured on the lineitem twin below: 8.78 s ->
+    # 1.78 s for the branch).
     base = ev.rollup("event_type").agg(
         grp.alias("grp"),
         F.approx_count_distinct("user_id", 0.02).alias("acd"),
         F.countDistinct("user_id").alias("ecd"),
         F.kll_sketch_agg_double("value", F.lit(200)).alias("ks_roll"),
-        F.percentile("value", F.lit(0.5)).alias("ex_p50"),
-        F.percentile("value", F.lit(0.95)).alias("ex_p95"),
-        F.percentile("value", F.lit(0.45)).alias("p50_lo"),
-        F.percentile("value", F.lit(0.55)).alias("p50_hi"),
-        F.percentile("value", F.lit(0.90)).alias("p95_lo"),
-        F.percentile("value", F.lit(1.0)).alias("p95_hi"),
-    ).withColumns(
+        F.percentile(
+            "value",
+            F.array(*[F.lit(p) for p in (0.5, 0.95, 0.45, 0.55, 0.90, 1.0)]),
+        ).alias("__pcts"),
+    ).select(
+        "*",
+        F.col("__pcts")[0].alias("ex_p50"),
+        F.col("__pcts")[1].alias("ex_p95"),
+        F.col("__pcts")[2].alias("p50_lo"),
+        F.col("__pcts")[3].alias("p50_hi"),
+        F.col("__pcts")[4].alias("p95_lo"),
+        F.col("__pcts")[5].alias("p95_hi"),
+    ).drop("__pcts").withColumns(
         # ONE sketch per group queried at both quantiles (round-9
         # review: two kll_sketch_agg_double calls built — and paid for
         # — two independent sketches per rollup group)
@@ -643,19 +665,33 @@ def sketch_tolerance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     li = table(spark, sf_dir, "lineitem")
+    # same array-form consolidation as the rollup above (round 12):
+    # ONE exact-percentile buffer + sort for all six points (was six,
+    # each holding all 600k prices at sf0.1 — measured 8.78 s -> 1.78 s
+    # for this branch) and ONE GK summary for both approx points. The
+    # exact values are bit-equal; the approx summary is built from the
+    # same data either way and only feeds within_tol booleans that
+    # carry a 100x margin over the rank-error bound.
     gk_base = li.groupBy("l_returnflag").agg(
         F.approx_percentile(
-            "l_extendedprice", F.lit(0.5), F.lit(10000)
-        ).alias("ap50"),
-        F.approx_percentile(
-            "l_extendedprice", F.lit(0.9), F.lit(10000)
-        ).alias("ap90"),
-        F.percentile("l_extendedprice", F.lit(0.5)).alias("ex_p50"),
-        F.percentile("l_extendedprice", F.lit(0.9)).alias("ex_p90"),
-        F.percentile("l_extendedprice", F.lit(0.49)).alias("p50_lo"),
-        F.percentile("l_extendedprice", F.lit(0.51)).alias("p50_hi"),
-        F.percentile("l_extendedprice", F.lit(0.89)).alias("p90_lo"),
-        F.percentile("l_extendedprice", F.lit(0.91)).alias("p90_hi"),
+            "l_extendedprice",
+            F.array(F.lit(0.5), F.lit(0.9)),
+            F.lit(10000),
+        ).alias("__ap"),
+        F.percentile(
+            "l_extendedprice",
+            F.array(*[F.lit(p) for p in (0.5, 0.9, 0.49, 0.51, 0.89, 0.91)]),
+        ).alias("__ex"),
+    ).select(
+        "l_returnflag",
+        F.col("__ap")[0].alias("ap50"),
+        F.col("__ap")[1].alias("ap90"),
+        F.col("__ex")[0].alias("ex_p50"),
+        F.col("__ex")[1].alias("ex_p90"),
+        F.col("__ex")[2].alias("p50_lo"),
+        F.col("__ex")[3].alias("p50_hi"),
+        F.col("__ex")[4].alias("p90_lo"),
+        F.col("__ex")[5].alias("p90_hi"),
     )
     gk_rows = gk_base.select(
         F.explode(

@@ -805,15 +805,33 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vector / NULL element / zero-norm vector has no direction, so it
     # can neither seed a centroid nor pair in the cosine stage
     emb = valid_embeddings(table(spark, sf_dir, "embeddings"))
-    assigned = kmeans_fit_assign(
-        emb,
-        "embedding",
-        ["vec_id", "embedding"],
-        k=_KMEANS_K,
-        iters=_KMEANS_ITERS,
-    ).select("vec_id", "embedding", "cluster")
+    # carry each vector's norm ON THE ROW into the pair join (round 12,
+    # guide §1.2): cosine() evaluates three interpreted zip_with/
+    # aggregate folds per PAIR (dot(a,b), dot(a,a), dot(b,b)) — the
+    # self-norms are per-VECTOR quantities recomputed O(cluster) times
+    # each. sqrt(dot(v,v)) is the identical double whether evaluated
+    # per row or per pair, and the when(denom > 0) guard is cosine()'s
+    # own, so max_lower_sim is bit-equal with one fold per pair
+    # instead of three.
+    from rabbithole_spark.operators.similarity import dot, l2_norm
+
+    assigned = (
+        kmeans_fit_assign(
+            emb,
+            "embedding",
+            ["vec_id", "embedding"],
+            k=_KMEANS_K,
+            iters=_KMEANS_ITERS,
+        )
+        .select("vec_id", "embedding", "cluster")
+        .withColumn("nrm", l2_norm(F.col("embedding")))
+    )
     a = assigned.alias("a")
     b = assigned.alias("b")
+    denom = F.col("a.nrm") * F.col("b.nrm")
+    sim = F.when(
+        denom > 0, dot(F.col("a.embedding"), F.col("b.embedding")) / denom
+    )
     pairs = (
         a.join(
             b,
@@ -821,11 +839,7 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("b.vec_id") < F.col("a.vec_id")),
         )
         .groupBy(F.col("a.vec_id").alias("vec_id"))
-        .agg(
-            F.round(
-                F.max(cosine(F.col("a.embedding"), F.col("b.embedding"))), 6
-            ).alias("max_lower_sim")
-        )
+        .agg(F.round(F.max(sim), 6).alias("max_lower_sim"))
     )
     return (
         assigned.select("vec_id", "cluster")

@@ -320,8 +320,17 @@ def _run_count_or_time_batcher(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type string, event_id long, user_id long",
         size_limit=10,
         # short limit so each key's sub-size leftover time-flushes and
-        # the bounded replay drains; every input row exits exactly once
-        time_limit_s=5.0,
+        # the bounded replay drains; every input row exits exactly once.
+        # 0.75 s (round 12, was 5.0): over the single-batch bounded
+        # replay the flush ARITHMETIC is a function of size_limit only
+        # — every key's rows arrive in one invocation, size-flushes
+        # happen in-invocation, and the leftover time-flushes when its
+        # timer fires regardless of the limit value (v1 timers fire
+        # between micro-batches, never mid-invocation) — so the output
+        # rows and tags are identical and the drain loop just stops
+        # waiting out dead processing-time (~4.5 s per batcher query,
+        # x2 queries sharing this config; guide §1.2).
+        time_limit_s=0.75,
     )
     q = (
         batched.writeStream.format("memory")

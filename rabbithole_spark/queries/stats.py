@@ -131,11 +131,22 @@ GROUP BY l_returnflag
 )
 def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
+    # q25/q75 share ONE array-form percentile buffer (round 12, guide
+    # §1.2 — the scalar calls each buffered and sorted every group's
+    # quantities; per-point values are bit-equal). F.median keeps its
+    # own aggregate deliberately: it is the declared API surface here.
     return li.groupBy("l_returnflag").agg(
         F.round(F.median("l_quantity"), 6).alias("qty_median"),
-        F.round(F.percentile("l_quantity", F.lit(0.25)), 6).alias("qty_q25"),
-        F.round(F.percentile("l_quantity", F.lit(0.75)), 6).alias("qty_q75"),
+        F.percentile(
+            "l_quantity", F.array(F.lit(0.25), F.lit(0.75))
+        ).alias("__q"),
         F.round(F.percentile("l_extendedprice", F.lit(0.9)), 6).alias("price_p90"),
+    ).select(
+        "l_returnflag",
+        "qty_median",
+        F.round(F.col("__q")[0], 6).alias("qty_q25"),
+        F.round(F.col("__q")[1], 6).alias("qty_q75"),
+        "price_p90",
     )
 
 
@@ -323,16 +334,20 @@ GROUP BY l_returnflag
 )
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
+    # ONE array-form percentile buffer for both points (round 12,
+    # guide §1.2); per-point values are bit-equal to the scalar calls.
     return (
         li.filter(F.expr(_APCT_SAMPLE_SQL))
         .groupBy("l_returnflag")
         .agg(
-            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias(
-                "price_p50_approx"
-            ),
-            F.round(F.percentile("l_extendedprice", F.lit(0.9)), 6).alias(
-                "price_p90_approx"
-            ),
+            F.percentile(
+                "l_extendedprice", F.array(F.lit(0.5), F.lit(0.9))
+            ).alias("__p")
+        )
+        .select(
+            "l_returnflag",
+            F.round(F.col("__p")[0], 6).alias("price_p50_approx"),
+            F.round(F.col("__p")[1], 6).alias("price_p90_approx"),
         )
     )
 
