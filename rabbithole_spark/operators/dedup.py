@@ -63,10 +63,20 @@ def connected_components(
     driver-side control flow over fully distributed steps, the
     standard Spark shape for iterative graph algorithms.
     """
+    # materialize the symmetrized edge set ONCE (round 12, guide §1.2):
+    # every iteration's propagate job — and the labels init — otherwise
+    # re-executes the full lineage BELOW `pairs` (for the registered
+    # callers that is the prefix-filter candidate+verify pipeline,
+    # measured ~2.5 s per re-execution at sf0.1: the loop cost was
+    # ~3 s/iteration of which ~0.3 s was the actual propagate). The
+    # checkpoint holds only the near-dup edge list (ids, no payloads),
+    # which is the graph the loop must hold anyway — far smaller than
+    # the corpus at any scale.
     edges = (
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("a").alias("node"))

@@ -292,10 +292,17 @@ _IVF_QUANTIZER = "lloyd-det-v2"
 def _centroid_dists(vec_col: Column, cents: list[list[float]]) -> Column:
     """Squared-L2 distances from a vector column to literal centroids —
     entirely row-local codegen (the broadcast-variable pattern): no
-    shuffle, no row multiplication."""
-    carr = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in cents]
-    )
+    shuffle, no row multiplication.
+
+    The k x dim centroid matrix is ONE nested array Literal, not
+    k*dim Literal nodes under array() constructors (round 12, guide
+    §1.2): every Lloyd iteration builds a fresh plan holding this
+    matrix 1-3 times, and analyzing/optimizing the ~2k-node expression
+    tree cost more driver time per iteration than the fold itself on a
+    small fit set (measured ~1.2 s/iteration at k=10, dim=64). The
+    literal holds the identical doubles, so distances are bit-equal.
+    """
+    carr = F.lit([[float(x) for x in c] for c in cents])
     return F.transform(
         carr,
         lambda cvec: F.aggregate(
@@ -430,12 +437,15 @@ def ivf_build_index(
     # full corpus pass for a value nothing reads
     n = df.count() if fingerprint is None else None
     fit_df = df.filter(fit_filter) if fit_filter is not None else df
-    # round-robin widen the fit relation (round 12): every Lloyd
-    # iteration's interpreted distance folds otherwise run on the
-    # single input split — see kmeans_fit_assign. Row-preserving.
+    # round-robin widen + materialize the fit relation (round 12):
+    # every Lloyd iteration's interpreted distance folds otherwise run
+    # on the single input split, and each iteration is its own job so
+    # a bare repartition would re-pay scan + shuffle per iteration —
+    # see kmeans_fit_assign. Row-preserving; the checkpoint holds the
+    # bounded fit set only (the fit_filter sample at 100 TB).
     fit_df = fit_df.repartition(
         df.sparkSession.sparkContext.defaultParallelism
-    )
+    ).localCheckpoint(eager=True)
     cents = lloyd_init_first_k(fit_df, embedding_col, order_cols, n_centroids)
     cents = lloyd_iterate(fit_df, embedding_col, cents, iters)
     assigned = df.withColumn(
@@ -763,17 +773,26 @@ def kmeans_fit_assign(
     how ivf_topk's quantizer would be built); iters is small because
     curation pipelines want coarse cells, not converged clusters.
 
-    The input is round-robin widened to default parallelism first
-    (round 12, guide §2.5 input skew): the per-row distance math is
-    interpreted higher-order-function work (zip_with/aggregate are
-    CodegenFallback), k folds of dim lambda steps per row, and a
-    single-split scan serializes EVERY fit iteration and the final
-    assignment onto one core — measured 1.3-4.9 s per Lloyd iteration
-    on 2000x64 vectors at sf0.1, ~11 s of dedup_semantic_semdedup's
-    14 s. Row-preserving, so fit means, assignments, and distances
-    are unchanged.
+    The input is round-robin widened to default parallelism and then
+    MATERIALIZED once (round 12, guide §2.5 input skew + §1.2 repeated
+    subtree): the per-row distance math is interpreted higher-order-
+    function work (zip_with/aggregate are CodegenFallback), k folds of
+    dim lambda steps per row, and a single-split scan serializes EVERY
+    fit iteration and the final assignment onto one core — measured
+    1.3-4.9 s per Lloyd iteration on 2000x64 vectors at sf0.1. The
+    localCheckpoint is load-bearing next to the repartition: the init,
+    every iteration, and the final assignment are SEPARATE jobs over
+    this lineage, and a bare repartition re-runs scan + shuffle in
+    each of them (measured: repartition alone REGRESSED
+    similarity_kmeans_clusters 4.6 -> 6.2 s; widen+checkpoint is the
+    win for every caller). The materialized relation is the bounded
+    fit set (the whole corpus here, a fit sample at 100 TB — see
+    ivf_build_index's fit_filter). Row-preserving, so fit means,
+    assignments, and distances are unchanged.
     """
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    df = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    ).localCheckpoint(eager=True)
     cents = lloyd_init_first_k(df, vec_col, id_cols, k)
     cents = lloyd_iterate(df, vec_col, cents, iters)
     d = _centroid_dists(F.col(vec_col), cents)

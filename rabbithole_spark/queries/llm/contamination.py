@@ -470,7 +470,9 @@ FROM per_doc
 def contamination_winnow_overlap(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
+    # spread(): single-split scan + per-row winnow rolling hash —
+    # round 12, guide §2.5, same fix as text_winnow_fingerprints
+    d = spread(table(spark, sf_dir, "documents"))
     fps = (
         winnow_fingerprints(d)
         .select("doc_id", F.explode("fps").alias("fp"))

@@ -615,6 +615,11 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "hash-verifiable sibling of the xxhash64 MinHash/SimHash kernels.",
 )
 def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # no spread(): measured a wash at sf0.1 (warm 1.8 s either way,
+    # round 12) — this query's cost is the exploded-fingerprint
+    # output, not the per-row winnow window, so the round-robin
+    # exchange would buy nothing (contamination_winnow_overlap, whose
+    # fps relation feeds two join branches, DOES spread)
     d = table(spark, sf_dir, "documents")
     return winnow_fingerprints(d).select(
         "doc_id", F.explode("fps").alias("fp")
@@ -885,7 +890,11 @@ FROM scored
     "test_quality_classifier_composes_feature_operators.",
 )
 def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    # spread(): regex feature scoring over a single-split scan —
+    # round 12, guide §2.5, same fix as text_ngram_novelty
+    d = spread(
+        table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    )
     _, _, _, flesch = _flesch_cols()
     feats = d.select(
         "doc_id",
@@ -965,8 +974,16 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NULL text: word_shingles squashes it to [''] (one phantom gram
     # shared by every NULL/whitespace doc) while the oracle's split
     # propagates NULL and drops the doc — filter identically (round-9
-    # review; the round-6 class-11 pin, applied here)
-    d = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    # review; the round-6 class-11 pin, applied here).
+    # spread() before the tokenize/explode (round 12, guide §2.5 input
+    # skew): the single-split documents scan ran the whole
+    # shingle+explode pass — the query's dominant compute — on one
+    # core, and the localCheckpoint PINNED that layout for both
+    # downstream aggregation branches (measured 4.5-6.5 s -> 1.0-2.4 s
+    # at sf0.1). Same fix as the sibling gram queries.
+    d = spread(
+        table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    )
     grams = d.select(
         "doc_id", F.explode(word_shingles(F.col("text"), 3)).alias("g")
     ).localCheckpoint(eager=False)

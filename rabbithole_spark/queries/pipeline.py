@@ -6,6 +6,9 @@ genuine Structured Streaming executions registered rows-only.
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -81,8 +84,68 @@ def _read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: verbatim. Queries whose output depends on processing time
 #: (count-or-time flush tags) or per-batch emission (update-mode
 #: running totals with n_batches) stay rows-only by design.
+def _replay_ckpt_dir() -> str | None:
+    """Checkpoint dir for the BOUNDED-REPLAY streams below, on tmpfs
+    when the box has a usable one (same medium policy + size guard as
+    bench.py's ETL sink): every micro-batch fsyncs its offset WAL and
+    one state delta per store instance, and on a disk-backed /tmp
+    those fsyncs dominate the replay (round-12 measurement,
+    stream_stream_interval_join at sf0.1: symmetricHashJoin
+    commitTimeMs summed 44-52 s per micro-batch across 32 partitions
+    x 4 stores — ~3 s wall of a 7 s query; state update/eviction math
+    is a fraction of that). Durability deliberately matches the sink:
+    the memory-sink table dies with the session anyway, so a
+    tmpfs-lifetime checkpoint loses nothing a rerun would not
+    recompute — production flows (streaming/sinks.py) pass their own
+    durable checkpointLocation. Returns None (Spark's default temp
+    checkpoint) when tmpfs is absent, unwritable, or under 1 GiB
+    free, e.g. default-configured Docker."""
+    shm = "/dev/shm"
+    try:
+        if os.path.isdir(shm) and os.access(shm, os.W_OK):
+            st = os.statvfs(shm)
+            if st.f_bavail * st.f_frsize >= 1 << 30:
+                return tempfile.mkdtemp(prefix="rh_replay_ckpt_", dir=shm)
+    except OSError:
+        pass
+    return None
+
+
+def _replay_state_partitions(spark, sf_dir: str) -> int:
+    """Number of state partitions for a bounded-replay stream, derived
+    from the stream's input size (round 12, guide §2.2/§2.5: size
+    partitions to the data instead of inheriting a constant tuned for
+    the batch side). Unlike batch plans, streaming stateful operators
+    get no AQE coalescing — the partition count fixes the number of
+    state-store INSTANCES, and each instance pays a fixed per-micro-
+    batch cost (load, commit, delta file) regardless of how few rows
+    it holds. Measured at sf0.1 (stream_stream_interval_join, 40k
+    state rows): 32 partitions x 4 join stores = 128 instances cost
+    ~3 s of a 6 s warm replay in summed per-instance update/commit
+    overhead; 8 partitions run the identical query in 2.4 s. Derive
+    ~16 MB of scanned input per state partition with a parallelism/4
+    floor, capped at the session's batch shuffle width (at cluster
+    scale the cap binds and state width tracks the batch tuning;
+    RABBITHOLE_STREAM_STATE_PARTITIONS overrides for deployments that
+    pin state width explicitly). Results are partitioning-invariant —
+    every replay query's output is keyed arithmetic or watermark
+    semantics, both independent of which store instance holds a key —
+    and the oracle sweep + driver correctness runs execute THIS
+    derivation at every SF."""
+    env = os.environ.get("RABBITHOLE_STREAM_STATE_PARTITIONS")
+    if env:
+        return max(1, int(env))
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    floor = max(4, spark.sparkContext.defaultParallelism // 4)
+    try:
+        nbytes = os.path.getsize(os.path.join(sf_dir, "events.parquet"))
+    except OSError:
+        return cap
+    return max(min(floor, cap), min(cap, (nbytes >> 24) + 1))
+
+
 def _memory_sinktable(spark, df, prefix: str, mode: str,
-                       timeout: float = 300.0):
+                       timeout: float = 300.0, sf_dir: str | None = None):
     """Run a bounded (AvailableNow) stream into a memory sink and
     return its table. awaitTermination(timeout) returns False on
     timeout WITHOUT stopping the query (round-9 review): the old
@@ -91,13 +154,30 @@ def _memory_sinktable(spark, df, prefix: str, mode: str,
     still-active query kept contending with everything after it —
     raise instead, and always stop a still-active query."""
     name = f"{prefix}_{uuid.uuid4().hex[:8]}"
-    q = (
+    ckpt = _replay_ckpt_dir()
+    writer = (
         df.writeStream.format("memory")
         .queryName(name)
         .outputMode(mode)
         .trigger(availableNow=True)
-        .start()
     )
+    if ckpt:
+        writer = writer.option("checkpointLocation", ckpt)
+    # the shuffle-partitions conf is captured by the query's cloned
+    # session at start(); restore immediately after so the batch side
+    # never sees the stream's state width (queries run sequentially
+    # from the driver — the registry has no concurrent-start path)
+    shuffle_conf = "spark.sql.shuffle.partitions"
+    old_shuffle = spark.conf.get(shuffle_conf)
+    if sf_dir is not None:
+        spark.conf.set(
+            shuffle_conf, str(_replay_state_partitions(spark, sf_dir))
+        )
+    try:
+        q = writer.start()
+    finally:
+        if sf_dir is not None:
+            spark.conf.set(shuffle_conf, old_shuffle)
     try:
         if not q.awaitTermination(timeout):
             raise TimeoutError(
@@ -106,6 +186,8 @@ def _memory_sinktable(spark, df, prefix: str, mode: str,
     finally:
         if q.isActive:
             q.stop()
+        if ckpt:
+            shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
 
 
@@ -140,7 +222,7 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
-    return _memory_sinktable(spark, agg, "stream_tumbling", "complete")
+    return _memory_sinktable(spark, agg, "stream_tumbling", "complete", sf_dir=sf_dir)
 
 
 _SLIDING_STREAM_ORACLE = """
@@ -172,7 +254,7 @@ def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(F.col("window.start").alias("window_start"), "n_events")
     )
-    return _memory_sinktable(spark, agg, "stream_sliding", "complete")
+    return _memory_sinktable(spark, agg, "stream_sliding", "complete", sf_dir=sf_dir)
 
 
 _DISTINCT_KEYS_ORACLE = """
@@ -200,7 +282,7 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select("user_id", "event_type")
     )
-    return _memory_sinktable(spark, dedup, "stream_dedupw", "append")
+    return _memory_sinktable(spark, dedup, "stream_dedupw", "append", sf_dir=sf_dir)
 
 
 _SESSION_STREAM_ORACLE = """
@@ -250,7 +332,7 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
-    return _memory_sinktable(spark, agg, "stream_session", "complete")
+    return _memory_sinktable(spark, agg, "stream_session", "complete", sf_dir=sf_dir)
 
 
 _RUNNING_TOTALS_ORACLE = """
@@ -281,7 +363,7 @@ def stream_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFram
     totals = running_totals_with_state(
         _read_events_stream(spark, sf_dir).groupBy("user_id")
     )
-    return _memory_sinktable(spark, totals, "stream_state", "update")
+    return _memory_sinktable(spark, totals, "stream_state", "update", sf_dir=sf_dir)
 
 
 @register(
@@ -332,14 +414,30 @@ def _run_count_or_time_batcher(spark: SparkSession, sf_dir: str) -> DataFrame:
         # x2 queries sharing this config; guide §1.2).
         time_limit_s=0.75,
     )
-    q = (
+    ckpt = _replay_ckpt_dir()
+    writer = (
         batched.writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
         .trigger(availableNow=True)
-        .start()
     )
-    await_state_drained(q)
+    if ckpt:
+        writer = writer.option("checkpointLocation", ckpt)
+    # same state-width derivation + conf restore as _memory_sinktable
+    shuffle_conf = "spark.sql.shuffle.partitions"
+    old_shuffle = spark.conf.get(shuffle_conf)
+    spark.conf.set(
+        shuffle_conf, str(_replay_state_partitions(spark, sf_dir))
+    )
+    try:
+        q = writer.start()
+    finally:
+        spark.conf.set(shuffle_conf, old_shuffle)
+    try:
+        await_state_drained(q)
+    finally:
+        if ckpt:
+            shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
 
 
@@ -404,7 +502,7 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["user_id", "event_type"])
         .select("user_id", "event_type")
     )
-    return _memory_sinktable(spark, dedup, "stream_dedup", "append")
+    return _memory_sinktable(spark, dedup, "stream_dedup", "append", sf_dir=sf_dir)
 
 
 _ATTRIBUTION_ORACLE = """
@@ -481,7 +579,7 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.col("c.click_ts") + F.expr("INTERVAL 1 HOUR")
         ),
     ).select("user_id", "click_ts", "purchase_ts", "purchase_value")
-    return _memory_sinktable(spark, joined, "stream_ssjoin", "append")
+    return _memory_sinktable(spark, joined, "stream_ssjoin", "append", sf_dir=sf_dir)
 
 
 _OUTER_JOIN_ORACLE = """
@@ -569,7 +667,7 @@ def stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "left_outer",
     ).select("user_id", "click_ts", "purchase_ts", "purchase_value")
-    return _memory_sinktable(spark, joined, "stream_ssouter", "append")
+    return _memory_sinktable(spark, joined, "stream_ssouter", "append", sf_dir=sf_dir)
 
 
 _LEFT_SEMI_ORACLE = """
@@ -625,7 +723,7 @@ def stream_stream_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "left_semi",
     ).select("user_id", "click_ts")
-    return _memory_sinktable(spark, joined, "stream_sssemi", "append")
+    return _memory_sinktable(spark, joined, "stream_sssemi", "append", sf_dir=sf_dir)
 
 
 _FULL_OUTER_JOIN_ORACLE = """
@@ -736,7 +834,7 @@ def stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p.purchase_ts").alias("purchase_ts"),
         F.col("p.purchase_value").alias("purchase_value"),
     )
-    return _memory_sinktable(spark, joined, "stream_ssfull", "append")
+    return _memory_sinktable(spark, joined, "stream_ssfull", "append", sf_dir=sf_dir)
 
 
 _RIGHT_OUTER_JOIN_ORACLE = """
@@ -819,7 +917,7 @@ def stream_stream_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p.purchase_ts").alias("purchase_ts"),
         F.col("p.purchase_value").alias("purchase_value"),
     )
-    return _memory_sinktable(spark, joined, "stream_ssright", "append")
+    return _memory_sinktable(spark, joined, "stream_ssright", "append", sf_dir=sf_dir)
 
 
 _ENRICH_ORACLE = f"""
@@ -881,7 +979,7 @@ def stream_ingest_dedup_against_corpus(
     admitted = incoming.join(
         F.broadcast(corpus), "content_hash", "left_anti"
     ).select("doc_id", "lang")
-    return _memory_sinktable(spark, admitted, "stream_ingdedup", "append")
+    return _memory_sinktable(spark, admitted, "stream_ingdedup", "append", sf_dir=sf_dir)
 
 
 @register(
@@ -912,4 +1010,4 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("value"), "total_value", 2),
         )
     )
-    return _memory_sinktable(spark, enriched, "stream_enrich", "complete")
+    return _memory_sinktable(spark, enriched, "stream_enrich", "complete", sf_dir=sf_dir)

@@ -196,8 +196,9 @@ WHERE p.event_type = 'purchase'
     "udf_cogrouped_asof",
     oracle=_COGROUP_ASOF_ORACLE,
     doc="Cogrouped applyInPandas: clicks and purchases cogrouped per "
-    "user, pandas merge_asof inside each group attaching the most "
-    "recent click at-or-before every purchase. The cogroup API is the "
+    "user, a vectorized numpy binary-search as-of inside each group "
+    "attaching the most recent click at-or-before every purchase. "
+    "The cogroup API is the "
     "two-input sibling of applyInPandas — both sides shuffle once on "
     "the group key and arrive as per-key pandas frames, so arbitrary "
     "two-table Python logic (asof, interval overlap, per-entity "
@@ -207,6 +208,8 @@ WHERE p.event_type = 'purchase'
 )
 def udf_cogrouped_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     def asof(clicks: pd.DataFrame, purchases: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
         if purchases.empty:
             # typed empties: bare [] columns default to float64 and
             # Arrow refuses float64 -> timestamp, so a clicks-only
@@ -218,46 +221,32 @@ def udf_cogrouped_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "last_click_ts": pd.Series([], dtype="datetime64[ns]"),
                 }
             )
-        # NaT keys: merge_asof REFUSES unsorted/NaT join keys, but the
-        # SQL semantics are total — a NULL-ts purchase row still emits
-        # (c.ts <= NULL matches nothing -> NULL last_click), and a
-        # NULL-ts click can never be anyone's most-recent click. Route
-        # NaT purchases around the merge instead of crashing the task
-        # (round-9 review; one bad row must not kill a 100 TB job).
-        nat = purchases[purchases["ts"].isna()]
-        purchases = purchases[purchases["ts"].notna()].sort_values("ts")
-        clicks = clicks[clicks["ts"].notna()].sort_values("ts")
-        merged = pd.merge_asof(
-            purchases[["user_id", "ts"]],
-            clicks[["ts"]].rename(columns={"ts": "click_ts"}),
-            left_on="ts",
-            right_on="click_ts",
-            direction="backward",
-        )
-        out = pd.DataFrame(
+        # np.searchsorted(side='right')-1 IS backward merge_asof: the
+        # last click with ts <= purchase_ts (round 12, guide §4.2 —
+        # the pandas merge_asof call carried ~4.5 ms of per-call frame
+        # setup against 0.5 ms for the search itself, x one call per
+        # user group; values are identical, pinned by the unchanged
+        # oracle). NULL semantics are the same as before, now without
+        # routing frames around the merge: a NaT purchase keeps its
+        # row with NaT last_click (c.ts <= NULL matches nothing), a
+        # NaT click is dropped (never anyone's most-recent click) —
+        # one bad row must not kill a 100 TB job (round-9 review).
+        pv = purchases["ts"].to_numpy(dtype="datetime64[ns]")
+        c = np.sort(clicks["ts"].dropna().to_numpy(dtype="datetime64[ns]"))
+        last = np.full(len(pv), np.datetime64("NaT", "ns"))
+        mask = ~pd.isna(pv)
+        if len(c) and mask.any():
+            idx = np.searchsorted(c, pv[mask], side="right") - 1
+            last[mask] = np.where(
+                idx >= 0, c[np.clip(idx, 0, None)], np.datetime64("NaT", "ns")
+            )
+        return pd.DataFrame(
             {
-                "user_id": merged["user_id"],
-                "purchase_ts": merged["ts"],
-                "last_click_ts": merged["click_ts"],
+                "user_id": purchases["user_id"].to_numpy(),
+                "purchase_ts": pv,
+                "last_click_ts": last,
             }
         )
-        if not nat.empty:
-            out = pd.concat(
-                [
-                    out,
-                    pd.DataFrame(
-                        {
-                            "user_id": nat["user_id"],
-                            "purchase_ts": nat["ts"],
-                            "last_click_ts": pd.Series(
-                                [pd.NaT] * len(nat), index=nat.index
-                            ),
-                        }
-                    ),
-                ],
-                ignore_index=True,
-            )
-        return out
 
     e = table(spark, sf_dir, "events")
     clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts")

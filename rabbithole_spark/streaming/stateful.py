@@ -260,6 +260,21 @@ def count_or_time_batcher_v1(
     each invocation (``first_ms + limit - now``) — preserving the
     reference's "clock starts at the first message of the batch"
     contract (batcher.py:77-78) rather than resetting per arrival.
+
+    The flush arithmetic is VECTORIZED (round 12, guide §4.2): the
+    carried buffer plus this invocation's arrivals form one ordered
+    frame; every consecutive ``size_limit`` rows are exactly the
+    size-flushes the reference's per-row loop would emit, and the
+    sub-limit tail is exactly the buffer it would carry — so the
+    emitted rows, their order, their tags, and the carried state are
+    identical, while the per-row ``itertuples`` append and the
+    per-flush pandas frame + Arrow batch (10,000 ten-row frames per
+    100k-row micro-batch at size_limit=10 — measured 6.5 s of
+    addBatch) collapse into slices of one frame (measured 0.6 s).
+    The only internal difference is sub-second: ``first_ms`` for a
+    fresh tail is stamped once per invocation instead of at the
+    tail's first append mid-loop, which can shift the timer deadline
+    by the invocation's own processing time — never the output.
     """
     row_struct = T.StructType.fromDDL(row_schema)
     fields = [f.name for f in row_struct.fields]
@@ -287,20 +302,40 @@ def count_or_time_batcher_v1(
             if buf:  # empty flush: reference warns + skips (batcher.py:103-105)
                 yield flush([tuple(r) for r in buf], "time")
             return
-        first_ms, buffered = None, []
+        carried_first_ms = None
+        frames: list[pd.DataFrame] = []
         if state.exists:
-            first_ms, buf = state.get
-            buffered = [tuple(r) for r in buf]
-        for pdf in pdfs:
-            for tup in pdf[fields].itertuples(index=False, name=None):
-                buffered.append(tup)
-                if len(buffered) == 1:  # first message starts the clock
-                    first_ms = state.getCurrentProcessingTimeMs()
-                if len(buffered) >= size_limit:
-                    yield flush(buffered, "size")
-                    buffered, first_ms = [], None  # flush resets the clock
-        if buffered:
-            state.update((first_ms, buffered))
+            carried_first_ms, buf = state.get
+            if buf:
+                frames.append(
+                    pd.DataFrame([tuple(r) for r in buf], columns=fields)
+                )
+        n_carried = len(frames[0]) if frames else 0
+        frames.extend(pdf[fields] for pdf in pdfs)
+        total = (
+            pd.concat(frames, ignore_index=True)
+            if len(frames) > 1
+            else (frames[0] if frames else pd.DataFrame(columns=fields))
+        )
+        n = len(total)
+        n_flush = (n // size_limit) * size_limit
+        if n_flush:
+            out = total.iloc[:n_flush].copy()
+            out["flush_reason"] = "size"
+            yield out
+        if n > n_flush:
+            tail = total.iloc[n_flush:]
+            # the tail keeps its carried clock only if it still BEGINS
+            # with carried rows (no size-flush consumed them); a tail
+            # of fresh arrivals starts a new clock — exactly the
+            # loop's first-append stamping, batched to one call
+            if n_flush < n_carried:
+                first_ms = carried_first_ms
+            else:
+                first_ms = state.getCurrentProcessingTimeMs()
+            state.update(
+                (first_ms, list(tail.itertuples(index=False, name=None)))
+            )
             remaining = first_ms + limit_ms - state.getCurrentProcessingTimeMs()
             state.setTimeoutDuration(max(1, remaining))
         elif state.exists:

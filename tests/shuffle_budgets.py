@@ -87,7 +87,13 @@ SHUFFLE_BUDGETS = {
     # hash-multiplicity window + doc-id island window + docs join-back
     "dedup_repeated_span_coverage": 4,
     "dedup_minhash_recall_audit": 4,
-    "dedup_semantic_semdedup": 4,
+    # 4 -> 2 round 12: kmeans_fit_assign now round-robin-widens its
+    # single-split input and localCheckpoints it (each Lloyd job —
+    # init, iterations, assignment — re-ran scan + widen otherwise);
+    # the checkpoint's LogicalRDD hides the scan + widen Exchange, so
+    # only the pair-join + groupBy exchanges stay visible. Hidden
+    # sub-plan: parquet scan + 1 round-robin repartition.
+    "dedup_semantic_semdedup": 2,
     "dedup_simhash": 2,
     "diagnostic_join_key_skew": 2,
     "embedding_centroids": 1,
@@ -169,6 +175,9 @@ SHUFFLE_BUDGETS = {
     "similarity_ann_lsh": 0,
     "similarity_ann_quantized": 0,
     "similarity_embedding_near_dup": 0,
+    # round 12: kmeans_fit_assign widen+checkpoint (see
+    # dedup_semantic_semdedup) — hidden sub-plan: parquet scan + 1
+    # round-robin repartition; the 1 visible Exchange is unchanged.
     "similarity_kmeans_clusters": 1,
     "similarity_filtered_topk": 0,
     "similarity_topk_bruteforce": 0,
@@ -211,7 +220,10 @@ SHUFFLE_BUDGETS = {
     # the LM leg's shuffles ride the shared _lm_xent_per_doc
     # checkpoints; the doc_id join-back reuses the per-doc rollup's
     # partitioning on one side (round 9, measured 2)
-    "text_quality_classifier": 2,
+    # 2 -> 3 round 12: +1 round-robin Exchange spreading the
+    # single-split documents scan under the regex feature projection
+    # (guide §2.5; measured warm 2.2-2.7 s -> 1.7-2.1 s at sf0.1)
+    "text_quality_classifier": 3,
     # explode pass -> gram groupBy + first_doc rollup + doc totals +
     # the doc_id-aligned left join
     "text_ngram_novelty": 5,
