@@ -427,7 +427,11 @@ def ngram_jaccard_pairs(
     for c in block_cols:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
     inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
-    union = F.size(F.array_union(F.col("a.shingles"), F.col("b.shingles")))
+    # |A∪B| = |A|+|B|-|A∩B| on distinct shingle sets — bit-equal
+    # jaccard, one array walk per pair instead of two (round 12)
+    union = (
+        F.size(F.col("a.shingles")) + F.size(F.col("b.shingles")) - inter
+    )
     jac = inter.cast("double") / union.cast("double")
     return (
         a.join(b, cond)
@@ -651,7 +655,12 @@ def prefix_filtered_jaccard_pairs(
         F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b")
     )
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    # |A∪B| = |A| + |B| - |A∩B| on the distinct shingle SETS
+    # (word_shingles ends in array_distinct) — exact integer identity,
+    # so jaccard is bit-equal while the per-pair array_union hash-set
+    # build (the second ~100-element array walk per candidate) drops
+    # out of the verify (round 12, guide §1.2).
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
     # filter on the UNROUNDED ratio: prefix-filter completeness is a
     # guarantee about true Jaccard >= t, and a rounded 0.1999996 -> 0.2
     # acceptance would reach outside it; output stays rounded.
@@ -689,9 +698,14 @@ def qgram_prefix_edit_pairs(
     first global order), and always satisfy ``|len_a - len_b| <= d``.
     Candidates come from a join on prefix grams + the length filter;
     the exact ``levenshtein`` verify on candidates returns precisely
-    the naive quadratic's answer. Complete for strings long enough to
-    own at least one q-gram that survives d edits (len >= q*(d+1));
-    the registered use joins part names (>= 15 chars) at d=3, q=2.
+    the naive quadratic's answer. The theoretical completeness
+    precondition is strings long enough to own a q-gram that survives
+    d edits (len >= q*(d+1) = 8 at d=3, q=2); the driver corpus's part
+    names span 7-12 chars, so the len-7 tail sits one char under it —
+    completeness there is EMPIRICAL, pinned every round by the
+    naive-quadratic oracle hash and the candidate-completeness test
+    (tests/test_llm_operators.py). Raising q would widen that gap
+    (q=3 needs len >= 12), which is why q stays 2 (round 12 note).
 
     Same shuffle shape as prefix_filtered_jaccard_pairs: gram
     frequency agg, per-string rank window, candidate join concentrated

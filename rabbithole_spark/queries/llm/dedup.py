@@ -302,8 +302,11 @@ def _lsh_verified_pairs(d: DataFrame, threshold: float) -> DataFrame:
     # same) and round only for output — filtering the rounded value
     # would admit pairs within 5e-7 below the threshold that the
     # oracle rejects
-    raw = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
-        F.array_union("sh_a", "sh_b")
+    # |A∪B| = |A|+|B|-|A∩B| on distinct shingle sets — bit-equal
+    # jaccard, one array walk per pair instead of two (round 12)
+    _inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    raw = _inter.cast("double") / (
+        F.size("sh_a") + F.size("sh_b") - _inter
     ).cast("double")
     verified = (
         pairs.join(F.broadcast(a), "id_a")
@@ -1021,8 +1024,11 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("corpus_id"),
         word_shingles(F.col("text"), 3).alias("sh_b"),
     )
-    raw = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
-        F.array_union("sh_a", "sh_b")
+    # |A∪B| = |A|+|B|-|A∩B| on distinct shingle sets — bit-equal
+    # jaccard, one array walk per pair instead of two (round 12)
+    _inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    raw = _inter.cast("double") / (
+        F.size("sh_a") + F.size("sh_b") - _inter
     ).cast("double")
     return (
         cand.join(F.broadcast(sh_a), "batch_id")
