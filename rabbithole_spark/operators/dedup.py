@@ -735,28 +735,53 @@ def qgram_prefix_edit_pairs(
     # Same frequency-window + rarest-first rank scaffold as the
     # Jaccard family, but the VERIFY runs IN-STAGE on the join output
     # (round 12): on short-alphabet q-grams the prefix join is
-    # enormous (189M pre-distinct rows for 20k part names at sf0.1 —
+    # enormous (189M pair meetings for 20k part names at sf0.1 —
     # the hottest gram alone pairs 5k x 5k prefixes), and the old
     # candidate->distinct->join-back shape shuffled ALL of it just to
     # dedup before verifying. Verifying with a THRESHOLD levenshtein
     # (Spark 3.5+: banded O(d*n) with early exit, returns -1 past the
     # budget — `>= 0` is exactly the old `<= max_dist`) as a filter
-    # directly above the join keeps the flood inside the join stage:
-    # only true matches (times their shared-prefix-gram multiplicity)
-    # reach the distinct. Together with the block split and probe
-    # widen below: 291 s -> 28.1 s at sf0.1 with a byte-identical
-    # 12.58M-row result; at sf0.01 the full family stays oracle-green.
-    # The cheap length filter rides the join condition so
-    # non-candidates never reach the levenshtein.
+    # directly above the join keeps the flood inside the join stage,
+    # and the first-shared-gram canonical-meeting predicate (below)
+    # makes each pair's verify run exactly once, so no distinct is
+    # needed at all. Together with the block split and probe widen
+    # below: 291 s -> 28.1 s -> (first-shared-gram) measured below, at
+    # sf0.1 with a byte-identical 12.58M-row result; at sf0.01 the
+    # full family stays oracle-green. The cheap length filter rides
+    # the join condition so non-candidates never reach the
+    # levenshtein.
     from pyspark.sql import Window
 
     w_tok = Window.partitionBy("token")
     w_id = Window.partitionBy("id").orderBy("f", "token")
+    # Each prefix row also carries the grams ranked STRICTLY BEFORE it
+    # in its own prefix (round 12, Ed-Join's minimal-shared-gram
+    # dedup): the rank order (f, token) is GLOBAL — a gram ranks
+    # identically on both join sides — so for a join row meeting on
+    # token t, "t is the pair's first shared prefix gram" is exactly
+    # "the two earlier-gram arrays do not overlap" (a shared gram
+    # globally before t is in a side's earlier array iff it is in that
+    # side's prefix). Verifying ONLY on that canonical row makes every
+    # candidate pair meet exactly once: the ~5x shared-prefix-gram
+    # multiplicity stops re-running levenshtein per duplicate meeting,
+    # and the distinct (an exchange over every matched meeting) drops
+    # out of the plan. The second Window reuses w_id's partitioning
+    # and sort (no new exchange); the carried array averages p/2
+    # two-char grams — trivial next to the txt column already carried.
+    w_grams = (
+        Window.partitionBy("id")
+        .orderBy("f", "token")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
     prefix = (
         tokens.withColumn("f", F.count(F.lit(1)).over(w_tok))
         .withColumn("rn", F.row_number().over(w_id))
         .filter(F.col("rn") <= p)
-        .drop("f", "rn")
+        .withColumn("grams", F.collect_list("token").over(w_grams))
+        .withColumn(
+            "earlier", F.slice(F.col("grams"), F.lit(1), F.col("rn") - 1)
+        )
+        .drop("f", "rn", "grams")
     )
     # BLOCK-SPLIT the join key (guide §2.5 — AQE cannot split a single
     # enormous key): on a ~30-symbol alphabet the hottest 2-grams sit
@@ -796,24 +821,42 @@ def qgram_prefix_edit_pairs(
     pb = F.broadcast(
         prefix.withColumn("blk", F.pmod(F.xxhash64("id"), F.lit(blocks)))
     ).alias("pb")
+    # Canonical-meeting predicate (round 12): this row's token must be
+    # the pair's FIRST shared prefix gram in the global rarest-first
+    # order — i.e. no gram ranked before it on BOTH sides is shared.
+    # The overlap walk is a handful of two-char string equalities —
+    # several times cheaper than a banded levenshtein — and it gates
+    # the levenshtein so each pair is verified ONCE instead of once
+    # per shared prefix gram (measured ~5x multiplicity at sf0.1).
+    # Every qualifying pair still meets exactly once (its first shared
+    # gram is a shared prefix gram, and the pb row for id_b lives in
+    # exactly one block), so dropping the distinct is lossless.
+    # The levenshtein predicate lives INSIDE the join condition, LAST
+    # (round 12): a `.filter(edit_dist >= 0)` above the join gets
+    # pushed into the condition by PushPredicateThroughJoin — which
+    # PREPENDS it, so the banded levenshtein ran FIRST on every one of
+    # the 189M meetings and the cheap filters never gated it. Writing
+    # the conjunct order explicitly (id < , length, canonical-meeting,
+    # levenshtein) keeps codegen's left-to-right short-circuit cheap-
+    # first: the levenshtein now runs only on each pair's single
+    # canonical meeting. The output column recomputes levenshtein per
+    # SURVIVING row (one eval per result pair) — trivial next to the
+    # ~150M condition-side evals this ordering removes.
+    dist = F.levenshtein(
+        F.col("pa.txt"), F.col("pb.txt"), threshold=max_dist
+    ).cast("int")
     cond = (
         (F.col("pa.token") == F.col("pb.token"))
         & (F.col("pa.tb") == F.col("pb.blk"))
         & (F.col("pa.id") < F.col("pb.id"))
         & (F.abs(F.col("pa.slen") - F.col("pb.slen")) <= max_dist)
+        & ~F.arrays_overlap(F.col("pa.earlier"), F.col("pb.earlier"))
+        & (dist >= 0)
     )
-    dist = F.levenshtein(
-        F.col("pa.txt"), F.col("pb.txt"), threshold=max_dist
-    ).cast("int")
-    pairs = (
-        pa.join(pb, cond)
-        .select(
-            F.col("pa.id").alias("id_a"),
-            F.col("pb.id").alias("id_b"),
-            dist.alias("edit_dist"),
-        )
-        .filter(F.col("edit_dist") >= 0)
-        .distinct()
+    pairs = pa.join(pb, cond).select(
+        F.col("pa.id").alias("id_a"),
+        F.col("pb.id").alias("id_b"),
+        dist.alias("edit_dist"),
     )
     names_a = strs.select(
         F.col("sid").alias("id_a"), F.col("txt").alias("name_a")

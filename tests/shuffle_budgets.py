@@ -59,14 +59,16 @@ SHUFFLE_BUDGETS = {
     "dedup_components": 0,
     # round 12: the qgram family dropped its localCheckpoint (which
     # HID every shuffle from this gate — SCOPE CONVENTION above) for
-    # an in-stage threshold-levenshtein verify. The 6 now-visible
+    # an in-stage threshold-levenshtein verify. The 5 now-visible
     # exchanges are: token-frequency window + rarest-rank window on
     # EACH side of the self-join (2x2, all over dimension-scale q-gram
-    # rows), the block-split probe widen (REPARTITION_BY_NUM over
-    # (token, tb)), and the final distinct. Net effect measured at
-    # sf0.1: 291 s -> 28.1 s with byte-identical 12.58M rows.
-    "dedup_edit_distance_prefix": 6,
-    "dedup_edit_distance_prefix_sparse": 6,
+    # rows) and the block-split probe widen (REPARTITION_BY_NUM over
+    # (token, tb)). The final distinct dropped with the first-shared-
+    # gram canonical-meeting predicate (each pair meets exactly once).
+    # Net effect measured at sf0.1: 291 s -> 28.1 s -> ~20 s with
+    # byte-identical 12.58M rows (count + rowhash sum/xor).
+    "dedup_edit_distance_prefix": 5,
+    "dedup_edit_distance_prefix_sparse": 5,
     "dedup_exact_documents": 1,
     "dedup_fingerprint": 1,
     "text_winnow_fingerprints": 0,
