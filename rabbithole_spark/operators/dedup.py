@@ -90,10 +90,18 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("component").alias("nbr_component"))
         )
-        new_labels = (
+        stepped = (
             labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
             .select(
                 "node",
+                # carried so the convergence check below is a column
+                # comparison on the final relation instead of a
+                # join-back against the previous labels (round 12):
+                # the old per-iteration shape ran THREE jobs — two
+                # eager checkpoints plus a changed-check join — and on
+                # the registered callers' small graphs the loop cost
+                # was almost entirely that per-job overhead.
+                F.col("component").alias("old_component"),
                 F.least(
                     F.col("component"),
                     F.coalesce(F.col("nbr_component"), F.col("component")),
@@ -103,36 +111,39 @@ def connected_components(
         # materialize the propagation result BEFORE the doubling
         # self-join: both join sides read it, and without the cut the
         # edge-join + groupBy subtree would execute twice per round
-        # (round-10 review)
-        new_labels = new_labels.localCheckpoint(eager=True)
+        # (round-10 review). This checkpoint stays EAGER: its two
+        # consumers below can be scheduled as concurrent stages, and a
+        # lazy checkpoint would let them race into computing the same
+        # propagate partitions twice — the propagate over the full
+        # edge set is the iteration's dominant cost at scale.
+        stepped = stepped.localCheckpoint(eager=True)
         # pointer doubling: follow one's label to ITS label. component
         # is always a node id (initialized to self, only ever replaced
         # by a smaller node id), so the self-join resolves every row;
         # the looked-up label is <= the current one by construction.
-        lookup = new_labels.select(
+        lookup = stepped.select(
             F.col("node").alias("c_node"), F.col("component").alias("c_comp")
         )
         new_labels = (
-            new_labels.join(
-                lookup, new_labels.component == lookup.c_node, "left"
-            )
+            stepped.join(lookup, stepped.component == lookup.c_node, "left")
             .select(
                 "node",
+                "old_component",
                 F.least(
                     F.col("component"),
                     F.coalesce(F.col("c_comp"), F.col("component")),
                 ).alias("component"),
             )
+            .withColumn("chg", F.col("component") != F.col("old_component"))
+            .drop("old_component")
+            # LAZY: the full-scan changed count below materializes it
+            # in the same job (lineage reads only the eager `stepped`
+            # checkpoint), so the iteration runs 2 jobs instead of 3
+            # and the convergence check costs no join and no exchange.
+            .localCheckpoint(eager=False)
         )
-        new_labels = new_labels.localCheckpoint(eager=True)  # cut lineage
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("chg")).count()
+        labels = new_labels.drop("chg")
         if changed == 0:
             converged = True
             break
