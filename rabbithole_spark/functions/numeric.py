@@ -50,11 +50,61 @@ The same expressions are emitted in SQL for the oracle via
 
 from __future__ import annotations
 
+import math
+from collections.abc import Iterable, Sequence
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.types import DecimalType
 
-__all__ = ["dsum", "ravg", "sql_dsum", "sql_ravg"]
+__all__ = [
+    "dsum",
+    "ravg",
+    "sql_dsum",
+    "sql_ravg",
+    "double_array_lit",
+    "double_matrix_lit",
+]
+
+
+def _double_sql(x: float) -> str:
+    # repr() is Python's shortest round-trip rendering and Spark's
+    # string->double cast is correctly rounded, so the parsed double is
+    # bit-identical to x (including -0.0 and subnormals; non-finite
+    # values are routed to the fallback paths below).
+    return f"CAST('{x!r}' AS DOUBLE)"
+
+
+def double_array_lit(values: Iterable[float]) -> Column:
+    """A literal ``array<double>`` built as ONE ``F.expr`` call.
+
+    ``F.lit(list)`` / ``F.array(*[F.lit(x) ...])`` issue one py4j
+    round-trip per element — measured ~0.8 s of pure driver time for a
+    10x64 matrix, paid per plan construction (round 12, guide §1.2:
+    per-invocation plan cost is real cost in iterative loops and
+    anchor loops). Rendering the values into a single SQL expression
+    string moves the whole build into one JVM parse (~ms), with
+    bit-identical doubles via repr round-trip.
+    """
+    vals = [float(x) for x in values]
+    if not vals or not all(math.isfinite(v) for v in vals):
+        return F.array(*[F.lit(v) for v in vals]).cast("array<double>")
+    return F.expr("array(" + ",".join(_double_sql(v) for v in vals) + ")")
+
+
+def double_matrix_lit(rows: Sequence[Sequence[float]]) -> Column:
+    """A literal ``array<array<double>>`` in ONE ``F.expr`` call —
+    the k x dim centroid-matrix form of :func:`double_array_lit`."""
+    mat = [[float(x) for x in r] for r in rows]
+    if not mat or not all(math.isfinite(v) for r in mat for v in r):
+        return F.lit(mat)
+    return F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(_double_sql(v) for v in r) + ")" for r in mat
+        )
+        + ")"
+    )
 
 
 def dsum(expr: Column, alias: str, scale: int = 4) -> Column:

@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from rabbithole_spark.functions.numeric import double_array_lit, double_matrix_lit
+
 __all__ = [
     "dot",
     "l2_norm",
@@ -93,7 +95,7 @@ def cosine_topk(
     id_cols: list[str] | None = None,
 ) -> DataFrame:
     """Exact top-k by cosine similarity to a constant query vector."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = double_array_lit(query_vec)
     sim = F.round(cosine(F.col(embedding_col), q), 6).alias("cosine_sim")
     id_cols = id_cols or [c for c in df.columns if c != embedding_col]
     # malformed vectors (NULL, NULL-element, zero-norm) fold to a NULL
@@ -113,7 +115,7 @@ def hyperplane_signature(
     literals into codegen; signature is a compact BIGINT bucket key.
     """
     bits = [
-        F.when(dot(embedding, F.array(*[F.lit(float(x)) for x in plane])) > 0, 1)
+        F.when(dot(embedding, double_array_lit(plane)) > 0, 1)
         .otherwise(0)
         .cast("bigint")
         for plane in planes
@@ -294,15 +296,18 @@ def _centroid_dists(vec_col: Column, cents: list[list[float]]) -> Column:
     entirely row-local codegen (the broadcast-variable pattern): no
     shuffle, no row multiplication.
 
-    The k x dim centroid matrix is ONE nested array Literal, not
-    k*dim Literal nodes under array() constructors (round 12, guide
-    §1.2): every Lloyd iteration builds a fresh plan holding this
-    matrix 1-3 times, and analyzing/optimizing the ~2k-node expression
-    tree cost more driver time per iteration than the fold itself on a
-    small fit set (measured ~1.2 s/iteration at k=10, dim=64). The
-    literal holds the identical doubles, so distances are bit-equal.
+    The k x dim centroid matrix is built as ONE F.expr call (round 12,
+    guide §1.2): every Lloyd iteration builds a fresh plan holding
+    this matrix 1-3 times, and the earlier formulations — k*dim
+    Literal nodes under array() constructors, and even `F.lit(nested
+    list)`, which PySpark expands to exactly those per-element py4j
+    calls — cost ~0.8 s of pure driver time PER CONSTRUCTION at k=10,
+    dim=64 (measured: the dominant share of each ~1.2 s Lloyd step).
+    One SQL-text parse builds the same tree JVM-side in ~5 ms; repr
+    round-trip keeps every double bit-identical, so distances are
+    bit-equal (non-finite values fall back to the py4j path).
     """
-    carr = F.lit([[float(x) for x in c] for c in cents])
+    carr = double_matrix_lit(cents)
     return F.transform(
         carr,
         lambda cvec: F.aggregate(

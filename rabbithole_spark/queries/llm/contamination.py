@@ -12,6 +12,7 @@ from pyspark.sql import (
 )
 from pyspark.sql import functions as F
 from rabbithole_spark.catalog import register
+from rabbithole_spark.functions.numeric import double_array_lit
 from rabbithole_spark.functions.xxh64_sql import xxh64_long_sql
 from rabbithole_spark.operators.dedup import (
     spread,
@@ -184,7 +185,7 @@ def contamination_semantic_screen(
                 F.round(
                     cosine(
                         F.col("embedding"),
-                        F.array(*[F.lit(float(x)) for x in b.embedding]),
+                        double_array_lit(b.embedding),
                     ),
                     6,
                 ).alias("s"),

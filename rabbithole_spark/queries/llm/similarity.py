@@ -13,6 +13,7 @@ from pyspark.sql import (
 )
 from pyspark.sql import functions as F
 from rabbithole_spark.catalog import register
+from rabbithole_spark.functions.numeric import double_array_lit
 from rabbithole_spark.operators.similarity import (
     ann_topk,
     cosine_topk,
@@ -212,7 +213,7 @@ def similarity_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rabbithole_spark.operators.similarity import cosine
 
     qv = _query_vector(spark, sf_dir)
-    q = F.array(*[F.lit(float(x)) for x in qv])
+    q = double_array_lit(qv)
     emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
     raw = cosine(F.col("embedding"), q)
     return (
@@ -299,7 +300,7 @@ def _mmr_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rabbithole_spark.operators.similarity import cosine
 
     qv = _query_vector(spark, sf_dir)
-    q = F.array(*[F.lit(float(x)) for x in qv])
+    q = double_array_lit(qv)
     emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
     return (
         emb.select(
@@ -1021,7 +1022,7 @@ def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     stacked_args = []
     for a in anchors:
-        q = F.array(*[F.lit(float(x)) for x in a.embedding])
+        q = double_array_lit(a.embedding)
         stacked_args.extend(
             [
                 F.lit(a.vec_id).cast("bigint"),

@@ -56,3 +56,59 @@ def test_dsum_grouped_beyond_2_53_matches_oracle(spark):
     ).fetchall()
     want = {g: s for g, s in rows}
     assert got == want, (got, want)
+
+
+def test_double_array_lit_bit_equal_to_per_element_path(spark):
+    """double_array_lit builds its values via one SQL-text parse; the
+    parsed doubles must be BIT-identical to the per-element F.lit path
+    (repr round-trip + correctly-rounded string->double cast),
+    including signed zero, subnormals, extremes and non-dyadic sums."""
+    import struct
+
+    from rabbithole_spark.functions.numeric import (
+        double_array_lit,
+        double_matrix_lit,
+    )
+
+    vals = [
+        0.1 + 0.2,
+        -0.0,
+        5e-324,            # min subnormal
+        1e-308,
+        1.7976931348623157e308,
+        -1.2345678901234567,
+        1e16 + 1,
+        3.0,
+    ]
+    row = (
+        spark.range(1)
+        .select(
+            F.array(*[F.lit(float(x)) for x in vals]).alias("o"),
+            double_array_lit(vals).alias("n"),
+            double_matrix_lit([vals, vals[::-1]]).alias("m"),
+        )
+        .first()
+    )
+    pack = lambda xs: [struct.pack("d", x) for x in xs]  # noqa: E731
+    assert pack(row["o"]) == pack(row["n"])
+    assert pack(row["m"][0]) == pack(vals)
+    assert pack(row["m"][1]) == pack(vals[::-1])
+
+
+def test_double_array_lit_nonfinite_and_empty_fallback(spark):
+    """Non-finite values and empty input route to the py4j fallback
+    and still produce a usable array<double> column."""
+    import math
+
+    from rabbithole_spark.functions.numeric import double_array_lit
+
+    row = (
+        spark.range(1)
+        .select(
+            double_array_lit([float("inf"), float("-inf")]).alias("i"),
+            double_array_lit([]).alias("e"),
+        )
+        .first()
+    )
+    assert row["i"][0] == math.inf and row["i"][1] == -math.inf
+    assert row["e"] == []
