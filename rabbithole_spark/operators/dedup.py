@@ -161,15 +161,28 @@ def connected_components(
 
 
 def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
-    """Round-robin repartition before CPU-heavy per-row compute.
+    """Round-robin repartition before CPU-heavy per-row compute —
+    SCALE-ADAPTIVE (round 12): a no-op when the input is already at
+    least as wide as the target.
 
     Small single-file scans arrive as one input split, serializing all
     downstream text processing onto one core; the same pathology hits a
     real cluster whenever upstream partitioning is coarser than the
     executor count. One tiny shuffle of the raw rows buys full-width
-    parallelism for the expensive projection that follows.
+    parallelism for the expensive projection that follows. But the fix
+    must not become its own pathology at scale: a 100 TB corpus scan
+    is already thousands of splits, and an unconditional repartition
+    there is a full payload shuffle bought for nothing (guide §2.5 —
+    repartition after the read to FIX coarse input, not always). The
+    width probe builds the physical RDD driver-side (no job runs).
     """
     n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    try:
+        cur = df.rdd.getNumPartitions()
+    except Exception:  # pragma: no cover - conservative fallback
+        cur = None
+    if cur is not None and cur >= n:
+        return df
     return df.repartition(n)
 
 

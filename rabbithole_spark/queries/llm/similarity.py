@@ -658,14 +658,42 @@ SELECT id_a, id_b, cosine_sim FROM pairs WHERE cosine_sim >= {_NEAR_DUP_THRESHOL
     "certifies real pairs at sf0.01 instead of an empty result.",
 )
 def similarity_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rabbithole_spark.operators.similarity import cosine, hyperplane_signature
+    from rabbithole_spark.operators.dedup import spread
+    from rabbithole_spark.operators.similarity import (
+        dot,
+        hyperplane_signature,
+        l2_norm,
+    )
 
-    e = valid_embeddings(table(spark, sf_dir, "embeddings")).withColumn(
-        "bucket", hyperplane_signature(F.col("embedding"), _near_dup_planes())
+    # spread(): embeddings.parquet is one input split, so the
+    # interpreted signature folds (6 planes x 64-dim zip_with per row)
+    # otherwise run on ONE core per join side — measured 2.3 s per
+    # side at sf0.1 (round 12, guide §2.5). Each side also carries its
+    # own L2 norm so the per-pair expression is a single dot fold
+    # instead of cosine()'s three (the item-8 semdedup device): the
+    # denominator l2_norm(a)*l2_norm(b) is the identical double
+    # computed once per VECTOR, and the threshold filter Catalyst
+    # pushes into the join condition duplicates one fold, not three.
+    e = valid_embeddings(
+        spread(table(spark, sf_dir, "embeddings"))
+    ).select(
+        "vec_id",
+        "embedding",
+        hyperplane_signature(
+            F.col("embedding"), _near_dup_planes()
+        ).alias("bucket"),
+        l2_norm(F.col("embedding")).alias("nrm"),
     )
     a = e.alias("a")
     b = e.alias("b")
-    sim = F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6)
+    denom = F.col("a.nrm") * F.col("b.nrm")
+    sim = F.round(
+        F.when(
+            denom > 0,
+            dot(F.col("a.embedding"), F.col("b.embedding")) / denom,
+        ),
+        6,
+    )
     return (
         a.join(
             b,
