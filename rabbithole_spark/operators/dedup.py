@@ -768,12 +768,11 @@ def qgram_prefix_edit_pairs(
     # directly above the join keeps the flood inside the join stage,
     # and the first-shared-gram canonical-meeting predicate (below)
     # makes each pair's verify run exactly once, so no distinct is
-    # needed at all. Together with the block split and probe widen
-    # below: 291 s -> 28.1 s -> (first-shared-gram) measured below, at
-    # sf0.1 with a byte-identical 12.58M-row result; at sf0.01 the
-    # full family stays oracle-green. The cheap length filter rides
-    # the join condition so non-candidates never reach the
-    # levenshtein.
+    # needed at all. Together with the hot-gram probe split and
+    # broadcast build below: 291 s -> ~7-9 s at sf0.1 with a
+    # byte-identical 12.58M-row result; at sf0.01 the full family
+    # stays oracle-green. The cheap length filter rides the join
+    # condition so non-candidates never reach the levenshtein.
     from pyspark.sql import Window
 
     w_tok = Window.partitionBy("token")
@@ -807,54 +806,57 @@ def qgram_prefix_edit_pairs(
         )
         .drop("f", "rn", "grams")
     )
-    # BLOCK-SPLIT the join key (guide §2.5 — AQE cannot split a single
-    # enormous key): on a ~30-symbol alphabet the hottest 2-grams sit
-    # in ~5k prefixes each at sf0.1, i.e. ~25M pair-iterations for ONE
-    # key, all serialized into one sort-merge task (the measured
-    # 300 s single-task straggler). Each left row is replicated once
-    # per partner block and the right side is bucketed by a
-    # deterministic id hash, so the join key becomes (token, block)
-    # and a hot gram's quadratic work spreads over `blocks` tasks.
-    # Every pair still meets exactly once (its right row has exactly
-    # one block), so the result is identical; replication costs
-    # |prefix| * blocks rows of a few dozen bytes — trivial next to
-    # the pair flood it parallelizes.
+    # SPLIT HOT GRAMS WITHOUT REPLICATION (guide §2.5 — AQE cannot
+    # split a single enormous key): on a ~30-symbol alphabet the
+    # hottest 2-grams sit in ~5k prefixes each at sf0.1, i.e. ~25M
+    # pair-iterations for ONE key, all serialized into one task under
+    # a key-partitioned join (the round-12 measured 300 s single-task
+    # straggler in the old sort-merge shape). Because the build side
+    # is BROADCAST, each probe row meets its partners inside its own
+    # task — so spreading a hot gram only requires partitioning the
+    # PROBE rows by (token, deterministic id-hash), not replicating
+    # them. The earlier round-12 shape exploded the probe x`blocks`
+    # against an id-bucketed build (a sort-merge-era device kept past
+    # its need): same 189M meetings, but 32x the probe rows through
+    # the exchange. Dropping the replication measured 11.4-14.7 ->
+    # 6.8-9.5 s at equal steal with a byte-identical 12,579,965-row
+    # result (count + rowhash sum/xor).
     #
-    # The probe side is REPARTITIONED to 2x parallelism by the split
-    # key and the build side broadcast EXPLICITLY (round 12): left to
-    # itself the optimizer broadcasts one side and AQE coalesces the
-    # tiny-in-bytes probe to 1-2 partitions, so the entire 189M-pair
-    # iteration ran on 1-2 tasks regardless of the block split (the
-    # second half of the 300 s pathology). An explicit-width
-    # repartition is AQE-proof, and broadcasting `pb` keeps the flood
-    # shuffle-free. Measured at sf0.1 (noop sink, 12,579,965 identical
-    # rows every variant): in-stage verify alone 291 s; + block-split
-    # ~45 s; + probe widen w/ shuffle_hash build 39.2 s; + probe widen
-    # w/ broadcast build 28.1 s (adopted). The broadcast relation is
-    # the p-gram prefix of the STRING TABLE (dimension-scale for both
-    # registered uses; ~10 MB at sf0.1).
-    blocks = max(8, df.sparkSession.sparkContext.defaultParallelism)
+    # The probe repartition is EXPLICIT-width (AQE-proof: left to
+    # itself AQE coalesces the tiny-in-bytes probe to 1-2 partitions
+    # and the whole flood iteration serializes), and the hash term
+    # gives ~token_count x n_wide distinct keys — far more than
+    # partitions, so the spread is even (guide §2.5 on synthetic
+    # keys). Every pair still meets exactly once per shared prefix
+    # gram (probe row lands in exactly one partition; build is
+    # everywhere), so the canonical-meeting predicate below sees the
+    # identical meeting multiset. The broadcast relation is the
+    # p-gram prefix of the STRING TABLE (dimension-scale for both
+    # registered uses; ~10 MB at sf0.1). History: in-stage verify
+    # alone 291 s; + block-split ~45; + probe widen w/ broadcast
+    # build 28.1; + first-shared-gram canonical meeting ~12; + this
+    # de-replication ~7-9.
     n_wide = 2 * df.sparkSession.sparkContext.defaultParallelism
-    pa = (
-        prefix.withColumn(
-            "tb", F.explode(F.sequence(F.lit(0), F.lit(blocks - 1)))
-        )
-        .repartition(n_wide, "token", "tb")
-        .alias("pa")
-    )
-    pb = F.broadcast(
-        prefix.withColumn("blk", F.pmod(F.xxhash64("id"), F.lit(blocks)))
-    ).alias("pb")
+    pa = prefix.repartition(
+        n_wide, "token", F.pmod(F.xxhash64("id"), F.lit(n_wide))
+    ).alias("pa")
+    pb = F.broadcast(prefix).alias("pb")
     # Canonical-meeting predicate (round 12): this row's token must be
     # the pair's FIRST shared prefix gram in the global rarest-first
     # order — i.e. no gram ranked before it on BOTH sides is shared.
     # The overlap walk is a handful of two-char string equalities —
     # several times cheaper than a banded levenshtein — and it gates
     # the levenshtein so each pair is verified ONCE instead of once
-    # per shared prefix gram (measured ~5x multiplicity at sf0.1).
-    # Every qualifying pair still meets exactly once (its first shared
-    # gram is a shared prefix gram, and the pb row for id_b lives in
-    # exactly one block), so dropping the distinct is lossless.
+    # per shared prefix gram (measured ~4.9x multiplicity at sf0.1:
+    # 61.5M matched meetings for 12.58M pairs). Every qualifying pair
+    # still meets exactly once (its first shared gram is a shared
+    # prefix gram, and a probe row lives in exactly one partition
+    # while the build side is broadcast), so no distinct is needed.
+    # Conjunct-order evidence (round 12, measured at sf0.1): putting
+    # the levenshtein BEFORE this check — so it runs on all 188.8M
+    # len-passing meetings instead of the 67.4M canonical ones — is
+    # SLOWER (11.5-12.7 s vs 8.3 s for the join block): the banded
+    # levenshtein costs ~2-3x an arrays_overlap per eval.
     # The levenshtein predicate lives INSIDE the join condition, LAST
     # (round 12): a `.filter(edit_dist >= 0)` above the join gets
     # pushed into the condition by PushPredicateThroughJoin — which
@@ -871,7 +873,6 @@ def qgram_prefix_edit_pairs(
     ).cast("int")
     cond = (
         (F.col("pa.token") == F.col("pb.token"))
-        & (F.col("pa.tb") == F.col("pb.blk"))
         & (F.col("pa.id") < F.col("pb.id"))
         & (F.abs(F.col("pa.slen") - F.col("pb.slen")) <= max_dist)
         & ~F.arrays_overlap(F.col("pa.earlier"), F.col("pb.earlier"))

@@ -62,11 +62,13 @@ SHUFFLE_BUDGETS = {
     # an in-stage threshold-levenshtein verify. The 5 now-visible
     # exchanges are: token-frequency window + rarest-rank window on
     # EACH side of the self-join (2x2, all over dimension-scale q-gram
-    # rows) and the block-split probe widen (REPARTITION_BY_NUM over
-    # (token, tb)). The final distinct dropped with the first-shared-
-    # gram canonical-meeting predicate (each pair meets exactly once).
-    # Net effect measured at sf0.1: 291 s -> 28.1 s -> ~20 s with
-    # byte-identical 12.58M rows (count + rowhash sum/xor).
+    # rows) and the hot-gram probe spread (REPARTITION_BY_NUM over
+    # (token, pmod(xxhash64(id)))) — no probe replication: the build
+    # side is broadcast, so partitioning alone splits a hot gram's
+    # quadratic. The final distinct dropped with the first-shared-gram
+    # canonical-meeting predicate (each pair meets exactly once).
+    # Net effect measured at sf0.1: 291 s -> 28.1 s -> ~12 s -> ~7-9 s
+    # with byte-identical 12.58M rows (count + rowhash sum/xor).
     "dedup_edit_distance_prefix": 5,
     "dedup_edit_distance_prefix_sparse": 5,
     "dedup_exact_documents": 1,
