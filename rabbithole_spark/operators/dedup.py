@@ -731,9 +731,27 @@ def qgram_prefix_edit_pairs(
     (tests/test_llm_operators.py). Raising q would widen that gap
     (q=3 needs len >= 12), which is why q stays 2 (round 12 note).
 
-    Same shuffle shape as prefix_filtered_jaccard_pairs: gram
-    frequency agg, per-string rank window, candidate join concentrated
-    on rare grams, candidate-pruned verify.
+    The whole gram/prefix/verify machinery runs over the DISTINCT
+    VALUES of ``text_col`` (round 13, guide §1.2/§2.3 — don't repeat
+    work per duplicate row): edit distance is a function of the two
+    strings alone, so every (id, id) pair sharing the same (name,
+    name) value pair has the same verdict and the same edit_dist.
+    Rows collapse to distinct names first (one exchange on the name),
+    the quadratic candidate join + levenshtein verify run at
+    name-multiset cardinality, and the id-level result is an
+    expansion join of the ids against the symmetrized name-pair
+    matches (+ the dist-0 diagonal: same-name id pairs are exact
+    duplicates). On a corpus with duplicate keys the verify work
+    drops by the square of the duplication factor (the round-13
+    driver corpus holds 20k part rows over 64 distinct names at
+    sf0.1: ~10^5x fewer candidate meetings); on an all-distinct
+    corpus the only cost added is the one distinct exchange over
+    (name, len) rows — dimension-bytes, never payload.
+
+    Same shuffle shape as prefix_filtered_jaccard_pairs inside the
+    name-level machinery: gram frequency window, per-string rank
+    window, candidate join concentrated on rare grams, in-stage
+    threshold-levenshtein verify.
     """
     p = max_dist * q + 1
     strs = df.select(
@@ -741,17 +759,23 @@ def qgram_prefix_edit_pairs(
         F.col(text_col).alias("txt"),
         F.length(text_col).alias("slen"),
     )
-    tokens = strs.select(
-        F.col("sid").alias("id"),
+    # distinct-name relation: the machinery's unit of work. The name
+    # string itself is the join identity (names are unique here by
+    # construction), so `id` stays a totally ordered key and every
+    # unordered name pair is generated exactly once via id_a < id_b.
+    names = strs.select(
+        F.col("txt").alias("id"), "slen"
+    ).distinct()
+    tokens = names.select(
+        "id",
         "slen",
-        "txt",
         F.explode_outer(
             F.array_distinct(
                 F.transform(
                     F.sequence(
                         F.lit(1), F.greatest(F.col("slen") - (q - 1), F.lit(1))
                     ),
-                    lambda i: F.substring(F.col("txt"), i, q),
+                    lambda i: F.substring(F.col("id"), i, q),
                 )
             )
         ).alias("token"),
@@ -808,19 +832,14 @@ def qgram_prefix_edit_pairs(
     )
     # SPLIT HOT GRAMS WITHOUT REPLICATION (guide §2.5 — AQE cannot
     # split a single enormous key): on a ~30-symbol alphabet the
-    # hottest 2-grams sit in ~5k prefixes each at sf0.1, i.e. ~25M
-    # pair-iterations for ONE key, all serialized into one task under
-    # a key-partitioned join (the round-12 measured 300 s single-task
-    # straggler in the old sort-merge shape). Because the build side
-    # is BROADCAST, each probe row meets its partners inside its own
-    # task — so spreading a hot gram only requires partitioning the
-    # PROBE rows by (token, deterministic id-hash), not replicating
-    # them. The earlier round-12 shape exploded the probe x`blocks`
-    # against an id-bucketed build (a sort-merge-era device kept past
-    # its need): same 189M meetings, but 32x the probe rows through
-    # the exchange. Dropping the replication measured 11.4-14.7 ->
-    # 6.8-9.5 s at equal steal with a byte-identical 12,579,965-row
-    # result (count + rowhash sum/xor).
+    # hottest 2-grams concentrate many prefixes on one key, and a
+    # key-partitioned join serializes that key's quadratic into one
+    # task (the round-12 measured 300 s single-task straggler in the
+    # old sort-merge shape — then over id-level rows). Because the
+    # build side is BROADCAST, each probe row meets its partners
+    # inside its own task — so spreading a hot gram only requires
+    # partitioning the PROBE rows by (token, deterministic
+    # name-hash), not replicating them.
     #
     # The probe repartition is EXPLICIT-width (AQE-proof: left to
     # itself AQE coalesces the tiny-in-bytes probe to 1-2 partitions
@@ -831,11 +850,13 @@ def qgram_prefix_edit_pairs(
     # gram (probe row lands in exactly one partition; build is
     # everywhere), so the canonical-meeting predicate below sees the
     # identical meeting multiset. The broadcast relation is the
-    # p-gram prefix of the STRING TABLE (dimension-scale for both
-    # registered uses; ~10 MB at sf0.1). History: in-stage verify
-    # alone 291 s; + block-split ~45; + probe widen w/ broadcast
-    # build 28.1; + first-shared-gram canonical meeting ~12; + this
-    # de-replication ~7-9.
+    # p-gram prefix of the DISTINCT-NAME relation (dimension-scale
+    # for both registered uses, and smaller than round 12's id-level
+    # relation by the corpus duplication factor). History at sf0.1:
+    # in-stage verify alone 291 s; + block-split ~45; + probe widen
+    # w/ broadcast build 28.1; + first-shared-gram canonical meeting
+    # ~12; + probe de-replication ~7-9; + the round-13 distinct-name
+    # reduction ~1-2 (the machinery now meets 64 names, not 20k ids).
     n_wide = 2 * df.sparkSession.sparkContext.defaultParallelism
     pa = prefix.repartition(
         n_wide, "token", F.pmod(F.xxhash64("id"), F.lit(n_wide))
@@ -869,7 +890,7 @@ def qgram_prefix_edit_pairs(
     # SURVIVING row (one eval per result pair) — trivial next to the
     # ~150M condition-side evals this ordering removes.
     dist = F.levenshtein(
-        F.col("pa.txt"), F.col("pb.txt"), threshold=max_dist
+        F.col("pa.id"), F.col("pb.id"), threshold=max_dist
     ).cast("int")
     cond = (
         (F.col("pa.token") == F.col("pb.token"))
@@ -878,20 +899,63 @@ def qgram_prefix_edit_pairs(
         & ~F.arrays_overlap(F.col("pa.earlier"), F.col("pb.earlier"))
         & (dist >= 0)
     )
-    pairs = pa.join(pb, cond).select(
-        F.col("pa.id").alias("id_a"),
-        F.col("pb.id").alias("id_b"),
+    name_pairs = pa.join(pb, cond).select(
+        F.col("pa.id").alias("name_a"),
+        F.col("pb.id").alias("name_b"),
         dist.alias("edit_dist"),
     )
-    names_a = strs.select(
-        F.col("sid").alias("id_a"), F.col("txt").alias("name_a")
+    # EXPANSION back to id pairs. The name-pair match relation is
+    # symmetrized (an id pair (a, b) with id_a < id_b can carry its
+    # names in either lexicographic order) and completed with the
+    # dist-0 diagonal (same-name id pairs are exact duplicates:
+    # levenshtein(x, x) = 0 <= d always, and the length filter is
+    # trivially met). Each qualifying id pair then matches EXACTLY ONE
+    # row of `sym` — the oriented (name-of-id_a, name-of-id_b) pair —
+    # so the expansion join is multiplicity-exact with no distinct.
+    # NULL names produce no pairs on either path: the old formulation
+    # dropped them because levenshtein(NULL, ·) is NULL (never >= 0),
+    # the new one because a NULL name never equals a join key.
+    diag = names.select(
+        F.col("id").alias("name_a"),
+        F.col("id").alias("name_b"),
+        F.lit(0).cast("int").alias("edit_dist"),
     )
-    names_b = strs.select(
-        F.col("sid").alias("id_b"), F.col("txt").alias("name_b")
+    # both orientations come out of ONE machinery pass (explode of a
+    # 2-struct array): a union of name_pairs with its own swap would
+    # execute the candidate join + verify twice inside the broadcast
+    # build (measured ~0.8 s extra on the all-distinct sparse caller).
+    sym = name_pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("name_a"), F.col("name_b"), F.col("edit_dist")
+                ),
+                F.struct(
+                    F.col("name_b").alias("name_a"),
+                    F.col("name_a").alias("name_b"),
+                    F.col("edit_dist"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.*").unionByName(diag)
+    # Probe side spread: the id table is a single input split at bench
+    # SFs, and the expansion fan-out (output rows = the full result)
+    # would otherwise generate on ONE core (guide §2.5). Both build
+    # sides are dimension-scale for the registered callers (the name
+    # table and the bounded name-pair matches) — the same declared
+    # assumption the round-12 shape broadcast the string table under.
+    ids_a = spread(
+        strs.select(F.col("sid").alias("id_a"), F.col("txt").alias("name_a"))
+    )
+    ids_b = strs.select(
+        F.col("sid").alias("id_b"), F.col("txt").alias("nb")
     )
     return (
-        pairs.join(F.broadcast(names_a), "id_a")
-        .join(F.broadcast(names_b), "id_b")
+        ids_a.join(F.broadcast(sym), "name_a")
+        .join(
+            F.broadcast(ids_b),
+            (F.col("name_b") == F.col("nb")) & (F.col("id_a") < F.col("id_b")),
+        )
         .select("id_a", "id_b", "name_a", "name_b", "edit_dist")
     )
 

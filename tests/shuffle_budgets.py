@@ -59,18 +59,20 @@ SHUFFLE_BUDGETS = {
     "dedup_components": 0,
     # round 12: the qgram family dropped its localCheckpoint (which
     # HID every shuffle from this gate — SCOPE CONVENTION above) for
-    # an in-stage threshold-levenshtein verify. The 5 now-visible
-    # exchanges are: token-frequency window + rarest-rank window on
-    # EACH side of the self-join (2x2, all over dimension-scale q-gram
-    # rows) and the hot-gram probe spread (REPARTITION_BY_NUM over
-    # (token, pmod(xxhash64(id)))) — no probe replication: the build
-    # side is broadcast, so partitioning alone splits a hot gram's
-    # quadratic. The final distinct dropped with the first-shared-gram
-    # canonical-meeting predicate (each pair meets exactly once).
-    # Net effect measured at sf0.1: 291 s -> 28.1 s -> ~12 s -> ~7-9 s
-    # with byte-identical 12.58M rows (count + rowhash sum/xor).
-    "dedup_edit_distance_prefix": 5,
-    "dedup_edit_distance_prefix_sparse": 5,
+    # an in-stage threshold-levenshtein verify; round 13 collapsed the
+    # whole machinery to the DISTINCT-NAME relation (edit distance is
+    # a function of the two strings alone) with an id-level expansion
+    # join at the end. The 9 visible exchanges are all dimension-scale
+    # (distinct-name rows): the (name, len) distinct + the two prefix
+    # windows on EACH side of the name self-join (2x3), the hot-gram
+    # probe spread (REPARTITION_BY_NUM over (token, pmod(xxhash64)));
+    # the diagonal branch's distinct; and the expansion probe spread
+    # over the id table. The expansion joins themselves are broadcast.
+    # Net effect measured at sf0.1: 291 s -> 28.1 -> ~12 -> ~7-9 ->
+    # ~1.0/1.2 s (round 13) with byte-identical 12.58M/142k rows
+    # (count + rowhash sum/xor) and both callers oracle-green.
+    "dedup_edit_distance_prefix": 9,
+    "dedup_edit_distance_prefix_sparse": 9,
     "dedup_exact_documents": 1,
     "dedup_fingerprint": 1,
     "text_winnow_fingerprints": 0,
