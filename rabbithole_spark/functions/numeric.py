@@ -97,7 +97,10 @@ def double_matrix_lit(rows: Sequence[Sequence[float]]) -> Column:
     the k x dim centroid-matrix form of :func:`double_array_lit`."""
     mat = [[float(x) for x in r] for r in rows]
     if not mat or not all(math.isfinite(v) for r in mat for v in r):
-        return F.lit(mat)
+        # cast pins the schema for the EMPTY fallback too — a bare
+        # F.lit([]) is array<null>, inconsistent with the 1-D variant
+        # (round-13 advice fix; unreachable for current callers)
+        return F.lit(mat).cast("array<array<double>>")
     return F.expr(
         "array("
         + ",".join(

@@ -173,17 +173,69 @@ def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
     must not become its own pathology at scale: a 100 TB corpus scan
     is already thousands of splits, and an unconditional repartition
     there is a full payload shuffle bought for nothing (guide §2.5 —
-    repartition after the read to FIX coarse input, not always). The
-    width probe builds the physical RDD driver-side (no job runs).
+    repartition after the read to FIX coarse input, not always).
+
+    An EXPLICIT ``partitions`` argument is a hard request and always
+    repartitions (round-13 advice fix: the adaptive no-op silently
+    ignored it). The adaptive shortcut also cannot see data skew — a
+    many-partition input concentrated in few partitions keeps its
+    layout; pass ``partitions`` explicitly to force the round-robin
+    rebalance in that case.
+
+    The width probe is only SAFE on scan-rooted plans: under AQE,
+    ``Dataset.rdd`` on a plan containing an Exchange executes the
+    upstream shuffle stages as real jobs at plan-construction time
+    (and that work re-runs at action time — round-13 advice fix). The
+    probe therefore inspects the ANALYZED LOGICAL PLAN driver-side
+    (pure metadata) and skips the adaptive shortcut — repartitioning
+    unconditionally, the pre-round-12 behavior — whenever the plan is
+    not a simple scan pipeline (joins, aggregates, windows, generators
+    or any other multi-child / width-changing node).
     """
-    n = partitions or df.sparkSession.sparkContext.defaultParallelism
-    try:
-        cur = df.rdd.getNumPartitions()
-    except Exception:  # pragma: no cover - conservative fallback
-        cur = None
+    if partitions is not None:
+        return df.repartition(partitions)
+    n = df.sparkSession.sparkContext.defaultParallelism
+    cur = _scan_width(df)
     if cur is not None and cur >= n:
         return df
     return df.repartition(n)
+
+
+#: logical nodes through which a scan's partitioning survives 1:1 —
+#: anything else (Join, Aggregate, Window, Generate, Repartition,
+#: Union, ...) makes the physical width probe unsafe/meaningless and
+#: spread() falls back to the unconditional repartition.
+_SCAN_PASSTHROUGH_NODES = {
+    "Project",
+    "Filter",
+    "SubqueryAlias",
+    "LogicalRDD",
+    "LocalRelation",
+    "Relation",
+    "LogicalRelation",
+}
+
+
+def _scan_width(df: DataFrame) -> int | None:
+    """Partition width of a bare scan(+project/filter) plan, probed
+    WITHOUT running a job; None when the plan is not such a pipeline
+    (see :func:`spread` — Dataset.rdd under AQE would execute upstream
+    shuffle stages at plan time for those)."""
+    try:
+        node = df._jdf.queryExecution().analyzed()
+        while True:
+            name = node.nodeName()
+            if name not in _SCAN_PASSTHROUGH_NODES:
+                return None
+            n_children = node.children().size()
+            if n_children == 0:
+                break
+            if n_children > 1:
+                return None
+            node = node.children().apply(0)
+        return df.rdd.getNumPartitions()
+    except Exception:  # pragma: no cover - conservative fallback
+        return None
 
 
 def exact_dedup(
@@ -650,28 +702,43 @@ def prefix_filtered_jaccard_pairs(
         + 1,
         extra_join_pred=length_ok & positional_ok,
     )
-    # verify only candidate docs: broadcast-semi-join the (tiny)
-    # candidate id set BEFORE the shingle projection, so the re-shingle
-    # cost is O(candidates), not two more corpus passes (lesson 6)
-    cand_ids = (
-        cand.select(F.col("id_a").alias("cid"))
-        .union(cand.select(F.col("id_b").alias("cid")))
-        .distinct()
+    # verify source: when the CORPUS itself is small by the optimizer's
+    # estimate (round 13, guide §1.2 — don't pay pruning machinery that
+    # prunes nothing), re-shingle the whole relation directly; the
+    # cand_ids union + distinct + broadcast + semi-join chain costs
+    # ~0.8 s at sf0.1 while pruning ~6% of docs. Past the cap the
+    # candidate-pruned path is load-bearing (at 100 TB the candidate
+    # doc set is the only thing that keeps the checkpoint + broadcast
+    # bounded) and runs exactly as before. Both paths verify the
+    # identical candidate set against identical shingle arrays, so the
+    # output is the same rows either way.
+    from rabbithole_spark.operators.sizing import (
+        broadcast_cap,
+        guarded_broadcast,
+        plan_size_bytes,
     )
-    # one candidate-pruned shingle pass, checkpointed so BOTH verify
-    # sides read the same materialization instead of re-running the
-    # scan + shingle projection per side (round 12). Bounded by the
-    # candidate doc set, so the checkpoint is 100 TB-safe.
-    pruned = (
-        df.join(
+
+    if plan_size_bytes(df) <= broadcast_cap(df):
+        verify_src = df
+    else:
+        # broadcast-semi-join the (tiny) candidate id set BEFORE the
+        # shingle projection, so the re-shingle cost is O(candidates),
+        # not two more corpus passes (lesson 6)
+        cand_ids = (
+            cand.select(F.col("id_a").alias("cid"))
+            .union(cand.select(F.col("id_b").alias("cid")))
+            .distinct()
+        )
+        verify_src = df.join(
             F.broadcast(cand_ids), F.col(id_col) == F.col("cid"), "inner"
         )
-        .select(
-            F.col(id_col).alias("doc_id"),
-            word_shingles(F.col(text_col), k).alias("shingles"),
-        )
-        .localCheckpoint(eager=False)
-    )
+    # one shingle pass over the verify source, checkpointed so BOTH
+    # verify sides read the same materialization instead of re-running
+    # the scan + shingle projection per side (round 12).
+    pruned = verify_src.select(
+        F.col(id_col).alias("doc_id"),
+        word_shingles(F.col(text_col), k).alias("shingles"),
+    ).localCheckpoint(eager=False)
     docs_a = pruned.select(
         F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a")
     )
@@ -689,14 +756,17 @@ def prefix_filtered_jaccard_pairs(
     # guarantee about true Jaccard >= t, and a rounded 0.1999996 -> 0.2
     # acceptance would reach outside it; output stays rounded.
     # BROADCAST the per-doc shingle relations (round 12): they are
-    # bounded by the candidate doc set, while the sort-merge plan the
+    # bounded by the verify source, while the sort-merge plan the
     # optimizer picked shuffled every candidate PAIR with its attached
     # shingle array (~1 KB/row — twice, once per side). Same shape as
     # _lsh_verified_pairs; guide §2.3 "shuffle keys, not payloads".
+    # SIZE-GUARDED (round 13): a caller whose candidate doc set
+    # outgrows the cap falls back to the planner's shuffle join
+    # instead of OOMing the driver (sizing.py).
     jac_true = inter.cast("double") / union.cast("double")
     return (
-        cand.join(F.broadcast(docs_a), "id_a")
-        .join(F.broadcast(docs_b), "id_b")
+        cand.join(guarded_broadcast(docs_a), "id_a")
+        .join(guarded_broadcast(docs_b), "id_b")
         .select(
             "id_a",
             "id_b",
@@ -766,6 +836,12 @@ def qgram_prefix_edit_pairs(
     names = strs.select(
         F.col("txt").alias("id"), "slen"
     ).distinct()
+    # array_distinct is LOAD-BEARING for the no-distinct join below
+    # (round-13 advice pin): the canonical-meeting predicate assumes
+    # each gram appears AT MOST ONCE in a string's prefix — a duplicate
+    # gram would make the first-shared-gram meeting non-unique and
+    # emit duplicate (id_a, id_b) rows. A tokenizer change that drops
+    # the per-id distinctness must reintroduce a distinct on the pairs.
     tokens = names.select(
         "id",
         "slen",
@@ -857,11 +933,25 @@ def qgram_prefix_edit_pairs(
     # w/ broadcast build 28.1; + first-shared-gram canonical meeting
     # ~12; + probe de-replication ~7-9; + the round-13 distinct-name
     # reduction ~1-2 (the machinery now meets 64 names, not 20k ids).
+    # SIZE-GUARDED build broadcast (round 13, sizing.py): a caller
+    # whose distinct-name prefix relation outgrows the cap falls back
+    # to the planner's shuffle join on the gram (AQE skew splitting
+    # applies; the (token, name-hash) probe spread is skipped there —
+    # it would be thrown away by the join's own hashpartitioning(token)
+    # requirement) instead of OOMing the driver building the hash
+    # relation. Join OUTPUT is strategy-independent, so the canonical-
+    # meeting argument below holds on either path.
+    from rabbithole_spark.operators.sizing import guarded_broadcast
+
     n_wide = 2 * df.sparkSession.sparkContext.defaultParallelism
-    pa = prefix.repartition(
-        n_wide, "token", F.pmod(F.xxhash64("id"), F.lit(n_wide))
-    ).alias("pa")
-    pb = F.broadcast(prefix).alias("pb")
+    pb_rel = guarded_broadcast(prefix)
+    if pb_rel is prefix:  # over-cap fallback: planner-chosen shuffle join
+        pa = prefix.alias("pa")
+    else:
+        pa = prefix.repartition(
+            n_wide, "token", F.pmod(F.xxhash64("id"), F.lit(n_wide))
+        ).alias("pa")
+    pb = pb_rel.alias("pb")
     # Canonical-meeting predicate (round 12): this row's token must be
     # the pair's FIRST shared prefix gram in the global rarest-first
     # order — i.e. no gram ranked before it on BOTH sides is shared.
@@ -951,9 +1041,9 @@ def qgram_prefix_edit_pairs(
         F.col("sid").alias("id_b"), F.col("txt").alias("nb")
     )
     return (
-        ids_a.join(F.broadcast(sym), "name_a")
+        ids_a.join(guarded_broadcast(sym), "name_a")
         .join(
-            F.broadcast(ids_b),
+            guarded_broadcast(ids_b),
             (F.col("name_b") == F.col("nb")) & (F.col("id_a") < F.col("id_b")),
         )
         .select("id_a", "id_b", "name_a", "name_b", "edit_dist")

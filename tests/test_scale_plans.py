@@ -886,3 +886,44 @@ def test_sharded_parquet_sink_under_local_cluster(tmp_path):
     assert got["executors"] >= 3, got  # driver + 2 executor JVMs
     assert got["rows"] == 40, got
     assert 1 < got["parts"] <= 4, got  # actually sharded across tasks
+
+
+def test_guarded_broadcasts_fall_back_over_cap(spark):
+    """The size-guarded operator broadcasts (round 13, sizing.py):
+    with the cap forced to 1 byte the qgram join and the Jaccard
+    verify must plan WITHOUT the explicit broadcast build (shuffle
+    join fallback / candidate-pruned verify source) and still return
+    the identical rows — a fact-scale caller degrades to a working
+    plan instead of OOMing the driver building the hash relation."""
+    from rabbithole_spark.operators.dedup import (
+        prefix_filtered_jaccard_pairs,
+        qgram_prefix_edit_pairs,
+    )
+
+    p = table(spark, SF, "part")
+    d = table(spark, SF, "documents")
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    try:
+        ed_small = rows(
+            qgram_prefix_edit_pairs(p, "p_partkey", "p_name", 3, 2)
+        )
+        jac_small = rows(
+            prefix_filtered_jaccard_pairs(d, "doc_id", "text", 3, 1, 5)
+        )
+        spark.conf.set("rabbithole.broadcast.cap", "1")
+        ed_q = qgram_prefix_edit_pairs(p, "p_partkey", "p_name", 3, 2)
+        jac_q = prefix_filtered_jaccard_pairs(d, "doc_id", "text", 3, 1, 5)
+        # over-cap: the explicit broadcast hint is gone (the planner
+        # may still auto-broadcast bona-fide small sides — the guard
+        # removes the unconditional HINT, not the strategy). The
+        # (token, pmod(xxhash64)) probe spread only rides the
+        # broadcast path, so its absence pins the fallback was taken.
+        ed_plan = _plan(ed_q)
+        assert "pmod" not in ed_plan
+        assert rows(ed_q) == ed_small
+        assert rows(jac_q) == jac_small
+    finally:
+        spark.conf.unset("rabbithole.broadcast.cap")
