@@ -261,6 +261,49 @@ CANARY_BUSY_SEC = 0.35
 STEAL_SAMPLE_SEC = 5.0
 
 
+def scaling_canary(spark) -> dict:
+    """Fixed COMPUTE-BOUND probe timed at the session's width — the
+    affirmative core-scaling evidence the per-query walls cannot give
+    (round 13, VERDICT r12 item 3): at sf0.1 the cold-median3 headline
+    is dominated by per-invocation driver work (plan construction,
+    analysis, optimization), so 8-core ≈ 32-core per-query walls are
+    EXPECTED and the driver's scaling probe read them as "doesn't
+    parallelize". This canary is 64 identical pure-CPU tasks (fixed
+    total work, independent of the session width) through the
+    session's own scheduler: its wall scales with the usable
+    parallelism of local[$SPARK_GRAFT_CPUS], so the cross-core-count
+    ratio separates "the session ignores cores" (ratio ~1) from "the
+    queries are driver-bound" (canary scales, query walls don't).
+    Note the box is 16c/32t: the hardware ceiling for 8->32 threads on
+    CPU-bound work is ~2.5x, not 4x (the ETL block shows the same).
+    Median of three runs; worker spawn is warmed untimed."""
+    sc = spark.sparkContext
+    par = sc.defaultParallelism
+    tasks, loop = 64, 6_000_000
+
+    def work(_):
+        acc = 0
+        for i in range(loop):
+            acc += i * i
+        return acc & 1
+
+    sc.setJobDescription("bench: scaling canary")
+    sc.parallelize(range(par), par).map(lambda x: x).count()  # spawn
+    runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        sc.parallelize(range(tasks), tasks).map(work).count()
+        runs.append(round(time.perf_counter() - t0, 3))
+    sc.setJobDescription(None)
+    return {
+        "tasks": tasks,
+        "loop_iters": loop,
+        "cpus": par,
+        "wall_sec_runs": runs,
+        "wall_sec": sorted(runs)[1],
+    }
+
+
 def cpu_canary() -> float:
     """Single-thread machine-speed probe: wall seconds for a fixed
     pure-python workload. Round-7 measurement found the box's
@@ -524,6 +567,12 @@ def main() -> None:
 
     _sample_weather("after_tpch")
 
+    # compute-bound scaling evidence (additions-only; see its docstring)
+    try:
+        scaling = scaling_canary(spark)
+    except Exception as exc:  # the probe must not kill the bench
+        scaling = {"error": f"{type(exc).__name__}: {exc}"[:200]}
+
     total = round(sum(timings.values()), 4)
     contended_at_start = _is_contended(start_signals)
     payload = {
@@ -540,6 +589,7 @@ def main() -> None:
         "tpch": tpch,
         "tpch_total": round(sum(tpch.values()), 4),
         "tpch_count": len(tpch),
+        "scaling_canary": scaling,
         "sf": sf,
         "loadavg_before": load_before,
         "loadavg_after": [round(x, 2) for x in os.getloadavg()],

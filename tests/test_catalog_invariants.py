@@ -81,6 +81,19 @@ def test_no_query_staler_than_four_rounds():
         if name in queued:  # scheduled for the next window
             continue
         stale.append((name, last or "never"))
+    # REWRITE-PRIORITY allowance (round 13, catalog._REWRITE_PRIORITY):
+    # each prioritized rewritten query displaces exactly one untouched
+    # name's refresh by exactly one round, so up to len(_REWRITE_
+    # PRIORITY) names may sit one round past the horizon until the
+    # next rotation queues them. Anything older or more numerous is a
+    # genuine invariant break.
+    allowance = len(getattr(catalog, "_REWRITE_PRIORITY", ()))
+    excusable = [
+        (n, last) for n, last in stale
+        if isinstance(last, int) and last == max_round - 4
+    ]
+    if stale and len(stale) <= allowance and excusable == stale:
+        stale = []
     assert stale == [], (
         f"queries stale >4 rounds and not queued in the next "
         f"{WINDOW}-slot window: {stale}"
@@ -123,12 +136,23 @@ def test_rotate_window_rule_on_synthetic_history():
     names = ["q_c", "q_a", "q_b", "q_new", "q_old"]
     latest = {"q_a": 3, "q_b": 2, "q_c": 3, "q_old": 1}  # q_new: never
     order = compute_order(names, latest)
-    assert order == [
+    assert [(rnd, ns) for rnd, _, ns in order] == [
         (0, ["q_new"]),
         (1, ["q_old"]),
         (2, ["q_b"]),
         (3, ["q_a", "q_c"]),
     ]
+    # rewrite priority (round 13): prioritized names jump ahead of the
+    # staleness blocks but never ahead of never-checked names
+    order_pri = compute_order(names, latest, priority=("q_a",))
+    assert [(rnd, ns) for rnd, _, ns in order_pri] == [
+        (0, ["q_new"]),
+        (3, ["q_a"]),
+        (1, ["q_old"]),
+        (2, ["q_b"]),
+        (3, ["q_c"]),
+    ]
+    assert order_pri[1][1].startswith("REWRITTEN")
     rendered = render(order, next_round=4)
     flat = _re.findall(r'"([a-z0-9_]+)"', rendered)
     assert flat == ["q_new", "q_old", "q_b", "q_a", "q_c"]
@@ -183,7 +207,11 @@ def test_rotate_window_tuple_parse_ignores_comment_quotes():
     assert _tuple_names(region) == ["q_a", "q_b"]
     # header clamp: 3 one-name blocks against a window of 2 must say
     # 2 names fill the window, not 3
-    order = [(1, ["q_x"]), (2, ["q_y"]), (3, ["q_z"])]
+    order = [
+        (1, "latest external row: round 1", ["q_x"]),
+        (2, "latest external row: round 2", ["q_y"]),
+        (3, "latest external row: round 3", ["q_z"]),
+    ]
     rendered = render(order, next_round=4, window=2)
     assert "(2 names fill the window)" in rendered
     assert _tuple_names(rendered) == ["q_x", "q_y", "q_z"]
