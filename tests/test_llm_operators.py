@@ -242,6 +242,18 @@ def test_kmeans_invariants(spark):
         ).collect()
     }
     assert again == {r.vec_id: r.cluster for r in rows}
+    # sampled fit path (round 13): the centroids fit on the filter's
+    # sample only, but EVERY corpus row is still assigned — and only
+    # the sample is materialized (the assignment reads the corpus
+    # scan, so the full relation is never eagerly checkpointed)
+    sampled = kmeans_fit_assign(
+        emb, "embedding", ["vec_id"], k=10, iters=2,
+        fit_filter=F.col("vec_id") % 2 == 0,
+    )
+    srows = sampled.collect()
+    assert len(srows) == emb.count()
+    assert len({r.vec_id for r in srows}) == len(srows)
+    assert "LogicalRDD" not in sampled._jdf.queryExecution().analyzed().toString()
 
 
 def test_decode_stub_and_fallback():
