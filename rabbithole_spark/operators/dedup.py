@@ -347,14 +347,25 @@ def minhash_signatures(
     # signatures are value-identical.
     all_coeffs = _minhash_coeffs(num_hashes)
     halves = [all_coeffs[: num_hashes // 2], all_coeffs[num_hashes // 2 :]]
+    # the coefficient struct arrays render as ONE SQL expression each
+    # (round 13, the item-19 device from round 12 applied to integer
+    # structs): F.array(*[F.struct(F.lit(a), F.lit(b)) ...]) issues a
+    # py4j round-trip per node — measured ~0.55 s of dedup_minhash_lsh's
+    # ~1.7 s per-invocation plan build. Integer literals are exact in
+    # SQL text (L suffix pins BIGINT, matching F.lit's LongType), so
+    # the parsed tree is identical and signatures are bit-equal.
+    def _coeff_arr(half: list[tuple[int, int]]) -> Column:
+        return F.expr(
+            "array("
+            + ",".join(
+                f"named_struct('a',{a}L,'b',{b}L)" for a, b in half
+            )
+            + ")"
+        )
+
     sig_parts = [
         F.transform(
-            F.array(
-                *[
-                    F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
-                    for a, b in half
-                ]
-            ),
+            _coeff_arr(half),
             lambda c: F.array_min(
                 F.transform(
                     F.col("__hs"),
@@ -457,6 +468,16 @@ def lsh_candidate_pairs(
     banded = lsh_banded(
         df, id_col, signature_col, bands, rows_per_band, signature_len
     )
+    # materialize the banded relation ONCE before the self-join (round
+    # 13, guide §1.2): alias exprIds defeat exchange reuse, so both
+    # join sides otherwise re-execute the whole scan + signature +
+    # banding pipeline — measured ~0.35 s of dedup_minhash_lsh's
+    # per-invocation cost at sf0.1. The checkpoint holds digest rows
+    # only ((id, band, band_hash) — ~24 bytes/row, linear in the
+    # corpus): the same relation the join must read twice either way,
+    # so this trades block-manager storage of one copy for a second
+    # full signature pass over the corpus.
+    banded = banded.localCheckpoint(eager=False)
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (
@@ -534,7 +555,16 @@ def simhash(
     is set, -1 otherwise) with map-side partial aggregation, then OR
     the positive-vote bits into the signature. A pandas-UDF bit fold
     was measured 2-7x slower — the fixed Arrow/worker cost dwarfed the
-    trivial numpy kernel.
+    trivial numpy kernel. A packed bit-lane formulation (3 counters
+    per accumulator long in 20-bit lanes, votes_b = 2*c_b - n, with an
+    n < 2^20 overflow guard) was BUILT AND MEASURED in round 13 to
+    shrink the 64-buffer HashAggregate codegen unit: signatures were
+    bit-identical, but steady-state ran ~0.4 s SLOWER at sf0.1 (2.5-2.8
+    -> 3.0-3.2 s; the extra per-row shift/or lane math outweighs the
+    smaller buffer) and the cold first run was no faster (5.2-5.9 ->
+    5.8-7.4 s interleaved-quiet) — the one-time Janino cost is not the
+    aggregate buffer's width. Rejected on those numbers; this 64-sum
+    shape is the measured optimum.
     """
     hashed = df.select(
         F.col(id_col),

@@ -87,7 +87,11 @@ SHUFFLE_BUDGETS = {
     # documents scan (guide §2.5 input skew — the whole shingle+minhash
     # pipeline ran on ONE core; 7.9 s -> 2.2 s at sf0.1), visible once
     # per self-join branch (batch + corpus; alias exprIds defeat
-    # exchange reuse in the initial plan)
+    # exchange reuse in the initial plan). round 13: lsh_candidate_
+    # pairs localCheckpoints the banded relation before its self-join
+    # (the pipeline otherwise executed once per side) — the hidden
+    # sub-plan is scan + spread + signature + banding (SCOPE
+    # CONVENTION above); measured counts stay within the pins.
     "dedup_minhash_incremental": 4,
     "dedup_minhash_lsh": 4,
     # hash-multiplicity window + doc-id island window + docs join-back
